@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.gmm.{EM, Gaussian, GmmModel}
+import org.apache.spark.sql.functions._
+
+/** EM/GMM capability surface — the reference's entire workload
+  * (Krosent/ema-bigdata `Main.scala`), re-expressed Spark-SQL-first over
+  * `events.value` (the designated 1-D double column, FIXTURES.md).
+  *
+  * Oracle-checkable pieces (fixed-parameter density / responsibilities /
+  * log-likelihood, dataset moments) carry DuckDB SQL; the iterative fits
+  * are golden-tested in ScalaTest instead (SURVEY.md §5).
+  */
+object GmmQueries {
+
+  /** Fixed 3-component model sized to events.value (range ~[0, 560],
+    * mean ~50, var ~2450) for the deterministic fixed-parameter queries. */
+  private val M = GmmModel(
+    weights = Array(0.5, 0.3, 0.2),
+    means = Array(20.0, 60.0, 150.0),
+    variances = Array(400.0, 900.0, 2500.0))
+
+  private def pdfSql(mean: Double, variance: Double): String =
+    s"EXP(-POW(value - $mean, 2) / ${2.0 * variance}) / ${math.sqrt(2.0 * math.Pi * variance)}"
+
+  private def mixSql: String =
+    (0 until M.k).map(j => s"${M.weights(j)} * ${pdfSql(M.means(j), M.variances(j))}")
+      .mkString(" + ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("stats_mean_var",
+      (s, d) => Tables.events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        round(avg(col("value")), 6).as("mean_value"),
+        round(var_pop(col("value")), 4).as("var_pop_value"),
+        round(stddev_pop(col("value")), 4).as("stddev_pop_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value")),
+      oracle = Some(
+        """SELECT count(*) AS n_rows,
+          |  round(avg(value), 6) AS mean_value,
+          |  round(var_pop(value), 4) AS var_pop_value,
+          |  round(stddev_pop(value), 4) AS stddev_pop_value,
+          |  round(min(value), 2) AS min_value,
+          |  round(max(value), 2) AS max_value
+          |FROM events""".stripMargin)),
+
+    QueryDef("gaussian_pdf_fixed",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          round(col("value"), 2).as("x"),
+          round(Gaussian.pdf(col("value"), 50.0, 2500.0), 9).as("pdf"))
+        .orderBy(col("event_id")),
+      oracle = Some(
+        s"""SELECT event_id, round(value, 2) AS x,
+           |  round(EXP(-POW(value - 50.0, 2) / 5000.0) / ${math.sqrt(2.0 * math.Pi * 2500.0)}, 9) AS pdf
+           |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Log-likelihood of the fixed mixture, with the reference's -Infinity
+    // guard (Main.scala:112). Per-row log values are integerized to 1e-6
+    // units BEFORE the sum so the aggregate is exact and order-independent
+    // (see graft.util.Det scaladoc).
+    QueryDef("loglik_fixed",
+      (s, d) => {
+        val mix = Gaussian.mixture(col("value"), M)
+        val ll = log(mix)
+        val guarded = when(ll =!= lit(Double.NegativeInfinity), ll)
+        Tables.events(s, d).agg(
+          (sum(round(guarded * lit(1e6), 0).cast("long")) / lit(1e6)).as("loglik"),
+          count(guarded).as("n_finite"),
+          count(lit(1)).as("n_rows"))
+      },
+      oracle = Some(
+        s"""SELECT
+           |  CAST(SUM(CAST(ROUND(ll * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS loglik,
+           |  COUNT(ll) AS n_finite,
+           |  COUNT(*) AS n_rows
+           |FROM (
+           |  SELECT CASE WHEN isinf(LN($mixSql)) THEN NULL ELSE LN($mixSql) END AS ll
+           |  FROM events
+           |)""".stripMargin)),
+
+    // Per-point (textbook-normalized) responsibilities under the fixed
+    // model — the reference's gamma (Main.scala:123-161) as a derived
+    // column instead of a zipped RDD.
+    QueryDef("gamma_fixed",
+      (s, d) => {
+        val x = col("value")
+        val wpdf = (0 until M.k).map(j =>
+          lit(M.weights(j)) * Gaussian.pdf(x, M.means(j), M.variances(j)))
+        val mix = wpdf.reduce(_ + _)
+        Tables.events(s, d)
+          .where(mix > 0)
+          .select(
+            (Seq(col("event_id")) ++
+              (0 until M.k).map(j => round(wpdf(j) / mix, 7).as(s"g$j"))): _*)
+          .orderBy(col("event_id"))
+      },
+      oracle = Some {
+        val terms = (0 until M.k).map(j => s"${M.weights(j)} * ${pdfSql(M.means(j), M.variances(j))}")
+        val mix = terms.mkString(" + ")
+        val cols = (0 until M.k).map(j => s"round((${terms(j)}) / ($mix), 7) AS g$j").mkString(",\n  ")
+        s"""SELECT event_id,
+           |  $cols
+           |FROM events WHERE ($mix) > 0 ORDER BY event_id""".stripMargin
+      }),
+
+    // Full EM fits — iterative, hence no SQL oracle (driver records a
+    // rows-only check); golden + property tests cover them (EMSpec).
+    QueryDef("em_gmm",
+      (s, d) => {
+        val r = EM.fit(Tables.events(s, d), "value", k = 3, maxIter = 10,
+          variant = EM.Textbook, init = EM.SpreadInit)
+        r.model.toDF(s).select(
+          col("k"),
+          round(col("weight"), 6).as("weight"),
+          round(col("mean"), 6).as("mean"),
+          round(col("variance"), 6).as("variance"))
+      },
+      oracle = None),
+
+    QueryDef("em_gmm_refcompat",
+      (s, d) => {
+        val r = EM.fit(Tables.events(s, d), "value", k = 3, maxIter = 50,
+          variant = EM.RefCompat, init = EM.SpreadInit)
+        r.model.toDF(s).select(
+          col("k"),
+          round(col("weight"), 6).as("weight"),
+          round(col("mean"), 6).as("mean"),
+          round(col("variance"), 6).as("variance"))
+      },
+      oracle = None)
+  )
+}

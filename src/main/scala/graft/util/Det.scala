@@ -1,0 +1,46 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Determinism helpers for oracle-hashed query outputs.
+  *
+  * Floating-point SUMs are order-dependent; Spark's merge order of partial
+  * aggregates is not guaranteed to match DuckDB's (or even itself across
+  * runs). For columns that are conceptually fixed-point (prices with 2
+  * decimals, metric values), we convert per-row to integer units — a
+  * deterministic IEEE multiply+round — then sum exactly in BIGINT, and
+  * present the result as a double. Both engines produce bit-identical
+  * output regardless of partitioning.
+  *
+  * The same trick integerizes per-row transcendental outputs (log/exp differ
+  * by ≤1 ulp across libm implementations): round to a fixed number of
+  * decimals first, then the exact integer sum is engine-independent.
+  */
+object Det {
+  /** Exact sum of `c` interpreted as fixed-point with `scale` decimals.
+    * SQL equivalent: CAST(SUM(CAST(ROUND(c * 10^scale, 0) AS BIGINT)) AS DOUBLE) / 10^scale
+    */
+  def fixedSum(c: Column, scale: Int): Column = {
+    val f = math.pow(10.0, scale.toDouble)
+    sum(round(c * lit(f), 0).cast("long")) / lit(f)
+  }
+
+  /** Exact mean via fixedSum / count. */
+  def fixedAvg(c: Column, scale: Int): Column = {
+    val f = math.pow(10.0, scale.toDouble)
+    sum(round(c * lit(f), 0).cast("long")) / (count(c) * lit(f))
+  }
+
+  /** The DuckDB SQL text matching fixedSum. */
+  def fixedSumSql(expr: String, scale: Int): String = {
+    val f = "1" + ("0" * scale)
+    s"CAST(SUM(CAST(ROUND(($expr) * $f, 0) AS BIGINT)) AS DOUBLE) / $f"
+  }
+
+  /** The DuckDB SQL text matching fixedAvg. */
+  def fixedAvgSql(expr: String, scale: Int): String = {
+    val f = "1" + ("0" * scale)
+    s"CAST(SUM(CAST(ROUND(($expr) * $f, 0) AS BIGINT)) AS DOUBLE) / (COUNT($expr) * $f)"
+  }
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's DuckDB-oracle comparison.
+
+Usage: python3 tools/verify_local.py [outDir]
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already produced
+<outDir>/<query>/ parquet dirs + oracle_sql.json.
+
+Mimics the driver: registers each testdata table as a DuckDB view, runs the
+oracle SQL, sorts columns by name, compares cell values (exact + tolerance).
+"""
+import json, sys, glob, math
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{OUT}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark result parquet"); fail += 1; continue
+    try:
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})").fetchall()
+        gcols = [d[0] for d in con.sql(f"SELECT * FROM read_parquet({files!r}) LIMIT 0").description]
+        exp = con.sql(sql).fetchall()
+        ecols = [d[0] for d in con.sql(f"SELECT * FROM ({sql}) LIMIT 0").description]
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fail += 1; continue
+    if sorted(gcols) != sorted(ecols):
+        print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(ecols)}"); fail += 1; continue
+    gperm = sorted(range(len(gcols)), key=lambda i: gcols[i])
+    eperm = sorted(range(len(ecols)), key=lambda i: ecols[i])
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); fail += 1; continue
+    worst = 0.0; bad = None; exact = True
+    for r, (g, e) in enumerate(zip(got, exp)):
+        for gi, ei in zip(gperm, eperm):
+            a, b = g[gi], e[ei]
+            if isinstance(a, float) or isinstance(b, float):
+                fa, fb = float(a), float(b)
+                if math.isnan(fa) and math.isnan(fb): continue
+                d = abs(fa - fb)
+                if fa != fb: exact = False
+                rel = d / max(abs(fa), abs(fb), 1e-12)
+                if rel > worst: worst, bad = rel, (r, gcols[gi], a, b)
+            elif a != b:
+                # normalize hugeint/int width
+                try:
+                    if int(a) == int(b): continue
+                except (TypeError, ValueError): pass
+                if str(a) == str(b): continue
+                print(f"FAIL {name}: row {r} col {gcols[gi]}: {a!r} != {b!r}")
+                fail += 1; bad = "reported"; break
+        if bad == "reported": break
+    if bad == "reported": continue
+    status = "OK-exact" if exact else (f"OK-tol maxrel={worst:.2e} at {bad}" if worst < 1e-9 else f"FAIL-float maxrel={worst:.2e} at {bad}")
+    if status.startswith("FAIL"): fail += 1
+    print(f"{status:<60} {name} rows={len(got)}")
+print(f"\n{'ALL OK' if fail == 0 else f'{fail} FAILURES'} ({len(oracle)} oracle queries)")
+sys.exit(1 if fail else 0)
