@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.AsOfJoin
+import graft.util.Det
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series / event-stream analytics over the `events` table
+  * (SURVEY.md §7.6): tumbling windows, sessionization, as-of semantics,
+  * lag/lead analytics, pivot. These are the batch duals of the
+  * Structured Streaming operators in graft.streaming.
+  */
+object EventQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- tumbling window aggregation (batch dual of streaming window) ----
+    QueryDef("events_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Det.fixedSum(col("value"), 2).as("sum_value"),
+          Det.fixedAvg(col("value"), 2).as("avg_value"))
+        .orderBy(col("window_start"), col("event_type")),
+      oracle = Some(
+        s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+           |  count(*) AS n_events,
+           |  ${Det.fixedSumSql("value", 2)} AS sum_value,
+           |  ${Det.fixedAvgSql("value", 2)} AS avg_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- sessionization: 30-min inactivity gap via lag + running sum ----
+    QueryDef("events_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+        val isNew = when(gapUs.isNull || gapUs > lit(1800L * 1000000L), 1L).otherwise(0L)
+        Tables.events(s, d)
+          .withColumn("session_seq",
+            sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            Det.fixedSum(col("value"), 2).as("session_value"))
+          .orderBy(col("user_id"), col("session_seq"))
+      },
+      oracle = Some(
+        s"""WITH flagged AS (
+           |  SELECT user_id, ts, value,
+           |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+           |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), sessioned AS (
+           |  SELECT user_id, ts, value,
+           |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS session_seq
+           |  FROM flagged
+           |)
+           |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |  count(*) AS n_events,
+           |  min(ts) AS session_start,
+           |  max(ts) AS session_end,
+           |  ${Det.fixedSumSql("value", 2)} AS session_value
+           |FROM sessioned GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_seq""".stripMargin)),
+
+    // ---- latest event per user (as-of snapshot via row_number) ----
+    QueryDef("events_latest_per_user",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(
+        """SELECT user_id, event_id, ts, event_type, value FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id
+          |                               ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events
+          |) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- as-of join: each purchase <- the user's latest click at or
+    // before it (union+window operator, see graft.operators.AsOfJoin) ----
+    QueryDef("events_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        // dedupe clicks to one row per (user, ts) so the as-of pick is
+        // deterministic (latest event_id wins), matching the oracle
+        val clicks = ev.where(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts").as("click_ts"))
+          .agg(max(col("event_id")).as("click_event_id"))
+        AsOfJoin.leftAsOf(
+          left = purchases, right = clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+          payload = Seq("click_ts", "click_event_id"),
+          tiebreakCol = "click_event_id", outPrefix = "")
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(
+        """SELECT p.event_id, p.user_id, p.ts, p.value,
+          |       c.click_ts, c.click_event_id
+          |FROM (SELECT event_id, user_id, ts, value FROM events
+          |      WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT user_id, ts AS click_ts,
+          |                       max(event_id) AS click_event_id
+          |                FROM events WHERE event_type = 'click'
+          |                GROUP BY user_id, ts) c
+          |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+          |ORDER BY p.event_id""".stripMargin)),
+
+    // ---- lag/lead analytics ----
+    QueryDef("events_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(
+            col("user_id"), col("event_id"), col("ts"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"),
+            (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      oracle = Some(
+        """SELECT user_id, event_id, ts, value,
+          |  lag(value) OVER w AS prev_value,
+          |  lead(value) OVER w AS next_value,
+          |  value - lag(value) OVER w AS delta
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // ---- pivot (conditional aggregation with a fixed column set) ----
+    QueryDef("events_pivot_type_counts",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id")),
+      oracle = Some(
+        """SELECT user_id,
+          |  count(*) FILTER (event_type = 'click') AS click,
+          |  count(*) FILTER (event_type = 'error') AS error,
+          |  count(*) FILTER (event_type = 'purchase') AS purchase,
+          |  count(*) FILTER (event_type = 'signup') AS signup,
+          |  count(*) FILTER (event_type = 'view') AS view
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}

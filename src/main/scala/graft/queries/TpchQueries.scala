@@ -1,0 +1,411 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.util.Det
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Star-schema analytics over the TPC-H-ish tables (SURVEY.md §7.6):
+  * joins (broadcast / sort-merge / semi / anti), grouped aggregation,
+  * ROLLUP/CUBE, distinct aggregates, window functions, top-k, set ops,
+  * string and date functions. The reference has none of these (SURVEY.md
+  * §2.3) — they are the mandated beyond-reference extensions.
+  *
+  * Scale notes (100 TB design point):
+  *  - Dimension joins (region/nation/part/supplier) are broadcast —
+  *    Catalyst picks this from stats, `broadcast()` pins the small sides.
+  *  - Fact-fact joins (lineitem-orders) are shuffle hash/sort-merge on the
+  *    join key; AQE handles skew.
+  *  - Top-k uses ORDER BY + LIMIT which Spark plans as TakeOrderedAndProject
+  *    (per-partition heap + driver merge of k rows), never a full sort.
+  *  - All money sums are fixed-point-integerized (graft.util.Det) so
+  *    results are exact, order-independent, and oracle-hashable.
+  */
+object TpchQueries {
+
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+
+  /** revenue = extendedprice * (1 - discount), exact cents. */
+  private val revenueExpr = col("l_extendedprice") * (lit(1) - col("l_discount"))
+  private val revenueSql = "l_extendedprice * (1 - l_discount)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- grouped aggregation (TPC-H Q1 shape): partial+final hash agg ----
+    QueryDef("q1_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= ts("2001-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Det.fixedSum(col("l_quantity"), 2).as("sum_qty"),
+          Det.fixedSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          Det.fixedSum(revenueExpr, 2).as("sum_disc_price"),
+          Det.fixedSum(revenueExpr * (lit(1) + col("l_tax")), 2).as("sum_charge"),
+          Det.fixedAvg(col("l_quantity"), 2).as("avg_qty"),
+          Det.fixedAvg(col("l_extendedprice"), 2).as("avg_price"),
+          Det.fixedAvg(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      oracle = Some(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${Det.fixedSumSql("l_quantity", 2)} AS sum_qty,
+           |  ${Det.fixedSumSql("l_extendedprice", 2)} AS sum_base_price,
+           |  ${Det.fixedSumSql(revenueSql, 2)} AS sum_disc_price,
+           |  ${Det.fixedSumSql(s"($revenueSql) * (1 + l_tax)", 2)} AS sum_charge,
+           |  ${Det.fixedAvgSql("l_quantity", 2)} AS avg_qty,
+           |  ${Det.fixedAvgSql("l_extendedprice", 2)} AS avg_price,
+           |  ${Det.fixedAvgSql("l_discount", 4)} AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- 3-way join + grouped agg + top-k (Q3 shape) ----
+    QueryDef("q3_shipping_priority",
+      (s, d) => {
+        val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d).where(col("o_orderdate") < ts("1998-01-01"))
+        val l = Tables.lineitem(s, d).where(col("l_shipdate") > ts("1998-01-01"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(Det.fixedSum(revenueExpr, 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      oracle = Some(
+        s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+           |  ${Det.fixedSumSql(revenueSql, 2)} AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           |ORDER BY revenue DESC, l_orderkey
+           |LIMIT 10""".stripMargin)),
+
+    // ---- 6-way star join (Q5 shape): broadcast dims, shuffle facts ----
+    QueryDef("q5_local_supplier_volume",
+      (s, d) => {
+        val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+        val joined = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .where(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+        joined.groupBy(col("n_name"))
+          .agg(Det.fixedSum(revenueExpr, 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      oracle = Some(
+        s"""SELECT n_name, ${Det.fixedSumSql(revenueSql, 2)} AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY n_name
+           |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // ---- scan + filter + global agg (Q6 shape): full predicate pushdown ----
+    QueryDef("q6_revenue_forecast",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(
+          Det.fixedSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_items")),
+      oracle = Some(
+        s"""SELECT ${Det.fixedSumSql("l_extendedprice * l_discount", 4)} AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // ---- join + group + top-k (Q10 shape) ----
+    QueryDef("q10_returned_items",
+      (s, d) => Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d).where(
+          col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1996-07-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(Det.fixedSum(revenueExpr, 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      oracle = Some(
+        s"""SELECT c_custkey, c_name, n_name, ${Det.fixedSumSql(revenueSql, 2)} AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+           |GROUP BY c_custkey, c_name, n_name
+           |ORDER BY revenue DESC, c_custkey
+           |LIMIT 20""".stripMargin)),
+
+    // ---- explicit broadcast dim join ----
+    QueryDef("join_broadcast_dim",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), Det.fixedSum(revenueExpr, 2).as("revenue"))
+        .orderBy(col("p_brand")),
+      oracle = Some(
+        s"""SELECT p_brand, count(*) AS n_items, ${Det.fixedSumSql(revenueSql, 2)} AS revenue
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // ---- left-semi join (EXISTS) ----
+    QueryDef("join_semi_exists",
+      (s, d) => {
+        val heavy = Tables.lineitem(s, d).where(col("l_discount") > 0.09)
+          .select(col("l_orderkey"))
+        Tables.orders(s, d)
+          .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- left-anti join (NOT EXISTS) ----
+    QueryDef("join_anti_not_exists",
+      (s, d) => {
+        val h1 = Tables.orders(s, d)
+          .where(col("o_orderdate") >= ts("1995-01-01") && col("o_orderdate") < ts("1995-07-01"))
+          .select(col("o_custkey"))
+        Tables.customer(s, d)
+          .join(h1, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      oracle = Some(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |                    AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00')
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- ROLLUP ----
+    QueryDef("agg_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(Det.fixedSum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      oracle = Some(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${Det.fixedSumSql("l_quantity", 2)} AS sum_qty, count(*) AS n
+           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- CUBE ----
+    QueryDef("agg_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(Det.fixedSum(col("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      oracle = Some(
+        s"""SELECT o_orderstatus, o_orderpriority,
+           |  ${Det.fixedSumSql("o_totalprice", 2)} AS sum_price, count(*) AS n
+           |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // ---- distinct aggregates (exact) ----
+    QueryDef("agg_distinct",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("uniq_custs"),
+          sum_distinct(col("o_custkey")).as("sum_distinct_cust"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")),
+      oracle = Some(
+        """SELECT o_orderstatus,
+          |  count(DISTINCT o_custkey) AS uniq_custs,
+          |  CAST(sum(DISTINCT o_custkey) AS BIGINT) AS sum_distinct_cust,
+          |  count(*) AS n
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- approximate distinct (HLL) — sketches differ across engines, so
+    // no SQL oracle; rows-only + ApproxSpec tolerance test vs exact count.
+    QueryDef("agg_approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag")),
+      oracle = None),
+
+    // ---- window: ranking top-N per group ----
+    QueryDef("window_rank_topn",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      oracle = Some(
+        """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders
+          |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ---- window: running sum (frame), exact via integer cents ----
+    QueryDef("window_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, d)
+          .withColumn("cents", round(revenueExpr * lit(100), 0).cast("long"))
+          .select(
+            col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            (sum(col("cents")).over(w) / lit(100.0)).as("running_revenue"))
+          .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      },
+      oracle = Some(
+        s"""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+           |  CAST(sum(CAST(round(($revenueSql) * 100, 0) AS BIGINT)) OVER (
+           |    PARTITION BY l_suppkey
+           |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+           |    AS running_revenue
+           |FROM lineitem
+           |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- set operations ----
+    QueryDef("set_union",
+      (s, d) => {
+        val a = custsIn(s, d, "1995-01-01", "1996-01-01")
+        val b = custsIn(s, d, "2000-01-01", "2001-01-01")
+        a.union(b).distinct().orderBy(col("custkey"))
+      },
+      oracle = Some(
+        s"""${custSql("1995-01-01", "1996-01-01")}
+           |UNION
+           |${custSql("2000-01-01", "2001-01-01")}
+           |ORDER BY custkey""".stripMargin)),
+
+    QueryDef("set_intersect",
+      (s, d) => {
+        val a = custsIn(s, d, "1995-01-01", "1996-01-01")
+        val b = custsIn(s, d, "2000-01-01", "2001-01-01")
+        a.intersect(b).orderBy(col("custkey"))
+      },
+      oracle = Some(
+        s"""${custSql("1995-01-01", "1996-01-01")}
+           |INTERSECT
+           |${custSql("2000-01-01", "2001-01-01")}
+           |ORDER BY custkey""".stripMargin)),
+
+    QueryDef("set_except",
+      (s, d) => {
+        val a = custsIn(s, d, "1995-01-01", "1996-01-01")
+        val b = custsIn(s, d, "2000-01-01", "2001-01-01")
+        a.except(b).orderBy(col("custkey"))
+      },
+      oracle = Some(
+        s"""${custSql("1995-01-01", "1996-01-01")}
+           |EXCEPT
+           |${custSql("2000-01-01", "2001-01-01")}
+           |ORDER BY custkey""".stripMargin)),
+
+    // ---- global top-k: TakeOrderedAndProject, never a full sort ----
+    QueryDef("sort_topk",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+      oracle = Some(
+        """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+          |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    // ---- string functions ----
+    QueryDef("string_funcs",
+      (s, d) => Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          lower(col("p_brand")).as("brand_lower"),
+          substring(col("p_type"), 1, 4).as("type_prefix"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+          col("p_name").like("%widget%").as("is_widget"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+          split(col("p_name"), " ").getItem(0).as("first_word"),
+          trim(lpad(col("p_brand"), 12, "_")).as("brand_padded"))
+        .orderBy(col("p_partkey")),
+      oracle = Some(
+        """SELECT p_partkey,
+          |  upper(p_name) AS name_upper,
+          |  lower(p_brand) AS brand_lower,
+          |  substring(p_type, 1, 4) AS type_prefix,
+          |  length(p_name) AS name_len,
+          |  concat_ws('#', p_brand, p_type) AS brand_type,
+          |  p_name LIKE '%widget%' AS is_widget,
+          |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+          |  string_split(p_name, ' ')[1] AS first_word,
+          |  trim(lpad(p_brand, 12, '_'), ' ') AS brand_padded
+          |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---- date/time functions ----
+    QueryDef("date_funcs",
+      (s, d) => Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          dayofmonth(col("o_orderdate")).as("o_day"),
+          quarter(col("o_orderdate")).as("o_quarter"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_epoch_start"))
+        .orderBy(col("o_orderkey")),
+      oracle = Some(
+        """SELECT o_orderkey,
+          |  CAST(year(o_orderdate) AS INT) AS o_year,
+          |  CAST(month(o_orderdate) AS INT) AS o_month,
+          |  CAST(day(o_orderdate) AS INT) AS o_day,
+          |  CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+          |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+          |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+          |FROM orders ORDER BY o_orderkey""".stripMargin))
+  )
+
+  private def custsIn(s: org.apache.spark.sql.SparkSession, d: String,
+      from: String, to: String): DataFrame =
+    Tables.orders(s, d)
+      .where(col("o_orderdate") >= ts(from) && col("o_orderdate") < ts(to))
+      .select(col("o_custkey").as("custkey"))
+
+  private def custSql(from: String, to: String): String =
+    s"""SELECT o_custkey AS custkey FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '$from 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '$to 00:00:00'""".stripMargin
+}
