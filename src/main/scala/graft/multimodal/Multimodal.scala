@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat media payloads as opaque `binary`
+  * columns with typed metadata, and run decode / feature-extraction as
+  * imperative per-partition batch transforms (`mapPartitions` over a typed
+  * Dataset — the Scala analog of `mapInPandas` batch UDFs).
+  *
+  * The decode step is a STUB (this container ships no image/audio codecs):
+  * [[FakeCodec.decode]] derives deterministic pseudo-metadata from the
+  * byte payload. The Spark-side plumbing — binary column handling, typed
+  * Encoders, partition-batch iteration, schema of the decoded struct — is
+  * real and oracle-tested; swapping in a real codec changes only the body
+  * of `FakeCodec.decode`.
+  */
+object Multimodal {
+
+  /** One media record entering the decode stage. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded/feature-extracted output (what a real image decoder would
+    * yield: dimensions, frame count, a content digest, a tiny feature). */
+  case class DecodedMedia(
+      doc_id: Long,
+      n_bytes: Long,
+      content_hash: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      brightness: Double)
+
+  /** STUB codec — deterministic fake, byte-derived. Replace with a real
+    * decoder (javax.imageio / ffmpeg bindings) in production. */
+  object FakeCodec {
+    def decode(r: MediaRecord): DecodedMedia = {
+      val n = r.payload.length.toLong
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hash = md.digest(r.payload).map("%02x".format(_)).mkString
+      DecodedMedia(
+        doc_id = r.doc_id,
+        n_bytes = n,
+        content_hash = hash,
+        width = (n % 640L).toInt,
+        height = ((n * 7L) % 480L).toInt,
+        n_frames = (n % 30L).toInt + 1,
+        // "brightness" = mean byte value — a real per-pixel reduction shape
+        brightness = if (n == 0) 0.0
+          else r.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n)
+    }
+  }
+
+  /** Decode a binary media column partition-batch-wise. The partition
+    * iterator is the batch boundary — a real codec would reuse its native
+    * context across the whole partition (the reason this is mapPartitions
+    * and not a per-row UDF). */
+  def decodeMedia(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup would happen here (codec init, buffers)
+      it.map(FakeCodec.decode)
+    }
+  }
+
+  /** End-to-end pipeline over `documents`: synthesize the binary payload
+    * from text (stand-in for a real media blob column), decode, and
+    * return a flat, oracle-comparable frame. */
+  def pipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val media = docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+    decodeMedia(media).toDF()
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorExpressions
+
+/** Deduplication family for corpus curation at scale:
+  *
+  *  - exact: hash-groupBy on a normalized fingerprint — one shuffle on the
+  *    16-byte digest, no text comparison.
+  *  - MinHash + LSH: shingle -> minhash signature -> band buckets ->
+  *    candidate pairs within buckets -> exact Jaccard verification. The
+  *    self-join happens ONLY inside buckets (bounded by `maxBucketSize`),
+  *    never across the corpus — this is what makes near-dup detection
+  *    feasible at 100 TB (all-pairs is |D|^2; LSH is ~|D| * bucket_size).
+  *  - SimHash: 64-bit fingerprint (custom codegen expression), candidates
+  *    share one of four 16-bit chunks, verified by Hamming distance
+  *    (bit_count(a ^ b), a Spark built-in).
+  *
+  * All hash functions are Spark built-ins (xxhash64 / md5) or our native
+  * expression — fixed seeds, deterministic across runs and partitionings.
+  */
+object Dedup {
+
+  /** Per-document exact-duplicate clustering on the normalized-text
+    * fingerprint. Returns every input row, tagged with its cluster keeper
+    * (min id), cluster size, and is_duplicate flag. */
+  def exactClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val byFp = Window.partitionBy(col("fingerprint"))
+    docs
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("keeper_id", min(col(idCol)).over(byFp))
+      .withColumn("cluster_size", count(lit(1)).over(byFp))
+      .withColumn("is_duplicate", col(idCol) > col("keeper_id"))
+  }
+
+  /** MinHash signature: array of `numHashes` minima of per-shingle
+    * xxhash64 values, one deterministic seed per hash function. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      when(size(shingles) > 0,
+        array_min(transform(shingles, s => xxhash64(lit(i), s))))
+        .otherwise(lit(Long.MaxValue))
+    }: _*)
+
+  /** LSH candidate pairs (a < b) from banded minhash signatures.
+    * @param maxBucketSize skip degenerate buckets (boilerplate shingles
+    *        collide everything); at scale this caps the per-bucket join. */
+  def lshCandidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignature(TextAnalysis.wordShingles(col(textCol), shingleK), numHashes)
+    val bandKeys = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((0 until rows).map(r => col("sig").getItem(b * rows + r)): _*).as("bucket"))
+    }
+    val buckets = docs
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val sized = buckets
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("bucket_n") <= maxBucketSize)
+    val l = sized.select(col("band"), col("bucket"), col("id").as("a"))
+    val r = sized.select(col("band"), col("bucket"), col("id").as("b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Candidate pairs verified with exact shingle Jaccard >= threshold. */
+  def nearDuplicatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleK: Int = 3,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol, shingleK, numHashes, bands)
+    val sh = docs.select(
+      col(idCol).as("id"),
+      TextAnalysis.wordShingles(col(textCol), shingleK).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("jaccard", TextAnalysis.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Per-document SimHash fingerprints plus the nearest candidate within
+    * `maxHamming` bits (candidates = documents sharing any 16-bit chunk
+    * of the fingerprint — the standard chunk-blocking for Hamming space). */
+  def simhashNeighbors(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val fp = docs.select(
+      col(idCol).as("id"),
+      VectorExpressions.simhash(TextAnalysis.tokens(col(textCol))).as("simhash"))
+    val chunked = fp.select(
+      col("id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          (shiftrightunsigned(col("simhash"), c * 16) bitwiseAND lit(0xffffL)).as("ck"))): _*))
+        .as("c"))
+      .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    val l = chunked.select(col("chunk"), col("ck"), col("id").as("a"), col("simhash").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("ck"), col("id").as("b"), col("simhash").as("sh_b"))
+    val cand = l.join(r, Seq("chunk", "ck")).where(col("a") =!= col("b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .groupBy(col("a"))
+      .agg(min(struct(col("hamming"), col("b"))).as("best"))
+      .select(col("a").as("id"),
+        col("best.hamming").as("nn_hamming"), col("best.b").as("nn_id"))
+    fp.join(cand, Seq("id"), "left")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorExpressions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query
+  *    set against the full corpus; one scan, no shuffle of the corpus.
+  *    The baseline and the verifier for the approximate paths.
+  *  - `lshTopK`: random-hyperplane LSH — `tables` independent signatures
+  *    of `bits` hyperplanes each; only same-signature buckets are joined.
+  *    The 100 TB path: candidate generation is a hash join on the
+  *    signature, cost ~|corpus| * avg_bucket instead of |Q| x |corpus|.
+  *
+  * Cosine is the native codegen expression [[graft.functions.VectorExpressions.CosineSim]]
+  * (double accumulation in array order — deterministic).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * @param queries (qid, qvec) — expected small enough to broadcast. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col("qid") =!= col(idCol))
+      .withColumn("cos", round(cosineSim(col("qvec"), col(vecCol)), roundTo))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
+    * shipped in the plan, no side channel. */
+  private def hyperplanes(dim: Int, bits: Int, tables: Int, seed: Long): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Signature of a vector under one table's hyperplanes: an int whose
+    * bit b = sign(dot(vec, plane_b)). Built from `aggregate` over the
+    * zipped arrays — pure Column expressions. */
+  private def signature(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      val dot = aggregate(
+        zip_with(vec, array(p.map(lit): _*), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates share an LSH signature in >=1 table. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bits: Int = 10, tables: Int = 6, seed: Long = 42L,
+      roundTo: Int = 6): DataFrame = {
+    val planes = hyperplanes(dim, bits, tables, seed)
+    def sigs(vec: Column): Column =
+      array(planes.zipWithIndex.map { case (ps, t) =>
+        struct(lit(t).as("t"), signature(vec, ps).as("sig"))
+      }: _*)
+
+    val c = corpus
+      .select(col(idCol), col(vecCol), explode(sigs(col(vecCol))).as("s"))
+      .select(col(idCol), col(vecCol), col("s.t").as("t"), col("s.sig").as("sig"))
+    val q = queries
+      .select(col("qid"), col("qvec"), explode(sigs(col("qvec"))).as("s"))
+      .select(col("qid"), col("qvec"), col("s.t").as("t"), col("s.sig").as("sig"))
+
+    val cand = c.join(broadcast(q), Seq("t", "sig"))
+      .where(col("qid") =!= col(idCol))
+      .select(col("qid"), col("qvec"), col(idCol), col(vecCol))
+      .distinct()
+      .withColumn("cos", round(cosineSim(col("qvec"), col(vecCol)), roundTo))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    cand
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus curation queries over `documents` (SURVEY.md §7.6 +
+  * the training-data-pipeline mandate): token/quality stats, language ID,
+  * fingerprinting, exact + MinHash-LSH + SimHash dedup, n-gram Jaccard.
+  */
+object DocQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- tokenization stats ----
+    QueryDef("text_token_stats",
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("n_chars_actual"),
+            size(array_distinct(toks)).cast("long").as("n_unique_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        raw"""SELECT doc_id,
+             |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |  length(text) AS n_chars_actual,
+             |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_unique_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring ----
+    QueryDef("text_quality_score",
+      (s, d) => {
+        val f = TextAnalysis.qualityFeatures(col("text"))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            f.getField("n_tokens").as("n_tokens"),
+            round(f.getField("avg_word_len"), 6).as("avg_word_len"),
+            round(f.getField("punct_ratio"), 6).as("punct_ratio"),
+            round(f.getField("quality_score"), 6).as("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        raw"""WITH feats AS (
+             |  SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             |      / len(string_split_regex(trim(text), '\s+')) AS avg_word_len,
+             |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+             |      / length(text) AS punct_ratio
+             |  FROM documents
+             |)
+             |SELECT doc_id, n_tokens,
+             |  round(avg_word_len, 6) AS avg_word_len,
+             |  round(punct_ratio, 6) AS punct_ratio,
+             |  round(1.0 / (1.0 + exp(-(0.01 * n_tokens + 1.0 * avg_word_len
+             |    - 20.0 * punct_ratio - 3.0))), 6) AS quality_score
+             |FROM feats ORDER BY doc_id""".stripMargin)),
+
+    // ---- language ID heuristic (stopword profiles). The fixture's `lang`
+    // labels are synthetic noise over one shared vocabulary, so accuracy
+    // vs that column is meaningless; real-behavior checks live in
+    // TextAnalysisSpec on genuine multilingual snippets. No SQL oracle
+    // (argmax-over-struct-array is not portably expressible). ----
+    QueryDef("text_langid",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("lang").as("labeled_lang"),
+          TextAnalysis.langPredict(col("text")).as("predicted_lang"))
+        .orderBy(col("doc_id")),
+      oracle = None),
+
+    // ---- content fingerprint ----
+    QueryDef("text_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        raw"""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- exact dedup (hash-groupBy on fingerprint) ----
+    QueryDef("dedup_exact",
+      (s, d) => Dedup.exactClusters(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("fingerprint"), col("keeper_id"),
+          col("cluster_size"), col("is_duplicate"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        raw"""WITH fp AS (
+             |  SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+             |  FROM documents
+             |)
+             |SELECT doc_id, fingerprint,
+             |  min(doc_id) OVER (PARTITION BY fingerprint) AS keeper_id,
+             |  count(*) OVER (PARTITION BY fingerprint) AS cluster_size,
+             |  doc_id > min(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+             |FROM fp ORDER BY doc_id""".stripMargin)),
+
+    // ---- MinHash + LSH near-dup: per-doc best verified candidate.
+    // Iterative multi-stage hashing pipeline — not SQL-expressible;
+    // DedupSpec verifies with planted near-duplicates. ----
+    QueryDef("dedup_minhash_lsh",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+        // symmetrize and keep each doc's best match
+        val sym = pairs.select(col("a").as("doc_id"), col("b").as("other"), col("jaccard"))
+          .union(pairs.select(col("b").as("doc_id"), col("a").as("other"), col("jaccard")))
+        val best = sym.groupBy(col("doc_id"))
+          .agg(max(struct(col("jaccard"), col("other"))).as("bestm"))
+          .select(col("doc_id"),
+            round(col("bestm.jaccard"), 6).as("best_jaccard"),
+            col("bestm.other").as("best_match_id"))
+        docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+          .withColumn("is_near_duplicate", col("best_jaccard").isNotNull)
+          .orderBy(col("doc_id"))
+      },
+      oracle = None),
+
+    // ---- SimHash near-dup (custom codegen expression + bit_count) ----
+    QueryDef("dedup_simhash",
+      (s, d) => Dedup.simhashNeighbors(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 10)
+        .select(col("id").as("doc_id"), col("simhash"),
+          col("nn_id"), col("nn_hamming"))
+        .orderBy(col("doc_id")),
+      oracle = None),
+
+    // ---- unigram Jaccard between consecutive docs (oracle-checkable
+    // window into the same similarity kernel the LSH verifier uses) ----
+    QueryDef("text_jaccard_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = docs.select(col("doc_id").as("a_id"),
+          TextAnalysis.tokens(col("text")).as("a_toks"))
+        val b = docs.select(col("doc_id").as("b_id"),
+          TextAnalysis.tokens(col("text")).as("b_toks"))
+        a.join(b, col("b_id") === col("a_id") + 1)
+          .select(col("a_id"), col("b_id"),
+            round(TextAnalysis.jaccard(col("a_toks"), col("b_toks")), 6).as("jaccard"))
+          .orderBy(col("a_id"))
+      },
+      oracle = Some(
+        raw"""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents
+             |)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  round(
+             |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
+             |    CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6) AS jaccard
+             |FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+             |ORDER BY a_id""".stripMargin))
+  )
+}

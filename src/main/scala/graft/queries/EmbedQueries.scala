@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorExpressions._
+import graft.operators.Similarity
+import graft.util.Det
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity queries (SURVEY.md §7.6): vector stats, exact
+  * brute-force cosine top-k (baseline), and LSH-bucketed approximate
+  * top-k (the scale path). Cosine/dot/norm are native codegen expressions
+  * ([[graft.functions.VectorExpressions]]), accumulated in double in array
+  * order — verified bit-identical to DuckDB's list arithmetic.
+  */
+object EmbedQueries {
+
+  /** The standing query set: the first 20 vectors. */
+  private def queryVectors(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d).where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private val cosSql =
+    """list_sum(list_transform(list_zip(q.embedding, c.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- vector norm statistics per label ----
+    QueryDef("embed_norm_stats",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label"), round(l2Norm(col("embedding")), 6).as("norm"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          Det.fixedSum(col("norm"), 6).as("sum_norm"),
+          round(min(col("norm")), 6).as("min_norm"),
+          round(max(col("norm")), 6).as("max_norm"))
+        .orderBy(col("label")),
+      oracle = Some(
+        s"""WITH norms AS (
+           |  SELECT label,
+           |    round(sqrt(list_sum(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+           |  FROM embeddings
+           |)
+           |SELECT label, count(*) AS n,
+           |  ${Det.fixedSumSql("norm", 6)} AS sum_norm,
+           |  round(min(norm), 6) AS min_norm,
+           |  round(max(norm), 6) AS max_norm
+           |FROM norms GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- exact brute-force cosine top-k (the correctness baseline) ----
+    QueryDef("ann_cosine_topk",
+      (s, d) => Similarity.bruteForceTopK(
+        Tables.embeddings(s, d), queryVectors(s, d), k = 5)
+        .orderBy(col("qid"), col("rank")),
+      oracle = Some(
+        s"""WITH scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+           |    round($cosSql, 6) AS cos
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+           |), ranked AS (
+           |  SELECT qid, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT qid, rank, neighbor_id, cos FROM ranked
+           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // ---- LSH-bucketed approximate top-k (the 100 TB path). Approximate
+    // by construction -> no SQL oracle; SimilaritySpec checks recall vs
+    // the brute-force baseline. ----
+    QueryDef("ann_lsh_topk",
+      (s, d) => Similarity.lshTopK(
+        Tables.embeddings(s, d), queryVectors(s, d), k = 5, dim = 64)
+        .orderBy(col("qid"), col("rank")),
+      oracle = None)
+  )
+}

@@ -1,0 +1,30 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column pipeline query: binary payloads + partition-batch
+  * decode (see graft.multimodal.Multimodal — decode stub, real plumbing).
+  * The decoded metadata is deterministic, so the full pipeline is
+  * oracle-checked except `brightness` (a per-byte reduction DuckDB SQL
+  * can't express cheaply; covered by MultimodalSpec).
+  */
+object MultimodalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("multimodal_decode",
+      (s, d) => Multimodal.pipeline(s, Tables.documents(s, d))
+        .select(col("doc_id"), col("n_bytes"), col("content_hash"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        """SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  md5(text) AS content_hash,
+          |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+          |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+          |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+          |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators for the events stream (SURVEY.md §7.6):
+  * the streaming duals of the batch EventQueries. Each transform takes a
+  * (possibly streaming) DataFrame with the `events` schema
+  * (event_id, ts, user_id, event_type, value) and returns a streaming-safe
+  * plan: `readStream -> transform -> writeStream` composes directly.
+  *
+  * Batch/stream parity: because these are plain DataFrame transforms, the
+  * SAME function applied to the batch `events` table gives the reference
+  * answer for the streaming output — StreamingSpec asserts that with a
+  * MemoryStream source.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts/sums per event type, tolerating `lateness`
+    * of out-of-order data before a window closes (watermark). */
+  def tumblingWindowStats(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Stateful sessionization: per-user sessions closed after `gapMs` of
+    * inactivity, emitted on state timeout. Custom state machine via
+    * flatMapGroupsWithState — the streaming dual of the batch
+    * lag+running-sum sessionization in EventQueries. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup on a key expression within the watermark
+    * horizon — `dropDuplicates` with event-time bound state. */
+  def streamingDedup(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base),                                        // exact dup of 0
+    (2L, base.replace("quick", "speedy")),             // near dup of 0
+    (3L, "completely different content about spark sql aggregation pipelines and shuffles galore"),
+    (4L, "another unrelated document mentioning embeddings vectors and cosine similarity search"),
+    (5L, base + " extra trailing tokens appended here")  // near dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exactClusters flags exact duplicates, keeps the min-id keeper") {
+    val out = Dedup.exactClusters(corpus, "doc_id", "text")
+      .select("doc_id", "keeper_id", "cluster_size", "is_duplicate")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    out(0L) shouldBe ((0L, 2L, false))
+    out(1L) shouldBe ((0L, 2L, true))
+    out(3L) shouldBe ((3L, 1L, false))
+  }
+
+  test("exactClusters normalization: case/whitespace variants collapse") {
+    val df = Seq((0L, "Hello  World"), (1L, "hello world "), (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactClusters(df, "doc_id", "text")
+    out.where(col("is_duplicate")).select("doc_id").as[Long].collect() shouldBe Array(1L)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val pairs = Dedup.nearDuplicatePairs(corpus, "doc_id", "text",
+      threshold = 0.4, shingleK = 3, numHashes = 16, bands = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    pairs should contain((0L, 1L))   // exact dup always collides
+    pairs should contain((0L, 2L))   // one-word change: high jaccard
+    // unrelated docs must not pair with the base cluster
+    pairs.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).intersect(Set(0L, 1L, 2L)).nonEmpty } shouldBe false
+  }
+
+  test("jaccard of identical docs is 1, disjoint docs is 0") {
+    val df = Seq((TextAnalysis.jaccard(
+      split(lit("a b c"), " "), split(lit("a b c"), " ")),
+      TextAnalysis.jaccard(split(lit("a b"), " "), split(lit("x y"), " "))))
+    val r = corpus.limit(1).select(
+      TextAnalysis.jaccard(split(lit("a b c"), " "), split(lit("a b c"), " ")).as("same"),
+      TextAnalysis.jaccard(split(lit("a b"), " "), split(lit("x y"), " ")).as("disjoint")).head()
+    r.getDouble(0) shouldBe 1.0
+    r.getDouble(1) shouldBe 0.0
+  }
+
+  test("simhash: identical docs -> distance 0; near dup -> small; unrelated -> large") {
+    val out = Dedup.simhashNeighbors(corpus, "doc_id", "text", maxHamming = 16)
+      .select("id", "simhash", "nn_id", "nn_hamming").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val sh = out.view.mapValues(_.getLong(1)).toMap
+    sh(0L) shouldBe sh(1L) // identical text, identical fingerprint
+    java.lang.Long.bitCount(sh(0L) ^ sh(2L)) should be <= 16
+    java.lang.Long.bitCount(sh(0L) ^ sh(3L)) should be > 16
+    out(0L).getLong(2) shouldBe 1L  // nearest neighbor of 0 is its exact dup
+    out(0L).getInt(3) shouldBe 0    // bit_count yields IntegerType
+  }
+
+  test("wordShingles: doc shorter than k yields empty array, not garbage") {
+    val r = Seq((0L, "one two")).toDF("doc_id", "text")
+      .select(TextAnalysis.wordShingles(col("text"), 3).as("sh")).head()
+    r.getSeq[String](0) shouldBe Seq.empty
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorExpressions._
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine expression matches a scalar Scala reimplementation") {
+    val rows = Tables.embeddings(spark, sf).limit(8)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val pairs = rows.combinations(2).take(10).toSeq
+    val df = pairs.map { case Array((ia, a), (ib, b)) => (ia, ib, a, b) }
+      .toDF("a_id", "b_id", "a", "b")
+      .select(col("a_id"), col("b_id"), cosineSim(col("a"), col("b")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.foreach { case Array((ia, a), (ib, b)) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      val expect = dot / (math.sqrt(na) * math.sqrt(nb))
+      df((ia, ib)) shouldBe expect // kernel accumulates in array order -> bit-identical
+    }
+  }
+
+  test("cosine of a vector with itself is ~1; l2Norm positive") {
+    val r = Tables.embeddings(spark, sf).limit(5)
+      .select(cosineSim(col("embedding"), col("embedding")).as("c"),
+        l2Norm(col("embedding")).as("n"))
+      .collect()
+    r.foreach { row =>
+      row.getDouble(0) shouldBe 1.0 +- 1e-12
+      row.getDouble(1) should be > 0.0
+    }
+  }
+
+  test("brute-force top-k: k rows per query, descending, no self-match") {
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      rows.length shouldBe 5
+      rows.map(_._3) should not contain qid
+      val byRank = rows.sortBy(_._2).map(_._4)
+      byRank.sliding(2).foreach { case Array(x, y) => x should be >= y }
+    }
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    // near-random synthetic embeddings: per-bit collision prob for a top-5
+    // neighbor is only ~0.65, so short signatures + more tables are needed
+    // for recall (4 bits, 8 tables -> ~1-(1-0.65^4)^8 ~ 0.78 expected)
+    val approx = Similarity.lshTopK(emb, q, k = 5, dim = 64, bits = 4, tables = 8)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    withClue(s"recall=$recall") { recall should be >= 0.5 }
+  }
+}
