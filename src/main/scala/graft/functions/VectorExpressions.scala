@@ -70,6 +70,51 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  case class WordShingles(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorOps.wordShingles(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.wordShingles($a, $k);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorOps.minhashSig(a.asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.minhashSig($a, $numHashes);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** planes: row-major [bits x dim] hyperplane normals; the literal matrix
+    * rides inside the expression (referenced from codegen via ctx
+    * references, not inlined source), so the plan stays self-contained. */
+  case class HyperplaneSig(child: Expression, planes: Seq[Double], bits: Int)
+      extends UnaryExpression {
+    private lazy val planesArr: Array[Double] = planes.toArray
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "hyperplane_sig"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorOps.hyperplaneSig(a.asInstanceOf[ArrayData], planesArr, bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planesArr, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.hyperplaneSig($a, $ref, $bits);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column-level API
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -79,4 +124,10 @@ object VectorExpressions {
     GraftBridge.column(L2Norm(GraftBridge.expression(a)))
   def simhash(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+  def wordShingles(text: Column, k: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(text), k))
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(shingles), numHashes))
+  def hyperplaneSig(vec: Column, planes: Seq[Double], bits: Int): Column =
+    GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes, bits))
 }

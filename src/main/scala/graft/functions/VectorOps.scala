@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Tight-loop kernels invoked from both interpreted eval and generated
   * code (Scala objects compile to static forwarders, so generated Java can
@@ -39,6 +40,85 @@ object VectorOps {
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Distinct word k-shingles of a document, first-occurrence order —
+    * semantics of `array_distinct(transform(...))` over whitespace tokens
+    * (matching Spark's `split(trim(text), "\s+")` tokenization), as one
+    * tight loop instead of an interpreted per-shingle slice+concat. */
+  def wordShingles(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val s = text.toString.trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = s.split("\\s+")
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + k <= toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator
+    var x = 0
+    while (it.hasNext) {
+      arr(x) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      x += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  private def widen64(h32: Int): Long =
+    (h32.toLong << 32) | (Integer.reverse(h32).toLong & 0xffffffffL)
+
+  /** MinHash signature of a shingle set: `numHashes` minima of the hash
+    * family g_i(s) = h1(s) + i*h2(s) (Kirsch-Mitzenmacher double hashing
+    * — 2 byte scans per shingle, not `numHashes`). Empty input yields all
+    * Long.MaxValue, the same "no shingles" sentinel as the HOF form this
+    * kernel replaces (16 interpreted Catalyst evals per shingle -> one
+    * tight loop inside whole-stage codegen). */
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var t = 0
+    while (t < n) {
+      val s = shingles.getUTF8String(t)
+      val a = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x12345678)
+      val b = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x5bd1e995)
+      val h1 = widen64(a)
+      val h2 = widen64(b) | 1L // odd stride => full-period over Z_2^64
+      var g = h1
+      var i = 0
+      while (i < numHashes) {
+        if (g < mins(i)) mins(i) = g
+        g += h2
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Signed random-hyperplane signature: bit b of the result =
+    * sign(dot(vec, planes[b])). `planes` is a row-major [bits x dim]
+    * array baked into the (deterministically seeded) expression. */
+  def hyperplaneSig(vec: ArrayData, planes: Array[Double], bits: Int): Int = {
+    val dim = planes.length / bits
+    val n = math.min(vec.numElements(), dim)
+    var sig = 0
+    var b = 0
+    while (b < bits) {
+      val off = b * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += vec.getFloat(i).toDouble * planes(off + i); i += 1 }
+      if (dot > 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
   }
 
   /** 64-bit SimHash of a token array: per token a 64-bit hash (xxHash64,

@@ -35,14 +35,30 @@ object Dedup {
       .withColumn("is_duplicate", col(idCol) > col("keeper_id"))
   }
 
-  /** MinHash signature: array of `numHashes` minima of per-shingle
-    * xxhash64 values, one deterministic seed per hash function. */
+  /** MinHash signature: array of `numHashes` minima over the shingles of
+    * a double-hashing family (Kirsch-Mitzenmacher), as ONE native codegen
+    * expression ([[VectorExpressions.MinHashSig]]). The interpreted-HOF
+    * alternative (`numHashes` x `transform`+`array_min`) costs hundreds
+    * of interpreted Catalyst evals per row — this is a single tight JVM
+    * loop, 2 byte-scans per shingle. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      when(size(shingles) > 0,
-        array_min(transform(shingles, s => xxhash64(lit(i), s))))
-        .otherwise(lit(Long.MaxValue))
-    }: _*)
+    VectorExpressions.minhashSig(shingles, numHashes)
+
+  /** Per-document staged `(id, sh, sig)` — shingles + minhash signature,
+    * computed ONCE and cached. Every downstream consumer (both sides of
+    * the bucket self-join, both sides of the Jaccard verify join) reads
+    * the materialized arrays instead of re-running the interpreted
+    * shingle/hash expression tree. At 100 TB this staging step is a
+    * written signature table; in-process a cache is the same shape. */
+  private[operators] def stagedSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame =
+    docs
+      .select(
+        col(idCol).as("id"),
+        TextAnalysis.wordShingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist()
 
   /** LSH candidate pairs (a < b) from banded minhash signatures.
     * @param maxBucketSize skip degenerate buckets (boilerplate shingles
@@ -50,22 +66,28 @@ object Dedup {
   def lshCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    candidatePairs(
+      stagedSignatures(docs, idCol, textCol, shingleK, numHashes),
+      numHashes, bands, maxBucketSize)
+
+  private def candidatePairs(
+      staged: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignature(TextAnalysis.wordShingles(col(textCol), shingleK), numHashes)
     val bandKeys = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
         xxhash64((0 until rows).map(r => col("sig").getItem(b * rows + r)): _*).as("bucket"))
     }
-    val buckets = docs
-      .select(col(idCol).as("id"), sig.as("sig"))
+    val buckets = staged
       .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val sized = buckets
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .where(col("bucket_n") <= maxBucketSize)
+      .persist() // both sides of the self-join read this bucket table
     val l = sized.select(col("band"), col("bucket"), col("id").as("a"))
     val r = sized.select(col("band"), col("bucket"), col("id").as("b"))
     l.join(r, Seq("band", "bucket"))
@@ -74,15 +96,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidate pairs verified with exact shingle Jaccard >= threshold. */
+  /** Candidate pairs verified with exact shingle Jaccard >= threshold.
+    * Candidates and verification share one cached signature stage. */
   def nearDuplicatePairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleK: Int = 3,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val pairs = lshCandidatePairs(docs, idCol, textCol, shingleK, numHashes, bands)
-    val sh = docs.select(
-      col(idCol).as("id"),
-      TextAnalysis.wordShingles(col(textCol), shingleK).as("sh"))
+      numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val staged = stagedSignatures(docs, idCol, textCol, shingleK, numHashes)
+    val pairs = candidatePairs(staged, numHashes, bands, maxBucketSize)
+    val sh = staged.select(col("id"), col("sh"))
     pairs
       .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))

@@ -43,15 +43,61 @@ object Similarity {
   }
 
   /** Signature of a vector under one table's hyperplanes: an int whose
-    * bit b = sign(dot(vec, plane_b)). Built from `aggregate` over the
-    * zipped arrays — pure Column expressions. */
+    * bit b = sign(dot(vec, plane_b)) — a native codegen expression
+    * ([[graft.functions.VectorExpressions.HyperplaneSig]]); the
+    * interpreted-HOF formulation costs bits x |vec| Catalyst evals/row. */
   private def signature(vec: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, b) =>
-      val dot = aggregate(
-        zip_with(vec, array(p.map(lit): _*), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
+    graft.functions.VectorExpressions.hyperplaneSig(
+      vec, planes.flatten.toIndexedSeq, planes.length)
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
+    * exact all-pairs form — O(|corpus|^2), the oracle-checkable baseline;
+    * cap the input or use [[lshNearDupPairs]] at scale. */
+  def bruteForceNearDupPairs(
+      corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundTo: Int = 6): DataFrame = {
+    val l = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("cos", round(cosineSim(col("va"), col("vb")), roundTo))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: candidates must share
+    * a random-hyperplane signature in >=1 table (bucket self-join, never
+    * all-pairs), then exact-cosine verified. Approximate by construction —
+    * recall vs [[bruteForceNearDupPairs]] is asserted in SimilaritySpec. */
+  def lshNearDupPairs(
+      corpus: DataFrame, threshold: Double, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bits: Int = 4, tables: Int = 8, seed: Long = 42L,
+      roundTo: Int = 6): DataFrame = {
+    val planes = hyperplanes(dim, bits, tables, seed)
+    val sigs = array(planes.zipWithIndex.map { case (ps, t) =>
+      struct(lit(t).as("t"), signature(col(vecCol), ps).as("sig"))
+    }: _*)
+    val bucketed = corpus
+      .select(col(idCol).as("id"), explode(sigs).as("s"))
+      .select(col("id"), col("s.t").as("t"), col("s.sig").as("sig"))
+      .persist() // staged signatures: both sides of the self-join reuse it
+    val l = bucketed.select(col("t"), col("sig"), col("id").as("a"))
+    val r = bucketed.select(col("t"), col("sig"), col("id").as("b"))
+    // distinct over bare id pairs (16 B/row) BEFORE re-attaching the
+    // 64-float vectors — the candidate shuffle must not carry payloads
+    val cand = l.join(r, Seq("t", "sig"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .withColumn("cos", round(cosineSim(col("va"), col("vb")), roundTo))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
 
   /** Approximate top-k: candidates share an LSH signature in >=1 table. */
   def lshTopK(

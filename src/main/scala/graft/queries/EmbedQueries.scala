@@ -76,6 +76,30 @@ object EmbedQueries {
       (s, d) => Similarity.lshTopK(
         Tables.embeddings(s, d), queryVectors(s, d), k = 5, dim = 64)
         .orderBy(col("qid"), col("rank")),
+      oracle = None),
+
+    // ---- embedding-cosine near-dup, exact pairs (oracle baseline; capped
+    // to the first 300 vectors -- all-pairs is the verifier, not the scale
+    // path). Fixture embeddings are near-random (max pairwise cos ~0.46),
+    // so threshold 0.4 exercises a real, non-empty result. ----
+    QueryDef("dedup_embedding_exact",
+      (s, d) => Similarity.bruteForceNearDupPairs(
+        Tables.embeddings(s, d).where(col("vec_id") < 300), threshold = 0.4)
+        .orderBy(col("a"), col("b")),
+      oracle = Some(
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+           |SELECT q.vec_id AS a, c.vec_id AS b, round($cosSql, 6) AS cos
+           |FROM e q JOIN e c ON q.vec_id < c.vec_id
+           |WHERE round($cosSql, 6) >= 0.4
+           |ORDER BY a, b""".stripMargin)),
+
+    // ---- embedding-cosine near-dup at scale: hyperplane-LSH bucket
+    // self-join for candidates, exact-cosine verify. Approximate ->
+    // recall asserted in SimilaritySpec, rows-only check here. ----
+    QueryDef("dedup_embedding_lsh",
+      (s, d) => Similarity.lshNearDupPairs(
+        Tables.embeddings(s, d), threshold = 0.4, dim = 64)
+        .orderBy(col("a"), col("b")),
       oracle = None)
   )
 }

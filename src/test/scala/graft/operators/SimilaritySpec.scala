@@ -64,4 +64,17 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     withClue(s"recall=$recall") { recall should be >= 0.5 }
   }
+
+  test("embedding near-dup: LSH pairs are a subset of exact pairs with decent recall") {
+    val emb = Tables.embeddings(spark, sf).where(col("vec_id") < 300)
+    val exact = Similarity.bruteForceNearDupPairs(emb, threshold = 0.35)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshNearDupPairs(emb, threshold = 0.35, dim = 64)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    withClue(s"exact=${exact.size} approx=${approx.size}") {
+      exact should not be empty
+      approx.subsetOf(exact) shouldBe true // verify step guarantees no false positives
+      approx.size.toDouble / exact.size should be >= 0.5
+    }
+  }
 }

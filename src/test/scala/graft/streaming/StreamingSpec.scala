@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.StreamingOps.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming duals verified against their batch counterparts with a
+  * MemoryStream source: identical transform, identical answer. Watermark
+  * flushing needs two extra micro-batches (watermark is computed at batch
+  * end; closed windows/timeouts emit in the following batch).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+  private val flushA = Event(9001L, ts(10000), 999L, "flush", 0.0)
+  private val flushB = Event(9002L, ts(10001), 999L, "flush", 0.0)
+
+  test("tumblingWindowStats: append-mode stream output equals the batch transform") {
+    val events = Seq(
+      Event(1, ts(1), 1, "view", 1.0),
+      Event(2, ts(2), 1, "click", 2.0),
+      Event(3, ts(59), 1, "view", 10.0),
+      Event(4, ts(61), 2, "view", 3.0),
+      Event(5, ts(62), 2, "view", 4.0))
+
+    val in = MemoryStream[Event]
+    val q = StreamingOps.tumblingWindowStats(in.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("twin").outputMode("append").start()
+    try {
+      in.addData(events: _*); q.processAllAvailable()
+      in.addData(flushA); q.processAllAvailable()
+      in.addData(flushB); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("twin").where(col("event_type") =!= "flush")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = StreamingOps.tumblingWindowStats(events.toDF(), "1 hour", "10 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    got shouldBe want
+    want should not be empty
+  }
+
+  test("sessionize: gap-closed sessions emitted on event-time timeout") {
+    val gapMs = 30L * 60000
+    val events = Seq(
+      Event(1, ts(1), 1, "view", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),   // same session (gap 9 min)
+      Event(3, ts(100), 1, "view", 4.0),   // new session (gap 90 min)
+      Event(4, ts(5), 2, "view", 8.0))
+
+    val in = MemoryStream[Event]
+    val sessions = StreamingOps.sessionize(
+      in.toDF().withWatermark("ts", "0 seconds").as[Event], gapMs)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      in.addData(events: _*); q.processAllAvailable()
+      in.addData(flushA); q.processAllAvailable()
+      in.addData(flushB); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sess").where(col("user_id") < 999)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    got shouldBe Set(
+      (1L, ts(1), ts(10), 2L, 3.0),
+      (1L, ts(100), ts(100), 1L, 4.0),
+      (2L, ts(5), ts(5), 1L, 8.0))
+  }
+
+  test("streamingDedup: duplicate event_ids within the watermark are dropped") {
+    val in = MemoryStream[Event]
+    val q = StreamingOps.streamingDedup(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(1), 1, "view", 1.0),
+        Event(1, ts(2), 1, "view", 1.0),   // dup id, same batch
+        Event(2, ts(3), 2, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(1, ts(4), 1, "view", 1.0)) // dup id, later batch
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+    ids shouldBe Array(1L, 2L)
+  }
+}
