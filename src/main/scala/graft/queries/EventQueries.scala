@@ -122,6 +122,45 @@ object EventQueries {
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
           |ORDER BY p.event_id""".stripMargin)),
 
+    // ---- range/interval join: purchases within 1h after each click,
+    // per user. Equi-key (user_id) + range predicate -> a co-partitioned
+    // shuffle join whose per-key workload is bounded by user activity,
+    // not corpus size. ----
+    QueryDef("events_range_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id").as("click_event_id"),
+            col("user_id"), col("ts").as("click_ts"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+        clicks
+          .join(purchases,
+            col("user_id") === col("p_user") &&
+              col("p_ts") > col("click_ts") &&
+              col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+            "left")
+          .groupBy(col("click_event_id"), col("user_id"), col("click_ts"))
+          .agg(
+            count(col("p_ts")).as("n_purchases"),
+            Det.fixedSum(col("value"), 2).as("purchase_value"))
+          .orderBy(col("click_event_id"))
+      },
+      oracle = Some(
+        s"""WITH clicks AS (
+           |  SELECT event_id AS click_event_id, user_id, ts AS click_ts
+           |  FROM events WHERE event_type = 'click'
+           |), purchases AS (
+           |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+           |)
+           |SELECT c.click_event_id, c.user_id, c.click_ts,
+           |  count(p.ts) AS n_purchases,
+           |  ${Det.fixedSumSql("p.value", 2)} AS purchase_value
+           |FROM clicks c LEFT JOIN purchases p
+           |  ON p.user_id = c.user_id
+           | AND p.ts > c.click_ts AND p.ts <= c.click_ts + INTERVAL 1 HOUR
+           |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
     // ---- lag/lead analytics ----
     QueryDef("events_lag_lead",
       (s, d) => {

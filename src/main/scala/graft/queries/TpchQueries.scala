@@ -395,7 +395,82 @@ object TpchQueries {
           |  CAST(quarter(o_orderdate) AS INT) AS o_quarter,
           |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
           |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
-          |FROM orders ORDER BY o_orderkey""".stripMargin))
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- large-large shuffle join: pin sort-merge via hint (dims are
+    // small enough to auto-broadcast at test SF; at 100 TB lineitem x
+    // orders IS the co-partitioned shuffle join this demonstrates) ----
+    QueryDef("join_sort_merge_large",
+      (s, d) => Tables.lineitem(s, d).hint("merge")
+        .join(Tables.orders(s, d).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Det.fixedSum(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority")),
+      oracle = Some(
+        s"""SELECT o_orderpriority, count(*) AS n_items,
+           |  ${Det.fixedSumSql("l_extendedprice", 2)} AS sum_price
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- exact percentiles (Spark `percentile` == DuckDB quantile_cont,
+    // both linearly interpolated) ----
+    QueryDef("agg_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("q90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))
+        .orderBy(col("l_returnflag")),
+      oracle = Some(
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+          |  round(quantile_cont(l_quantity, 0.5), 6) AS median,
+          |  round(quantile_cont(l_quantity, 0.9), 6) AS q90,
+          |  round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- sketch-based percentiles (single-pass mergeable sketch — the
+    // 100 TB path; approximate, so no cross-engine oracle) ----
+    QueryDef("agg_approx_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_median"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("approx_price_p99"))
+        .orderBy(col("l_returnflag")),
+      oracle = None),
+
+    // ---- JSON functions: construct, extract, parse back ----
+    QueryDef("json_funcs",
+      (s, d) => {
+        val j = to_json(struct(col("o_orderkey"), col("o_orderpriority")))
+        Tables.orders(s, d)
+          .where(col("o_orderkey") < 2000)
+          .select(
+            col("o_orderkey"),
+            j.as("j"),
+            get_json_object(j, "$.o_orderpriority").as("extracted_priority"),
+            from_json(j, org.apache.spark.sql.types.StructType.fromDDL(
+              "o_orderkey BIGINT, o_orderpriority STRING"))
+              .getField("o_orderkey").as("parsed_key"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some(
+        """SELECT o_orderkey,
+          |  to_json(struct_pack(o_orderkey := o_orderkey,
+          |                      o_orderpriority := o_orderpriority))::VARCHAR AS j,
+          |  json_extract_string(to_json(struct_pack(o_orderkey := o_orderkey,
+          |                      o_orderpriority := o_orderpriority)),
+          |                      '$.o_orderpriority') AS extracted_priority,
+          |  CAST(json_extract(to_json(struct_pack(o_orderkey := o_orderkey,
+          |                      o_orderpriority := o_orderpriority)),
+          |                    '$.o_orderkey') AS BIGINT) AS parsed_key
+          |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin))
   )
 
   private def custsIn(s: org.apache.spark.sql.SparkSession, d: String,
