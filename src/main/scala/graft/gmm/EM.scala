@@ -159,13 +159,31 @@ object EM {
 
   /** Builds and runs the ONE aggregation for an EM iteration.
     * Returns a single Row: [A_k, B_k, C_k per k] ++ [D, loglik].
+    *
+    * Model parameters are NOT literals: they ride a broadcast 1-row
+    * LocalRelation cross-joined onto the data. Literal params would embed
+    * the values in the generated Java source, recompiling the aggregate
+    * stage every iteration (~0.5 s/iteration of Janino); as input columns
+    * the generated source is identical across iterations and the codegen
+    * cache serves it after the first. Arithmetic order matches the
+    * literal form bit-for-bit (Gaussian column overloads).
     */
   private def iterationAggregate(data: DataFrame, m: GmmModel, variant: Variant): Row = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val x = col("x")
     val k = m.k
+    val schema = StructType((0 until k).flatMap(j => Seq(
+      StructField(s"w$j", DoubleType, nullable = false),
+      StructField(s"mu$j", DoubleType, nullable = false),
+      StructField(s"s2$j", DoubleType, nullable = false))))
+    val paramsRow = Row.fromSeq(
+      (0 until k).flatMap(j => Seq(m.weights(j), m.means(j), m.variances(j))))
+    val params = data.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(paramsRow), schema)
+    val joined = data.crossJoin(broadcast(params))
     val weighted: Seq[Column] = variant match {
-      case Textbook  => (0 until k).map(j => lit(m.weights(j)) * Gaussian.pdf(x, m.means(j), m.variances(j)))
-      case RefCompat => (0 until k).map(j => lit(m.weights(j)) * Gaussian.refPdf(x, m.means(j), m.variances(j)))
+      case Textbook  => (0 until k).map(j => col(s"w$j") * Gaussian.pdf(x, col(s"mu$j"), col(s"s2$j")))
+      case RefCompat => (0 until k).map(j => col(s"w$j") * Gaussian.refPdf(x, col(s"mu$j"), col(s"s2$j")))
     }
     val mix = weighted.reduce(_ + _)
     val gammas: Seq[Column] = variant match {
@@ -184,6 +202,6 @@ object EM {
     val aggs: Seq[Column] =
       gammas.flatMap(g => Seq(sum(g), sum(g * x), sum(g * x * x))) ++
         Seq(sum(mix), sum(llTerm))
-    data.agg(aggs.head, aggs.tail: _*).head()
+    joined.agg(aggs.head, aggs.tail: _*).head()
   }
 }

@@ -29,6 +29,20 @@ object Gaussian {
     lit(1.0 / math.sqrt(variance) * math.sqrt(2.0 * math.Pi)) *
       exp(-(pow(x - lit(mean), 2) / lit(2.0)) * lit(variance))
 
+  /** Column-parameter overload — identical operations in identical order
+    * (bit-compatible with the scalar form), for plans whose generated
+    * code must not change when the model parameters do (EM iterations:
+    * params ride a broadcast relation, so the per-iteration aggregate
+    * hits the codegen cache instead of recompiling). */
+  def pdf(x: Column, mean: Column, variance: Column): Column =
+    exp(-pow(x - mean, 2) / (lit(2.0) * variance)) /
+      sqrt(lit(2.0 * math.Pi) * variance)
+
+  /** Column-parameter overload of the reference arithmetic. */
+  def refPdf(x: Column, mean: Column, variance: Column): Column =
+    lit(1.0) / sqrt(variance) * lit(math.sqrt(2.0 * math.Pi)) *
+      exp(-(pow(x - mean, 2) / lit(2.0)) * variance)
+
   /** Weighted mixture density sum_k w_k * pdf_k(x) for a model. */
   def mixture(x: Column, m: GmmModel): Column =
     (0 until m.k).map(j => lit(m.weights(j)) * pdf(x, m.means(j), m.variances(j)))
