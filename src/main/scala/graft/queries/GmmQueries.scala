@@ -108,6 +108,61 @@ object GmmQueries {
            |FROM events WHERE ($mix) > 0 ORDER BY event_id""".stripMargin
       }),
 
+    // One sufficient-statistics pass under the fixed model via the typed
+    // Aggregator/udaf surface (GmmSuffStatsAggregator) — fixed-point
+    // accumulation makes the sums exact + order-independent, so even this
+    // custom UDAF is fully DuckDB-oracle-checked.
+    QueryDef("em_suffstats_udaf",
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val agg = new graft.gmm.GmmSuffStatsAggregator(M.weights, M.means, M.variances)
+        val st = Tables.events(s, d)
+          .select(col("value").cast("double").as("x"))
+          .as[Double](Encoders.scalaDouble)
+          .select(agg.toColumn)
+          .head()
+        import s.implicits._
+        (0 until M.k).map(j => (j, st.sumGamma(j), st.sumGammaX(j),
+            st.sumGammaX2(j), st.sumMix, st.loglik))
+          .toDF("k", "sum_gamma", "sum_gamma_x", "sum_gamma_x2", "sum_mix", "loglik")
+          .orderBy(col("k"))
+      },
+      oracle = Some {
+        // parenthesized pdf: w * (exp/sqrt), the kernel's association order
+        val wpTerms = (0 until M.k).map(j =>
+          s"${M.weights(j)} * (${pdfSql(M.means(j), M.variances(j))})")
+        val wpCols = wpTerms.zipWithIndex.map { case (t, j) => s"$t AS wp$j" }.mkString(",\n    ")
+        val mix = (0 until M.k).map(j => s"wp$j").mkString(" + ")
+        val gCols = (0 until M.k).map(j =>
+          s"CASE WHEN mix > 0 THEN wp$j / mix ELSE ${1.0 / M.k} END AS g$j").mkString(",\n    ")
+        def fsum(e: String) = s"CAST(SUM(CAST(ROUND(($e) * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0"
+        val aggCols = (0 until M.k).map(j =>
+          s"${fsum(s"g$j")} AS a$j, ${fsum(s"g$j * x")} AS b$j, ${fsum(s"g$j * x * x")} AS c$j")
+          .mkString(",\n    ")
+        val selects = (0 until M.k).map(j =>
+          s"SELECT $j AS k, a$j AS sum_gamma, b$j AS sum_gamma_x, c$j AS sum_gamma_x2, d AS sum_mix, ll AS loglik FROM s")
+          .mkString("\n|UNION ALL ")
+        s"""WITH t AS (
+           |  SELECT value AS x,
+           |    $wpCols
+           |  FROM events
+           |), m AS (
+           |  SELECT x, wp0, wp1, wp2, ($mix) AS mix FROM t
+           |), g AS (
+           |  SELECT x, mix,
+           |    $gCols
+           |  FROM m
+           |), s AS (
+           |  SELECT
+           |    $aggCols,
+           |    ${fsum("mix")} AS d,
+           |    ${fsum("CASE WHEN isinf(LN(mix)) THEN NULL ELSE LN(mix) END")} AS ll
+           |  FROM g
+           |)
+           |$selects
+           |ORDER BY k""".stripMargin
+      }),
+
     // Full EM fits — iterative, hence no SQL oracle (driver records a
     // rows-only check); golden + property tests cover them (EMSpec).
     QueryDef("em_gmm",

@@ -63,4 +63,24 @@ class EMSpec extends SparkSpec {
       m.weights.sum shouldBe 1.0 +- 1e-9
     }
   }
+
+  test("typed suffstats aggregator: exact and partitioning-independent") {
+    import org.apache.spark.sql.{DataFrame, Encoders}
+    import org.apache.spark.sql.functions.col
+    val data = Tables.events(spark, sf).select(col("value").cast("double").as("x"))
+    val agg = new GmmSuffStatsAggregator(
+      Array(0.5, 0.3, 0.2), Array(20.0, 60.0, 150.0), Array(400.0, 900.0, 2500.0))
+    def run(df: DataFrame): GmmSuffStats =
+      df.as[Double](Encoders.scalaDouble).select(agg.toColumn).head()
+    val a = run(data)
+    val b = run(data.repartition(7)) // fixed-point sums: bit-identical, any layout
+    a.sumGamma.toSeq shouldBe b.sumGamma.toSeq
+    a.sumGammaX.toSeq shouldBe b.sumGammaX.toSeq
+    a.sumGammaX2.toSeq shouldBe b.sumGammaX2.toSeq
+    a.sumMix shouldBe b.sumMix
+    a.loglik shouldBe b.loglik
+    // textbook invariant: per-point gammas sum to 1 => sum_j A_j == n
+    val n = data.count().toDouble
+    a.sumGamma.sum shouldBe n +- 0.01
+  }
 }
