@@ -415,6 +415,45 @@ object TpchQueries {
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- skew-aware two-phase aggregation: l_returnflag has 3 hot keys
+    // over every lineitem row — the textbook reducer-skew shape. Salted
+    // partial -> final merge; result identical to the plain groupBy
+    // (integer partial sums commute exactly). ----
+    QueryDef("agg_skew_twophase",
+      (s, d) => graft.operators.Skew.twoPhaseCountSum(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        saltFrom = col("l_orderkey") * lit(8) + col("l_linenumber"),
+        buckets = 16)
+        .orderBy(col("l_returnflag")),
+      oracle = Some(
+        s"""SELECT l_returnflag, count(*) AS n_rows,
+           |  ${Det.fixedSumSql("l_extendedprice", 2)} AS sum_l_extendedprice
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- skew-aware salted join: probe (lineitem) salted on its line
+    // identity, build (orders) replicated per salt -> each hot join key
+    // spreads over 8 reducers. Result identical to the plain join. ----
+    QueryDef("join_salted_skew",
+      (s, d) => graft.operators.Skew.saltedEquiJoin(
+        probe = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        build = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority")).hint("shuffle_hash"),
+        key = "o_orderkey",
+        saltFrom = col("o_orderkey") * lit(8) + col("l_linenumber"),
+        buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Det.fixedSum(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority")),
+      oracle = Some(
+        s"""SELECT o_orderpriority, count(*) AS n_items,
+           |  ${Det.fixedSumSql("l_extendedprice", 2)} AS sum_price
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- exact percentiles (Spark `percentile` == DuckDB quantile_cont,
     // both linearly interpolated) ----
     QueryDef("agg_percentiles",
