@@ -73,4 +73,19 @@ object Multimodal {
       .as[MediaRecord]
     decodeMedia(media).toDF()
   }
+
+  /** Frame sampling + per-frame feature extraction over decoded media:
+    * generate each medium's frame indices (`sequence` + `explode` — the
+    * generator/UDTF shape), keep every `step`-th frame, derive a
+    * deterministic per-frame feature. A real video pipeline has exactly
+    * this plan: decode once, fan out to sampled frames, featurize —
+    * the fan-out multiplies rows, so it must happen AFTER pushed filters
+    * and column pruning, never before. */
+  def sampledFrameFeatures(decoded: DataFrame, step: Int): DataFrame =
+    decoded
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .where(pmod(col("frame_idx"), lit(step)) === 0)
+      .withColumn("frame_tag",
+        concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string")))
 }

@@ -78,6 +78,33 @@ object EmbedQueries {
         .orderBy(col("qid"), col("rank")),
       oracle = None),
 
+    // ---- array / higher-order functions over the embedding column ----
+    QueryDef("array_funcs",
+      (s, d) => Tables.embeddings(s, d)
+        .where(col("vec_id") < 200)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+          round(aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (a, v) => a + v), 6).as("sum_sq"),
+          size(filter(col("embedding"), x => x > 0)).as("n_positive"),
+          round(array_max(col("embedding")).cast("double"), 6).as("max_elem"),
+          round(slice(sort_array(col("embedding")), 1, 1).getItem(0).cast("double"), 6)
+            .as("min_via_sort"))
+        .orderBy(col("vec_id")),
+      oracle = Some(
+        """SELECT vec_id,
+          |  len(embedding) AS dim,
+          |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+          |  round(list_sum(list_transform(embedding,
+          |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sum_sq,
+          |  len(list_filter(embedding, x -> x > 0)) AS n_positive,
+          |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem,
+          |  round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_via_sort
+          |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin)),
+
     // ---- embedding-cosine near-dup, exact pairs (oracle baseline; capped
     // to the first 300 vectors -- all-pairs is the verifier, not the scale
     // path). Fixture embeddings are near-random (max pairwise cos ~0.46),

@@ -25,6 +25,26 @@ object MultimodalQueries {
           |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
           |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
           |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- frame sampling: decode -> generate frame indices (sequence +
+    // explode, the generator/UDTF shape) -> keep every 5th frame ----
+    QueryDef("multimodal_frame_sample",
+      (s, d) => Multimodal.sampledFrameFeatures(
+        Multimodal.pipeline(s, Tables.documents(s, d)), step = 5)
+        .orderBy(col("doc_id"), col("frame_idx")),
+      oracle = Some(
+        """WITH decoded AS (
+          |  SELECT doc_id,
+          |    CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+          |  FROM documents
+          |), frames AS (
+          |  SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS frame_idx
+          |  FROM decoded
+          |)
+          |SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+          |  doc_id || ':' || frame_idx AS frame_tag
+          |FROM frames WHERE frame_idx % 5 = 0
+          |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

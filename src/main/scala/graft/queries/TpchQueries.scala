@@ -230,6 +230,40 @@ object TpchQueries {
            |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // ---- GROUPING SETS (explicit set list, Dataset.groupingSets) ----
+    QueryDef("agg_grouping_sets",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(Det.fixedSum(col("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      oracle = Some(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${Det.fixedSumSql("l_quantity", 2)} AS sum_qty, count(*) AS n
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- map construction + generator (explode) round-trip: per-customer
+    // order-priority counts as a MAP column, exploded back to rows. The
+    // relational result is oracle-checkable without DuckDB MAP support. ----
+    QueryDef("map_funcs",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_custkey"))
+        .agg(map_from_entries(collect_list(struct(col("o_orderpriority"), col("cnt"))))
+          .as("prio_map"))
+        .select(col("o_custkey"), explode(col("prio_map")).as(Seq("o_orderpriority", "n")))
+        .where(col("o_custkey") < 500)
+        .orderBy(col("o_custkey"), col("o_orderpriority")),
+      oracle = Some(
+        """SELECT o_custkey, o_orderpriority, count(*) AS n
+          |FROM orders WHERE o_custkey < 500
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- distinct aggregates (exact) ----
     QueryDef("agg_distinct",
       (s, d) => Tables.orders(s, d)
