@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.gmm.{EM, Gaussian}
+import graft.functions.VectorExpressions
+
+/** Property tests (SURVEY.md §5.3): expression kernels vs scalar
+  * reimplementations on random inputs, EM recovery on known data.
+  * 10 cases per property — each case is a Spark job on a tiny local frame.
+  */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val xsGen = Gen.listOfN(40, Gen.choose(-100.0, 100.0))
+
+  property("gaussian pdf expression == scalar reimplementation") =
+    forAll(xsGen, Gen.choose(-50.0, 50.0), Gen.choose(0.1, 100.0)) { (xs, mu, s2) =>
+      val got = xs.toDF("x")
+        .select(Gaussian.pdf(col("x"), mu, s2).as("p"))
+        .as[Double].collect()
+      val want = xs.map(x =>
+        math.exp(-math.pow(x - mu, 2) / (2.0 * s2)) / math.sqrt(2.0 * math.Pi * s2))
+      got.zip(want).forall { case (g, w) => (g - w).abs <= 1e-12 * math.max(1.0, w.abs) }
+    }
+
+  property("var_pop == hand-rolled sum((x-mean)^2)/n") =
+    forAll(xsGen) { xs => // xsGen is fixed-length 40, never empty
+      val got = xs.toDF("x").agg(var_pop(col("x"))).as[Double].head()
+      val mean = xs.sum / xs.size
+      val want = xs.map(x => (x - mean) * (x - mean)).sum / xs.size
+      (got - want).abs <= 1e-9 * math.max(1.0, want.abs)
+    }
+
+  property("EM with k=1 recovers dataset mean/variance exactly") =
+    forAll(Gen.choose(0L, 100000L), Gen.choose(-20.0, 20.0), Gen.choose(0.5, 9.0)) {
+      (seed, mu, sigma) =>
+        val rnd = new scala.util.Random(seed)
+        val xs = Seq.fill(300)(mu + sigma * rnd.nextGaussian())
+        val r = EM.fit(xs.toDF("x"), "x", k = 1, maxIter = 2)
+        val n = xs.size
+        val m = xs.sum / n
+        val v = xs.map(x => (x - m) * (x - m)).sum / n
+        // k=1: gamma == 1 per point, so the M-step returns the exact moments
+        (r.model.means(0) - m).abs <= 1e-6 * math.max(1.0, m.abs) &&
+          (r.model.variances(0) - v).abs <= 1e-6 * math.max(1.0, v.abs) &&
+          r.model.weights(0) == 1.0
+    }
+
+  private val vecGen = Gen.listOfN(16, Gen.choose(-10.0f, 10.0f)).map(_.toArray)
+
+  property("cosineSim is symmetric and bounded") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(
+          VectorExpressions.cosineSim(col("a"), col("b")).as("ab"),
+          VectorExpressions.cosineSim(col("b"), col("a")).as("ba"))
+        .head()
+      val ab = r.getDouble(0); val ba = r.getDouble(1)
+      ab == ba && ab >= -1.0000000001 && ab <= 1.0000000001
+    }
+}
