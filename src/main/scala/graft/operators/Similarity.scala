@@ -99,6 +99,56 @@ object Similarity {
       .select(col("a"), col("b"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer of
+    * `nCells` centroids partitions the corpus into cells; each query
+    * probes its `nProbe` nearest cells and ranks only those vectors.
+    * Cost: |corpus| x nCells (assignment, one pass, done once) +
+    * |Q| x (nProbe/nCells) x |corpus| (search) — the standard
+    * recall/cost dial ANN services expose.
+    *
+    * Centroids here are a deterministic seeded sample of the corpus
+    * (k-means would sharpen cells but adds an iterative fit; the IVF
+    * plumbing — assignment, cell join, probe pruning — is identical).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      roundTo: Int = 6): DataFrame = {
+    val centroids = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol) + lit(seed))) // seeded deterministic sample
+      .limit(nCells)
+      .orderBy(col(idCol))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+    val centDf = broadcast(
+      corpus.sparkSession.createDataFrame(centroids.toIndexedSeq)
+        .toDF("cell", "centroid"))
+
+    // cell assignment = nearest centroid by cosine (rank over the small
+    // broadcast cross join; nCells is tiny so this is |rows| x nCells)
+    def assign(df: DataFrame, id: Column, vec: Column, topN: Int): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(
+        cosineSim(vec, col("centroid")).desc, col("cell"))
+      df.crossJoin(centDf)
+        .withColumn("cell_rank", row_number().over(w))
+        .where(col("cell_rank") <= topN)
+        .drop("centroid", "cell_rank")
+    }
+
+    val cells = assign(corpus, col(idCol), col(vecCol), 1)
+    val probes = assign(queries, col("qid"), col("qvec"), nProbe)
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .where(col("qid") =!= col(idCol))
+      .withColumn("cos", round(cosineSim(col("qvec"), col(vecCol)), roundTo))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+
   /** Approximate top-k: candidates share an LSH signature in >=1 table. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,

@@ -105,6 +105,15 @@ object EmbedQueries {
           |  round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_via_sort
           |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin)),
 
+    // ---- IVF approximate top-k: seeded coarse quantizer, nProbe cells
+    // per query (the recall/cost dial). Approximate -> recall asserted
+    // in SimilaritySpec against the brute-force baseline. ----
+    QueryDef("ann_ivf_topk",
+      (s, d) => Similarity.ivfTopK(
+        Tables.embeddings(s, d), queryVectors(s, d), k = 5)
+        .orderBy(col("qid"), col("rank")),
+      oracle = None),
+
     // ---- embedding-cosine near-dup, exact pairs (oracle baseline; capped
     // to the first 300 vectors -- all-pairs is the verifier, not the scale
     // path). Fixture embeddings are near-random (max pairwise cos ~0.46),

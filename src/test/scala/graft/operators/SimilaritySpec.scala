@@ -65,6 +65,19 @@ class SimilaritySpec extends SparkSpec {
     withClue(s"recall=$recall") { recall should be >= 0.5 }
   }
 
+  test("IVF top-k achieves reasonable recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    // probing half the cells must recover well over half the neighbors
+    val approx = Similarity.ivfTopK(emb, q, k = 5, nCells = 16, nProbe = 8)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    withClue(s"recall=$recall") { recall should be >= 0.5 }
+  }
+
   test("embedding near-dup: LSH pairs are a subset of exact pairs with decent recall") {
     val emb = Tables.embeddings(spark, sf).where(col("vec_id") < 300)
     val exact = Similarity.bruteForceNearDupPairs(emb, threshold = 0.35)
