@@ -449,6 +449,33 @@ object TpchQueries {
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- bloom-prefiltered semi join: build = urgent orders (selective),
+    // probe = lineitem; probe rows are pruned by the bloom BEFORE the
+    // join shuffle, exact semi join removes false positives. Result
+    // identical to plain WHERE EXISTS. ----
+    QueryDef("join_bloom_prefilter",
+      (s, d) => graft.operators.BloomJoin.bloomPrefilteredSemiJoin(
+        probe = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        probeKey = "l_orderkey",
+        build = Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+        buildKey = "o_orderkey",
+        expectedItems = 100000L, numBits = 1L << 20)
+        .groupBy()
+        .agg(
+          count(lit(1)).as("n_urgent_items"),
+          Det.fixedSum(col("l_quantity"), 2).as("sum_qty"),
+          Det.fixedSum(col("l_extendedprice"), 2).as("sum_price")),
+      oracle = Some(
+        s"""SELECT count(*) AS n_urgent_items,
+           |  ${Det.fixedSumSql("l_quantity", 2)} AS sum_qty,
+           |  ${Det.fixedSumSql("l_extendedprice", 2)} AS sum_price
+           |FROM lineitem WHERE EXISTS (
+           |  SELECT 1 FROM orders
+           |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')""".stripMargin)),
+
     // ---- skew-aware two-phase aggregation: l_returnflag has 3 hot keys
     // over every lineitem row — the textbook reducer-skew shape. Salted
     // partial -> final merge; result identical to the plain groupBy
