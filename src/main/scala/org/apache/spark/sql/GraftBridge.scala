@@ -11,4 +11,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function builder into an EXISTING session's registry
+    * (`sessionState` is `private[sql]`); the extensions path
+    * (`graft.GraftExtensions`) covers sessions built with
+    * `spark.sql.extensions`. */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }
