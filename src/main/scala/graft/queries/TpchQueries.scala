@@ -230,6 +230,27 @@ object TpchQueries {
            |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // ---- correlated scalar subquery (Catalyst decorrelates into an
+    // aggregate + join; the reference has no subqueries at all) ----
+    QueryDef("subquery_decorrelated",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+        s.sql(
+          """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            |FROM orders_sq o
+            |WHERE o_totalprice > 1.5 * (
+            |  SELECT avg(o2.o_totalprice) FROM orders_sq o2
+            |  WHERE o2.o_custkey = o.o_custkey)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+          |FROM orders o
+          |WHERE o_totalprice > 1.5 * (
+          |  SELECT avg(o2.o_totalprice) FROM orders o2
+          |  WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- GROUPING SETS (explicit set list, Dataset.groupingSets) ----
     QueryDef("agg_grouping_sets",
       (s, d) => Tables.lineitem(s, d)
