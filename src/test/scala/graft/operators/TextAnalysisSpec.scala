@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Real-behavior checks for the text kernels on genuine snippets (the
+  * fixture corpus is synthetic noise over one shared vocabulary, so its
+  * `lang` labels can't validate language ID — these can). */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langPredict identifies genuine snippets of each profiled language") {
+    val snippets = Seq(
+      ("en", "the cat sat on the mat and it was happy that the sun is out"),
+      ("de", "der hund und die katze sind nicht mit dem mann in das haus von ihnen"),
+      ("fr", "le chien et la chatte sont dans la maison pour que les enfants qui dorment"),
+      ("es", "el perro y el gato que viven en la casa con una persona es feliz por eso"),
+      ("zh", "我 是 人 他 有 这 个 不 了 在 我们 他们"))
+    val got = snippets.toDF("expected", "text")
+      .select(col("expected"), TextAnalysis.langPredict(col("text")).as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (expected, predicted) => predicted shouldBe expected }
+  }
+
+  test("quality score ranks clean prose above punctuation soup") {
+    val r = Seq(
+      ("clean", "A well formed sentence with ordinary words and reasonable length for scoring."),
+      ("soup", "@#$% !!! ??? ~~ ++ == || @@ ## $$ %% ^^ && ** (( ))"))
+      .toDF("kind", "text")
+      .select(col("kind"),
+        TextAnalysis.qualityFeatures(col("text")).getField("quality_score").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    r("clean") should be > r("soup")
+    r("clean") should (be >= 0.0 and be <= 1.0)
+    r("soup") should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("fingerprint collapses case/whitespace variants, separates real edits") {
+    val r = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "hello\tworld "),
+      (4L, "hello words"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.fingerprint(col("t")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    r(1L) shouldBe r(2L)
+    r(2L) shouldBe r(3L)
+    r(4L) should not be r(1L)
+  }
+
+  test("jaccard is symmetric and within [0,1] on shingle sets") {
+    val a = TextAnalysis.wordShingles(lit("the quick brown fox jumps over the dog"), 3)
+    val b = TextAnalysis.wordShingles(lit("the quick red fox jumps over the dog"), 3)
+    val r = spark.range(1)
+      .select(
+        TextAnalysis.jaccard(a, b).as("ab"),
+        TextAnalysis.jaccard(b, a).as("ba"))
+      .head()
+    r.getDouble(0) shouldBe r.getDouble(1)
+    r.getDouble(0) should (be > 0.0 and be < 1.0) // near dup, not identical
+  }
+}
