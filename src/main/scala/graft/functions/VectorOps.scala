@@ -121,10 +121,11 @@ object VectorOps {
     sig
   }
 
-  /** 64-bit SimHash of a token array: per token a 64-bit hash (xxHash64,
-    * seed 42); each hash bit votes +1/-1 per position; the sign vector is
-    * the fingerprint. Near-duplicate texts land within a small Hamming
-    * distance (compare with bit_count(a ^ b), a Spark built-in).
+  /** 64-bit SimHash of a token array: per token a 64-bit hash (Murmur3
+    * 32-bit, seed 42, widened deterministically); each hash bit votes
+    * +1/-1 per position; the sign vector is the fingerprint.
+    * Near-duplicate texts land within a small Hamming distance (compare
+    * with bit_count(a ^ b), a Spark built-in).
     */
   def simhash64(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)

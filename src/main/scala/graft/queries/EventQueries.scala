@@ -122,6 +122,39 @@ object EventQueries {
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
           |ORDER BY p.event_id""".stripMargin)),
 
+    // ---- native session windows (session_window): same 30-min-gap
+    // semantics as events_sessionize but via Spark's built-in session
+    // operator (merging-window aggregation, also the streaming form).
+    // Oracle = the lag+running-sum formulation, which must produce
+    // identical session boundaries. ----
+    QueryDef("events_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          Det.fixedSum(col("value"), 2).as("session_value"))
+        .select(col("user_id"), col("session_start"), col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start")),
+      oracle = Some(
+        s"""WITH flagged AS (
+           |  SELECT user_id, event_id, ts, value,
+           |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+           |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), sessions AS (
+           |  SELECT user_id, ts, value,
+           |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS session_seq
+           |  FROM flagged
+           |)
+           |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           |  ${Det.fixedSumSql("value", 2)} AS session_value
+           |FROM sessions GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_start""".stripMargin)),
+
     // ---- range/interval join: purchases within 1h after each click,
     // per user. Equi-key (user_id) + range predicate -> a co-partitioned
     // shuffle join whose per-key workload is bounded by user activity,
