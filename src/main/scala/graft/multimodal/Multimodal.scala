@@ -74,6 +74,22 @@ object Multimodal {
     decodeMedia(media).toDF()
   }
 
+  /** Resize planning over decoded media: fit each medium into a
+    * `maxW x maxH` box preserving aspect ratio, never upscaling. Pure
+    * column arithmetic on the decoded metadata — the real resize (pixel
+    * resampling) belongs in the partition-batch codec stage; this is the
+    * metadata contract every downstream consumer reads. Zero-dimension
+    * media (the fake codec can emit width 0) pass through unscaled. */
+  def resizePlan(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = when(col("width") > 0 && col("height") > 0,
+      least(lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"), lit(1.0)))
+      .otherwise(lit(1.0))
+    decoded
+      .withColumn("resize_scale", round(scale, 6))
+      .withColumn("out_w", floor(col("width") * col("resize_scale")).cast("int"))
+      .withColumn("out_h", floor(col("height") * col("resize_scale")).cast("int"))
+  }
+
   /** Frame sampling + per-frame feature extraction over decoded media:
     * generate each medium's frame indices (`sequence` + `explode` — the
     * generator/UDTF shape), keep every `step`-th frame, derive a

@@ -27,6 +27,32 @@ object MultimodalQueries {
           |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- resize planning: aspect-preserving fit into 320x240, no
+    // upscaling; metadata arithmetic mirrored exactly in the oracle ----
+    QueryDef("multimodal_resize",
+      (s, d) => Multimodal.resizePlan(
+        Multimodal.pipeline(s, Tables.documents(s, d)), maxW = 320, maxH = 240)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("resize_scale"), col("out_w"), col("out_h"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        """WITH decoded AS (
+          |  SELECT doc_id,
+          |    CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+          |    CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height
+          |  FROM documents
+          |), scaled AS (
+          |  SELECT doc_id, width, height,
+          |    round(CASE WHEN width > 0 AND height > 0
+          |      THEN least(320.0 / width, 240.0 / height, 1.0)
+          |      ELSE 1.0 END, 6) AS resize_scale
+          |  FROM decoded
+          |)
+          |SELECT doc_id, width, height, resize_scale,
+          |  CAST(floor(width * resize_scale) AS INT) AS out_w,
+          |  CAST(floor(height * resize_scale) AS INT) AS out_h
+          |FROM scaled ORDER BY doc_id""".stripMargin)),
+
     // ---- frame sampling: decode -> generate frame indices (sequence +
     // explode, the generator/UDTF shape) -> keep every 5th frame ----
     QueryDef("multimodal_frame_sample",

@@ -56,12 +56,17 @@ class EMSpec extends SparkSpec {
   test("golden: textbook EM on sf0.001 events.value, k=3, 10 iters") {
     val r = EM.fit(Tables.events(spark, sf), "value", 3, 10)
     // Golden values recorded from the first verified run (spread init,
-    // deterministic): guard against accidental semantic drift.
+    // local[4]/4 shuffle partitions — the spec session's exact config):
+    // guards against semantic drift in the pdf, gamma, or M-step updates.
     val m = r.model
-    val snapshot = (m.weights ++ m.means ++ m.variances).map(v => f"$v%.6f").mkString(",")
-    withClue(s"snapshot=$snapshot ll=${r.logLikelihood}") {
-      m.weights.sum shouldBe 1.0 +- 1e-9
-    }
+    val goldenW = Seq(0.43287649962194785, 0.36034345699720166, 0.20678004338085104)
+    val goldenM = Seq(16.010116775156643, 55.80880935119204, 111.27499067666838)
+    val goldenV = Seq(116.39656815250805, 642.7229109691457, 3328.3058140742924)
+    m.weights.zip(goldenW).foreach { case (g, w) => g shouldBe w +- 1e-6 * w.abs }
+    m.means.zip(goldenM).foreach { case (g, w) => g shouldBe w +- 1e-6 * w.abs }
+    m.variances.zip(goldenV).foreach { case (g, w) => g shouldBe w +- 1e-6 * w.abs }
+    r.logLikelihood shouldBe -4994.803036267473 +- 1e-3
+    m.weights.sum shouldBe 1.0 +- 1e-9
   }
 
   test("typed suffstats aggregator: exact and partitioning-independent") {
