@@ -354,6 +354,31 @@ object TpchQueries {
            |FROM lineitem
            |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin)),
 
+    // ---- window RANGE frame (value-based, vs the ROWS frames above):
+    // per customer, orders in the trailing 30-day window ----
+    QueryDef("window_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+          .rangeBetween(-30L * 86400L * 1000000L, Window.currentRow)
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            count(lit(1)).over(w).as("n_last_30d"),
+            (sum(round(col("o_totalprice") * 100, 0).cast("long")).over(w)
+              .cast("double") / 100).as("sum_last_30d"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some(
+        s"""SELECT o_orderkey, o_custkey, o_orderdate,
+           |  count(*) OVER w AS n_last_30d,
+           |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER w AS DOUBLE) / 100
+           |    AS sum_last_30d
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+           |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+           |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- set operations ----
     QueryDef("set_union",
       (s, d) => {
