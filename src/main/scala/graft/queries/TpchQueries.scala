@@ -230,6 +230,101 @@ object TpchQueries {
            |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // ---- Q4-style: orders with any late-shipped line (semi join),
+    // counted per priority ----
+    QueryDef("q4_priority_late_ship",
+      (s, d) => {
+        val lateOrders = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            Seq("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate"))
+          .select(col("o_orderkey"))
+        Tables.orders(s, d)
+          .join(lateOrders, Seq("o_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders o
+          |WHERE EXISTS (
+          |  SELECT 1 FROM lineitem l
+          |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Q14-style: promo revenue share per month (conditional agg over
+    // a fact-dim join) ----
+    QueryDef("q14_promo_share",
+      (s, d) => {
+        // raw revenue expr, NOT per-row round(...,2): scale-k rounding of
+        // a double differs between engines at half boundaries; Det's
+        // multiply-then-round-at-scale-0 is the cross-engine-safe form
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+          .agg(
+            Det.fixedSum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 2)
+              .as("promo_revenue"),
+            Det.fixedSum(rev, 2).as("total_revenue"))
+          // NO final round: the ratio of two fixed-point-exact sums is
+          // bit-identical across engines, but round-at-scale on a double
+          // is NOT (Spark rounds the exact decimal expansion, DuckDB
+          // rounds in float arithmetic -> half-boundary divergence)
+          .withColumn("promo_share_pct",
+            lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .orderBy(col("ship_month"))
+      },
+      oracle = Some {
+        val rev = "l_extendedprice * (1.0 - l_discount)"
+        s"""WITH j AS (
+           |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           |    CASE WHEN p_type = 'PROMO' THEN ($rev) ELSE 0.0 END AS promo_rev,
+           |    ($rev) AS rev
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |), agg AS (
+           |  SELECT ship_month,
+           |    ${Det.fixedSumSql("promo_rev", 2)} AS promo_revenue,
+           |    ${Det.fixedSumSql("rev", 2)} AS total_revenue
+           |  FROM j GROUP BY 1
+           |)
+           |SELECT ship_month, promo_revenue, total_revenue,
+           |  100.0 * promo_revenue / total_revenue AS promo_share_pct
+           |FROM agg ORDER BY ship_month""".stripMargin
+      }),
+
+    // ---- Q18-style: large-volume orders (grouped HAVING feeding a join
+    // + top-k) ----
+    QueryDef("q18_large_volume_orders",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(Det.fixedSum(col("l_quantity"), 2).as("total_qty"))
+          .where(col("total_qty") > 300)
+        Tables.orders(s, d)
+          .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), Seq("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_name"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+            round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      oracle = Some(
+        s"""WITH big AS (
+           |  SELECT l_orderkey, ${Det.fixedSumSql("l_quantity", 2)} AS total_qty
+           |  FROM lineitem GROUP BY 1
+           |  HAVING ${Det.fixedSumSql("l_quantity", 2)} > 300
+           |)
+           |SELECT c_name, o_orderkey, o_orderdate,
+           |  round(o_totalprice, 2) AS o_totalprice, total_qty
+           |FROM big JOIN orders ON o_orderkey = l_orderkey
+           |JOIN customer ON c_custkey = o_custkey
+           |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin)),
+
     // ---- correlated scalar subquery (Catalyst decorrelates into an
     // aggregate + join; the reference has no subqueries at all) ----
     QueryDef("subquery_decorrelated",
