@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * The same trick integerizes per-row transcendental outputs (log/exp differ
   * by ≤1 ulp across libm implementations): round to a fixed number of
   * decimals first, then the exact integer sum is engine-independent.
+  *
+  * ONLY scale-0 rounding (after an explicit multiply) is cross-engine-safe.
+  * `round(x, k)` for k>0 diverges at half boundaries: Spark rounds the
+  * exact decimal expansion of the double (BigDecimal HALF_UP), DuckDB
+  * rounds in float arithmetic — e.g. round(17.3269115, 6) gives .326911
+  * vs .326912. Hence these helpers always compute `round(x * 10^k, 0)`.
+  * Corollaries: never pre-round per-row values at scale k before summing,
+  * and never round a final ratio — a ratio of two fixed-point-exact sums
+  * is already bit-identical (pure IEEE division of equal inputs).
   */
 object Det {
   /** Exact sum of `c` interpreted as fixed-point with `scale` decimals.
