@@ -87,4 +87,29 @@ object StreamingOps {
     events
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream inner join: each click joined to the same user's
+    * purchases within (click_ts, click_ts + window]. Both sides carry
+    * watermarks and the join condition time-bounds both event times, so
+    * Spark can evict join state once the watermark passes a row's
+    * horizon — the state-bounded streaming dual of the batch
+    * events_range_join. */
+  def clickPurchaseJoin(
+      clicks: DataFrame, purchases: DataFrame,
+      window: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_event_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", lateness)
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr(s"INTERVAL $window"))
+      .select(col("click_event_id"), col("user_id"), col("click_ts"),
+        col("p_ts"), col("purchase_value"))
+  }
 }

@@ -73,6 +73,37 @@ class StreamingSpec extends SparkSpec {
       (2L, ts(5), ts(5), 1L, 8.0))
   }
 
+  test("stream-stream join: same output as the batch range join") {
+    val clicks = Seq(
+      Event(1, ts(10), 1, "click", 0.0),
+      Event(2, ts(50), 1, "click", 0.0),
+      Event(3, ts(10), 2, "click", 0.0))
+    val purchases = Seq(
+      Event(11, ts(30), 1, "purchase", 5.0),  // joins click 1 (20m) and NOT click 2
+      Event(12, ts(80), 1, "purchase", 7.0),  // joins clicks 1 (70m? no: >60m) -> only click 2
+      Event(13, ts(200), 2, "purchase", 9.0)) // 190m after click 3 -> no join
+
+    val cIn = MemoryStream[Event]
+    val pIn = MemoryStream[Event]
+    val q = StreamingOps.clickPurchaseJoin(cIn.toDF(), pIn.toDF(), "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      cIn.addData(clicks: _*); pIn.addData(purchases: _*); q.processAllAvailable()
+      cIn.addData(flushA); pIn.addData(flushA.copy(event_type = "purchase")); q.processAllAvailable()
+      cIn.addData(flushB); pIn.addData(flushB.copy(event_type = "purchase")); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("ssj").where(col("user_id") < 999)
+      .select("click_event_id", "p_ts", "purchase_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    val want = StreamingOps.clickPurchaseJoin(
+        clicks.toDF(), purchases.toDF(), "1 hour", "0 seconds")
+      .select("click_event_id", "p_ts", "purchase_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    got shouldBe want
+    want shouldBe Set((1L, ts(30), 5.0), (2L, ts(80), 7.0))
+  }
+
   test("streamingDedup: duplicate event_ids within the watermark are dropped") {
     val in = MemoryStream[Event]
     val q = StreamingOps.streamingDedup(in.toDF(), "1 hour")
