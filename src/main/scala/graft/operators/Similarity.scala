@@ -114,14 +114,20 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-      roundTo: Int = 6): DataFrame = {
-    val centroids = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol) + lit(seed))) // seeded deterministic sample
-      .limit(nCells)
-      .orderBy(col(idCol))
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+      roundTo: Int = 6, refineIters: Int = 0): DataFrame = {
+    val centroids: Array[(Int, Seq[Float])] =
+      if (refineIters > 0)
+        // Lloyd-refined coarse quantizer: tighter cells, better recall
+        // at the same nProbe (see VecKMeans)
+        VecKMeans.fit(corpus, vecCol, nCells, refineIters, seed, idCol)
+          .centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      else corpus
+        .select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(col(idCol) + lit(seed))) // seeded deterministic sample
+        .limit(nCells)
+        .orderBy(col(idCol))
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](1)) }
     val centDf = broadcast(
       corpus.sparkSession.createDataFrame(centroids.toIndexedSeq)
         .toDF("cell", "centroid"))
