@@ -114,6 +114,65 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Write the per-document signature stage as a parquet table — the
+    * persistent form of [[stagedSignatures]] for incremental pipelines. */
+  def writeSignatureTable(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      shingleK: Int = 3, numHashes: Int = 16): Unit =
+    docs
+      .select(
+        col(idCol).as("id"),
+        TextAnalysis.wordShingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental near-dup detection: NEW documents are shingled/hashed
+    * and bucket-joined against the PERSISTED signature table — the old
+    * corpus is never re-shingled, and the candidate join touches only
+    * buckets the new documents land in. Returns (new_id, existing_id,
+    * jaccard) pairs, new-vs-(old ∪ new). This is the 100 TB operating
+    * mode: dedup cost scales with the delta, not the corpus. */
+  def incrementalNearDuplicatePairs(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      signatureTablePath: String,
+      threshold: Double = 0.7, shingleK: Int = 3,
+      numHashes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val existing = spark.read.parquet(signatureTablePath)
+    val fresh = stagedSignatures(newDocs, idCol, textCol, shingleK, numHashes)
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def bandKeys(df: DataFrame): DataFrame = {
+      val keys = (0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          xxhash64((0 until rows).map(r => col("sig").getItem(b * rows + r)): _*).as("bucket"))
+      }
+      df.select(col("id"), explode(array(keys: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    }
+    val newBuckets = bandKeys(fresh)
+    val allBuckets = bandKeys(existing.unionByName(fresh.select(existing.columns.map(col): _*)))
+    val sized = allBuckets
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"), col("id").as("b"))
+    val cand = newBuckets.select(col("band"), col("bucket"), col("id").as("a"))
+      .join(sized, Seq("band", "bucket"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val allSh = existing.select(col("id"), col("sh"))
+      .unionByName(fresh.select(col("id"), col("sh")))
+    cand
+      .join(fresh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(allSh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("jaccard", TextAnalysis.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Per-document SimHash fingerprints plus the nearest candidate within
     * `maxHamming` bits (candidates = documents sharing any 16-bit chunk
     * of the fingerprint — the standard chunk-blocking for Hamming space). */
