@@ -88,6 +88,18 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup: normalized-text fingerprints
+    * (graft.operators.TextAnalysis.fingerprint) deduplicated within the
+    * watermark horizon — the streaming face of the batch exact-dedup
+    * operator, for ingest pipelines that must drop near-real-time
+    * duplicate documents. Expects (ts, text) columns; keeps the first
+    * arrival of each fingerprint. */
+  def streamingContentDedup(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.operators.TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Stream-stream inner join: each click joined to the same user's
     * purchases within (click_ts, click_ts + window]. Both sides carry
     * watermarks and the join condition time-bounds both event times, so

@@ -11,6 +11,10 @@ import java.sql.Timestamp
   * flushing needs two extra micro-batches (watermark is computed at batch
   * end; closed windows/timeouts emit in the following batch).
   */
+object StreamingSpec {
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+}
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
   implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -102,6 +106,23 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
     got shouldBe want
     want shouldBe Set((1L, ts(30), 5.0), (2L, ts(80), 7.0))
+  }
+
+  test("streamingContentDedup: case/whitespace duplicate docs collapse to first arrival") {
+    import StreamingSpec.Doc
+    val in = MemoryStream[Doc]
+    val q = StreamingOps.streamingContentDedup(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("cdedup").outputMode("append").start()
+    try {
+      in.addData(
+        Doc(1, ts(1), "Hello  World"),
+        Doc(2, ts(2), "hello world"),   // same normalized content
+        Doc(3, ts(3), "different doc"))
+      q.processAllAvailable()
+      in.addData(Doc(4, ts(4), "HELLO\tWORLD")) // dup again, later batch
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("cdedup").select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L)
   }
 
   test("streamingDedup: duplicate event_ids within the watermark are dropped") {
