@@ -474,6 +474,61 @@ object TpchQueries {
            |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
            |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- window distribution functions (ntile / percent_rank /
+    // cume_dist) ----
+    QueryDef("window_distribution_funcs",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .where(col("o_orderkey") < 5000)
+          .select(
+            col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 9).as("pct_rank"),
+            round(cume_dist().over(w), 9).as("cume"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some(
+        """SELECT o_orderkey, o_orderpriority,
+          |  ntile(4) OVER w AS quartile,
+          |  round(percent_rank() OVER w, 9) AS pct_rank,
+          |  round(cume_dist() OVER w, 9) AS cume
+          |FROM orders WHERE o_orderkey < 5000
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- ordered string aggregation (sorted collect -> join) ----
+    QueryDef("agg_string_concat",
+      (s, d) => Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("n_regionkey")),
+      oracle = Some(
+        """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+          |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- argmin/argmax aggregates (min_by / max_by). Single-key
+    // ordering: per-group max/min prices are unique in the sf0.01
+    // fixture (verified), so the argext is well-defined in both engines
+    // (DuckDB 1.0 arg_max has no composite-key overload). ----
+    QueryDef("agg_minmax_by",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("max_by(o_orderkey, o_totalprice)").as("biggest_order"),
+          expr("min_by(o_orderkey, o_totalprice)").as("smallest_order"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          round(min(col("o_totalprice")), 2).as("min_price"))
+        .orderBy(col("o_orderpriority")),
+      oracle = Some(
+        """SELECT o_orderpriority,
+          |  arg_max(o_orderkey, o_totalprice) AS biggest_order,
+          |  arg_min(o_orderkey, o_totalprice) AS smallest_order,
+          |  round(max(o_totalprice), 2) AS max_price,
+          |  round(min(o_totalprice), 2) AS min_price
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- set operations ----
     QueryDef("set_union",
       (s, d) => {
