@@ -34,16 +34,31 @@ object Bench {
     }
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Untimed teardown: drop per-query staging caches (signature/bucket
+      // tables) so they don't accumulate across the 70-query run and turn
+      // into GC pressure that randomly taxes later queries.
+      spark.catalog.clearCache()
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Seconds at 2 decimals, Locale.ROOT: the whole line must stay well
+    // under the driver's 2000-char output-tail buffer or it records
+    // parsed=null (observed in round 1 with full-precision doubles).
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = f2(results.map(_._2).sum)
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failedJson =
+      if (failed.isEmpty) "" else failed.mkString(",\"failed\":[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries failed")
   }
 }

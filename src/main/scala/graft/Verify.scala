@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Per-query staging caches (signature/bucket tables) are scoped to
+      // the query; drop them so 70 queries in one session don't accumulate
+      // cached partitions (GC pressure, see ADVICE round 1).
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

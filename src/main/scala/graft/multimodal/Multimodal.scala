@@ -85,7 +85,7 @@ object Multimodal {
       least(lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"), lit(1.0)))
       .otherwise(lit(1.0))
     decoded
-      .withColumn("resize_scale", round(scale, 6))
+      .withColumn("resize_scale", round(scale * lit(1e6), 0) / lit(1e6))
       .withColumn("out_w", floor(col("width") * col("resize_scale")).cast("int"))
       .withColumn("out_h", floor(col("height") * col("resize_scale")).cast("int"))
   }

@@ -158,11 +158,18 @@ object Dedup {
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .where(col("bucket_n") <= maxBucketSize)
       .select(col("band"), col("bucket"), col("id").as("b"))
+    // Canonicalize new-vs-new pairs to a < b (both orientations land in
+    // the candidate join because both ids are on the "new" side); new-vs-old
+    // keeps its (new, old) orientation whatever the id order.
+    val newIds = fresh.select(col("id").as("b")).withColumn("b_is_new", lit(true))
     val cand = newBuckets.select(col("band"), col("bucket"), col("id").as("a"))
       .join(sized, Seq("band", "bucket"))
       .where(col("a") =!= col("b"))
       .select(col("a"), col("b"))
       .distinct()
+      .join(broadcast(newIds), Seq("b"), "left")
+      .where(coalesce(col("b_is_new"), lit(false)) === lit(false) || col("a") < col("b"))
+      .select(col("a"), col("b"))
     val allSh = existing.select(col("id"), col("sh"))
       .unionByName(fresh.select(col("id"), col("sh")))
     cand

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorExpressions._
+import graft.util.Det
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -27,7 +28,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       roundTo: Int = 6): DataFrame = {
     val scored = corpus.join(broadcast(queries), col("qid") =!= col(idCol))
-      .withColumn("cos", round(cosineSim(col("qvec"), col(vecCol)), roundTo))
+      .withColumn("cos", Det.fixed(cosineSim(col("qvec"), col(vecCol)), roundTo))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w))
@@ -60,7 +61,7 @@ object Similarity {
     val l = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
     val r = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
     l.join(r, col("a") < col("b"))
-      .withColumn("cos", round(cosineSim(col("va"), col("vb")), roundTo))
+      .withColumn("cos", Det.fixed(cosineSim(col("va"), col("vb")), roundTo))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
@@ -94,7 +95,7 @@ object Similarity {
     cand
       .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
       .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
-      .withColumn("cos", round(cosineSim(col("va"), col("vb")), roundTo))
+      .withColumn("cos", Det.fixed(cosineSim(col("va"), col("vb")), roundTo))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
@@ -147,7 +148,7 @@ object Similarity {
     val probes = assign(queries, col("qid"), col("qvec"), nProbe)
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .where(col("qid") =!= col(idCol))
-      .withColumn("cos", round(cosineSim(col("qvec"), col(vecCol)), roundTo))
+      .withColumn("cos", Det.fixed(cosineSim(col("qvec"), col(vecCol)), roundTo))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w))
@@ -178,7 +179,7 @@ object Similarity {
       .where(col("qid") =!= col(idCol))
       .select(col("qid"), col("qvec"), col(idCol), col(vecCol))
       .distinct()
-      .withColumn("cos", round(cosineSim(col("qvec"), col(vecCol)), roundTo))
+      .withColumn("cos", Det.fixed(cosineSim(col("qvec"), col(vecCol)), roundTo))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
     cand
       .withColumn("rank", row_number().over(w))

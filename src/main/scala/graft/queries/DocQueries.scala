@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.{Dedup, TextAnalysis}
+import graft.util.Det
 import org.apache.spark.sql.functions._
 
 /** Text-corpus curation queries over `documents` (SURVEY.md §7.6 +
@@ -39,9 +40,9 @@ object DocQueries {
           .select(
             col("doc_id"),
             f.getField("n_tokens").as("n_tokens"),
-            round(f.getField("avg_word_len"), 6).as("avg_word_len"),
-            round(f.getField("punct_ratio"), 6).as("punct_ratio"),
-            round(f.getField("quality_score"), 6).as("quality_score"))
+            Det.fixed(f.getField("avg_word_len"), 6).as("avg_word_len"),
+            Det.fixed(f.getField("punct_ratio"), 6).as("punct_ratio"),
+            Det.fixed(f.getField("quality_score"), 6).as("quality_score"))
           .orderBy(col("doc_id"))
       },
       oracle = Some(
@@ -55,10 +56,10 @@ object DocQueries {
              |  FROM documents
              |)
              |SELECT doc_id, n_tokens,
-             |  round(avg_word_len, 6) AS avg_word_len,
-             |  round(punct_ratio, 6) AS punct_ratio,
-             |  round(1.0 / (1.0 + exp(-(0.01 * n_tokens + 1.0 * avg_word_len
-             |    - 20.0 * punct_ratio - 3.0))), 6) AS quality_score
+             |  (ROUND((avg_word_len) * 1000000, 0) / 1000000) AS avg_word_len,
+             |  (ROUND((punct_ratio) * 1000000, 0) / 1000000) AS punct_ratio,
+             |  (ROUND((1.0 / (1.0 + exp(-(0.01 * n_tokens + 1.0 * avg_word_len
+             |    - 20.0 * punct_ratio - 3.0)))) * 1000000, 0) / 1000000) AS quality_score
              |FROM feats ORDER BY doc_id""".stripMargin)),
 
     // ---- language ID heuristic (stopword profiles). The fixture's `lang`
@@ -117,7 +118,7 @@ object DocQueries {
         val best = sym.groupBy(col("doc_id"))
           .agg(max(struct(col("jaccard"), col("other"))).as("bestm"))
           .select(col("doc_id"),
-            round(col("bestm.jaccard"), 6).as("best_jaccard"),
+            Det.fixed(col("bestm.jaccard"), 6).as("best_jaccard"),
             col("bestm.other").as("best_match_id"))
         docs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
           .withColumn("is_near_duplicate", col("best_jaccard").isNotNull)
@@ -145,7 +146,7 @@ object DocQueries {
           TextAnalysis.tokens(col("text")).as("b_toks"))
         a.join(b, col("b_id") === col("a_id") + 1)
           .select(col("a_id"), col("b_id"),
-            round(TextAnalysis.jaccard(col("a_toks"), col("b_toks")), 6).as("jaccard"))
+            Det.fixed(TextAnalysis.jaccard(col("a_toks"), col("b_toks")), 6).as("jaccard"))
           .orderBy(col("a_id"))
       },
       oracle = Some(
@@ -154,9 +155,9 @@ object DocQueries {
              |  FROM documents
              |)
              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |  round(
+             |  (ROUND((
              |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
-             |    CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE), 6) AS jaccard
+             |    CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)) * 1000000, 0) / 1000000) AS jaccard
              |FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
              |ORDER BY a_id""".stripMargin))
   )

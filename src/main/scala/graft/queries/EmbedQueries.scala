@@ -30,25 +30,24 @@ object EmbedQueries {
     // ---- vector norm statistics per label ----
     QueryDef("embed_norm_stats",
       (s, d) => Tables.embeddings(s, d)
-        .select(col("label"), round(l2Norm(col("embedding")), 6).as("norm"))
+        .select(col("label"), Det.fixed(l2Norm(col("embedding")), 6).as("norm"))
         .groupBy(col("label"))
         .agg(
           count(lit(1)).as("n"),
           Det.fixedSum(col("norm"), 6).as("sum_norm"),
-          round(min(col("norm")), 6).as("min_norm"),
-          round(max(col("norm")), 6).as("max_norm"))
+          Det.fixed(min(col("norm")), 6).as("min_norm"),
+          Det.fixed(max(col("norm")), 6).as("max_norm"))
         .orderBy(col("label")),
       oracle = Some(
         s"""WITH norms AS (
            |  SELECT label,
-           |    round(sqrt(list_sum(list_transform(embedding,
-           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+           |    ${Det.fixedSql("sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))", 6)} AS norm
            |  FROM embeddings
            |)
            |SELECT label, count(*) AS n,
            |  ${Det.fixedSumSql("norm", 6)} AS sum_norm,
-           |  round(min(norm), 6) AS min_norm,
-           |  round(max(norm), 6) AS max_norm
+           |  ${Det.fixedSql("min(norm)", 6)} AS min_norm,
+           |  ${Det.fixedSql("max(norm)", 6)} AS max_norm
            |FROM norms GROUP BY label ORDER BY label""".stripMargin)),
 
     // ---- exact brute-force cosine top-k (the correctness baseline) ----
@@ -59,7 +58,7 @@ object EmbedQueries {
       oracle = Some(
         s"""WITH scored AS (
            |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
-           |    round($cosSql, 6) AS cos
+           |    ${Det.fixedSql(cosSql, 6)} AS cos
            |  FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
            |), ranked AS (
            |  SELECT qid, neighbor_id, cos,
@@ -85,24 +84,23 @@ object EmbedQueries {
         .select(
           col("vec_id"),
           size(col("embedding")).as("dim"),
-          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
-          round(aggregate(
+          Det.fixed(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+          Det.fixed(aggregate(
             transform(col("embedding"), x => x.cast("double") * x.cast("double")),
             lit(0.0), (a, v) => a + v), 6).as("sum_sq"),
           size(filter(col("embedding"), x => x > 0)).as("n_positive"),
-          round(array_max(col("embedding")).cast("double"), 6).as("max_elem"),
-          round(slice(sort_array(col("embedding")), 1, 1).getItem(0).cast("double"), 6)
+          Det.fixed(array_max(col("embedding")).cast("double"), 6).as("max_elem"),
+          Det.fixed(slice(sort_array(col("embedding")), 1, 1).getItem(0).cast("double"), 6)
             .as("min_via_sort"))
         .orderBy(col("vec_id")),
       oracle = Some(
-        """SELECT vec_id,
+        s"""SELECT vec_id,
           |  len(embedding) AS dim,
-          |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
-          |  round(list_sum(list_transform(embedding,
-          |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sum_sq,
+          |  ${Det.fixedSql("CAST(embedding[1] AS DOUBLE)", 6)} AS first_elem,
+          |  ${Det.fixedSql("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))", 6)} AS sum_sq,
           |  len(list_filter(embedding, x -> x > 0)) AS n_positive,
-          |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem,
-          |  round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_via_sort
+          |  ${Det.fixedSql("CAST(list_max(embedding) AS DOUBLE)", 6)} AS max_elem,
+          |  ${Det.fixedSql("CAST(list_sort(embedding)[1] AS DOUBLE)", 6)} AS min_via_sort
           |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin)),
 
     // ---- IVF approximate top-k: seeded coarse quantizer, nProbe cells
@@ -124,9 +122,9 @@ object EmbedQueries {
         .orderBy(col("a"), col("b")),
       oracle = Some(
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
-           |SELECT q.vec_id AS a, c.vec_id AS b, round($cosSql, 6) AS cos
+           |SELECT q.vec_id AS a, c.vec_id AS b, ${Det.fixedSql(cosSql, 6)} AS cos
            |FROM e q JOIN e c ON q.vec_id < c.vec_id
-           |WHERE round($cosSql, 6) >= 0.4
+           |WHERE ${Det.fixedSql(cosSql, 6)} >= 0.4
            |ORDER BY a, b""".stripMargin)),
 
     // ---- embedding-cosine near-dup at scale: hyperplane-LSH bucket

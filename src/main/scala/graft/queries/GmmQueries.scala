@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.gmm.{EM, Gaussian, GmmModel}
+import graft.util.Det
 import org.apache.spark.sql.functions._
 
 /** EM/GMM capability surface — the reference's entire workload
@@ -33,30 +34,30 @@ object GmmQueries {
     QueryDef("stats_mean_var",
       (s, d) => Tables.events(s, d).agg(
         count(lit(1)).as("n_rows"),
-        round(avg(col("value")), 6).as("mean_value"),
-        round(var_pop(col("value")), 4).as("var_pop_value"),
-        round(stddev_pop(col("value")), 4).as("stddev_pop_value"),
-        round(min(col("value")), 2).as("min_value"),
-        round(max(col("value")), 2).as("max_value")),
+        Det.fixed(avg(col("value")), 6).as("mean_value"),
+        Det.fixed(var_pop(col("value")), 4).as("var_pop_value"),
+        Det.fixed(stddev_pop(col("value")), 4).as("stddev_pop_value"),
+        Det.fixed(min(col("value")), 2).as("min_value"),
+        Det.fixed(max(col("value")), 2).as("max_value")),
       oracle = Some(
-        """SELECT count(*) AS n_rows,
-          |  round(avg(value), 6) AS mean_value,
-          |  round(var_pop(value), 4) AS var_pop_value,
-          |  round(stddev_pop(value), 4) AS stddev_pop_value,
-          |  round(min(value), 2) AS min_value,
-          |  round(max(value), 2) AS max_value
+        s"""SELECT count(*) AS n_rows,
+          |  ${Det.fixedSql("avg(value)", 6)} AS mean_value,
+          |  ${Det.fixedSql("var_pop(value)", 4)} AS var_pop_value,
+          |  ${Det.fixedSql("stddev_pop(value)", 4)} AS stddev_pop_value,
+          |  ${Det.fixedSql("min(value)", 2)} AS min_value,
+          |  ${Det.fixedSql("max(value)", 2)} AS max_value
           |FROM events""".stripMargin)),
 
     QueryDef("gaussian_pdf_fixed",
       (s, d) => Tables.events(s, d)
         .select(
           col("event_id"),
-          round(col("value"), 2).as("x"),
-          round(Gaussian.pdf(col("value"), 50.0, 2500.0), 9).as("pdf"))
+          Det.fixed(col("value"), 2).as("x"),
+          Det.fixed(Gaussian.pdf(col("value"), 50.0, 2500.0), 9).as("pdf"))
         .orderBy(col("event_id")),
       oracle = Some(
-        s"""SELECT event_id, round(value, 2) AS x,
-           |  round(EXP(-POW(value - 50.0, 2) / 5000.0) / ${math.sqrt(2.0 * math.Pi * 2500.0)}, 9) AS pdf
+        s"""SELECT event_id, ${Det.fixedSql("value", 2)} AS x,
+           |  ${Det.fixedSql(s"EXP(-POW(value - 50.0, 2) / 5000.0) / ${math.sqrt(2.0 * math.Pi * 2500.0)}", 9)} AS pdf
            |FROM events ORDER BY event_id""".stripMargin)),
 
     // Log-likelihood of the fixed mixture, with the reference's -Infinity
@@ -96,13 +97,13 @@ object GmmQueries {
           .where(mix > 0)
           .select(
             (Seq(col("event_id")) ++
-              (0 until M.k).map(j => round(wpdf(j) / mix, 7).as(s"g$j"))): _*)
+              (0 until M.k).map(j => Det.fixed(wpdf(j) / mix, 7).as(s"g$j"))): _*)
           .orderBy(col("event_id"))
       },
       oracle = Some {
         val terms = (0 until M.k).map(j => s"${M.weights(j)} * ${pdfSql(M.means(j), M.variances(j))}")
         val mix = terms.mkString(" + ")
-        val cols = (0 until M.k).map(j => s"round((${terms(j)}) / ($mix), 7) AS g$j").mkString(",\n  ")
+        val cols = (0 until M.k).map(j => s"${Det.fixedSql(s"(${terms(j)}) / ($mix)", 7)} AS g$j").mkString(",\n  ")
         s"""SELECT event_id,
            |  $cols
            |FROM events WHERE ($mix) > 0 ORDER BY event_id""".stripMargin

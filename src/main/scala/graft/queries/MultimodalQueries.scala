@@ -43,9 +43,9 @@ object MultimodalQueries {
           |  FROM documents
           |), scaled AS (
           |  SELECT doc_id, width, height,
-          |    round(CASE WHEN width > 0 AND height > 0
+          |    (ROUND((CASE WHEN width > 0 AND height > 0
           |      THEN least(320.0 / width, 240.0 / height, 1.0)
-          |      ELSE 1.0 END, 6) AS resize_scale
+          |      ELSE 1.0 END) * 1000000, 0) / 1000000) AS resize_scale
           |  FROM decoded
           |)
           |SELECT doc_id, width, height, resize_scale,

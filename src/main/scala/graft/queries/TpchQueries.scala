@@ -309,7 +309,7 @@ object TpchQueries {
           .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_name"))),
             col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
-            round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+            Det.fixed(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
           .orderBy(col("total_qty").desc, col("o_orderkey"))
           .limit(100)
       },
@@ -320,7 +320,7 @@ object TpchQueries {
            |  HAVING ${Det.fixedSumSql("l_quantity", 2)} > 300
            |)
            |SELECT c_name, o_orderkey, o_orderdate,
-           |  round(o_totalprice, 2) AS o_totalprice, total_qty
+           |  (ROUND((o_totalprice) * 100, 0) / 100) AS o_totalprice, total_qty
            |FROM big JOIN orders ON o_orderkey = l_orderkey
            |JOIN customer ON c_custkey = o_custkey
            |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin)),
@@ -331,7 +331,7 @@ object TpchQueries {
       (s, d) => {
         Tables.orders(s, d).createOrReplaceTempView("orders_sq")
         s.sql(
-          """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+          """SELECT o_orderkey, o_custkey, (ROUND((o_totalprice) * 100, 0) / 100) AS o_totalprice
             |FROM orders_sq o
             |WHERE o_totalprice > 1.5 * (
             |  SELECT avg(o2.o_totalprice) FROM orders_sq o2
@@ -339,7 +339,7 @@ object TpchQueries {
             |ORDER BY o_orderkey""".stripMargin)
       },
       oracle = Some(
-        """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        """SELECT o_orderkey, o_custkey, (ROUND((o_totalprice) * 100, 0) / 100) AS o_totalprice
           |FROM orders o
           |WHERE o_totalprice > 1.5 * (
           |  SELECT avg(o2.o_totalprice) FROM orders o2
@@ -485,15 +485,15 @@ object TpchQueries {
           .select(
             col("o_orderkey"), col("o_orderpriority"),
             ntile(4).over(w).as("quartile"),
-            round(percent_rank().over(w), 9).as("pct_rank"),
-            round(cume_dist().over(w), 9).as("cume"))
+            Det.fixed(percent_rank().over(w), 9).as("pct_rank"),
+            Det.fixed(cume_dist().over(w), 9).as("cume"))
           .orderBy(col("o_orderkey"))
       },
       oracle = Some(
         """SELECT o_orderkey, o_orderpriority,
           |  ntile(4) OVER w AS quartile,
-          |  round(percent_rank() OVER w, 9) AS pct_rank,
-          |  round(cume_dist() OVER w, 9) AS cume
+          |  (ROUND((percent_rank() OVER w) * 1000000000, 0) / 1000000000) AS pct_rank,
+          |  (ROUND((cume_dist() OVER w) * 1000000000, 0) / 1000000000) AS cume
           |FROM orders WHERE o_orderkey < 5000
           |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
           |ORDER BY o_orderkey""".stripMargin)),
@@ -518,15 +518,15 @@ object TpchQueries {
         .agg(
           expr("max_by(o_orderkey, o_totalprice)").as("biggest_order"),
           expr("min_by(o_orderkey, o_totalprice)").as("smallest_order"),
-          round(max(col("o_totalprice")), 2).as("max_price"),
-          round(min(col("o_totalprice")), 2).as("min_price"))
+          Det.fixed(max(col("o_totalprice")), 2).as("max_price"),
+          Det.fixed(min(col("o_totalprice")), 2).as("min_price"))
         .orderBy(col("o_orderpriority")),
       oracle = Some(
         """SELECT o_orderpriority,
           |  arg_max(o_orderkey, o_totalprice) AS biggest_order,
           |  arg_min(o_orderkey, o_totalprice) AS smallest_order,
-          |  round(max(o_totalprice), 2) AS max_price,
-          |  round(min(o_totalprice), 2) AS min_price
+          |  (ROUND((max(o_totalprice)) * 100, 0) / 100) AS max_price,
+          |  (ROUND((min(o_totalprice)) * 100, 0) / 100) AS min_price
           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- set operations ----
@@ -717,17 +717,17 @@ object TpchQueries {
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("median"),
-          round(expr("percentile(l_quantity, 0.9)"), 6).as("q90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))
+          Det.fixed(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+          Det.fixed(expr("percentile(l_quantity, 0.5)"), 6).as("median"),
+          Det.fixed(expr("percentile(l_quantity, 0.9)"), 6).as("q90"),
+          Det.fixed(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))
         .orderBy(col("l_returnflag")),
       oracle = Some(
         """SELECT l_returnflag,
-          |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
-          |  round(quantile_cont(l_quantity, 0.5), 6) AS median,
-          |  round(quantile_cont(l_quantity, 0.9), 6) AS q90,
-          |  round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+          |  (ROUND((quantile_cont(l_quantity, 0.25)) * 1000000, 0) / 1000000) AS q25,
+          |  (ROUND((quantile_cont(l_quantity, 0.5)) * 1000000, 0) / 1000000) AS median,
+          |  (ROUND((quantile_cont(l_quantity, 0.9)) * 1000000, 0) / 1000000) AS q90,
+          |  (ROUND((quantile_cont(l_extendedprice, 0.99)) * 1000000, 0) / 1000000) AS price_p99
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- sketch-based percentiles (single-pass mergeable sketch — the

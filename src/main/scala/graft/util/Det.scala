@@ -27,6 +27,21 @@ import org.apache.spark.sql.functions._
   * is already bit-identical (pure IEEE division of equal inputs).
   */
 object Det {
+  /** Cross-engine-safe presentation rounding to `scale` decimals:
+    * multiply, round at scale 0 (both engines round the double half away
+    * from zero), divide. Use instead of `round(c, scale)` anywhere the
+    * value feeds the oracle hash. */
+  def fixed(c: Column, scale: Int): Column = {
+    val f = math.pow(10.0, scale.toDouble)
+    round(c * lit(f), 0) / lit(f)
+  }
+
+  /** The DuckDB SQL text matching [[fixed]]. */
+  def fixedSql(expr: String, scale: Int): String = {
+    val f = "1" + ("0" * scale)
+    s"(ROUND(($expr) * $f, 0) / $f)"
+  }
+
   /** Exact sum of `c` interpreted as fixed-point with `scale` decimals.
     * SQL equivalent: CAST(SUM(CAST(ROUND(c * 10^scale, 0) AS BIGINT)) AS DOUBLE) / 10^scale
     */

@@ -22,6 +22,7 @@ class QueriesSpec extends SparkSpec {
       val df = q.fn(spark, sf)
       df.schema.fields.length should be > 0
       df.count() should be > 0L
+      spark.catalog.clearCache() // per-query staging caches must not accumulate
     }
   }
 }
