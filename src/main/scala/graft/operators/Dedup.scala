@@ -20,6 +20,13 @@ import graft.functions.VectorExpressions
   *
   * All hash functions are Spark built-ins (xxhash64 / md5) or our native
   * expression — fixed seeds, deterministic across runs and partitionings.
+  *
+  * Cache ownership: the near-dup operators persist() intermediate staging
+  * tables (signatures, buckets) that both sides of their self-joins read.
+  * Those caches live until the CALLER drops them — run one logical query,
+  * consume its action, then `spark.catalog.clearCache()` (what Bench/
+  * Verify do), or at production scale write the staging table out and
+  * read it back instead of caching.
   */
 object Dedup {
 
