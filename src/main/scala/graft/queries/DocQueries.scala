@@ -65,8 +65,11 @@ object DocQueries {
     // ---- language ID heuristic (stopword profiles). The fixture's `lang`
     // labels are synthetic noise over one shared vocabulary, so accuracy
     // vs that column is meaningless; real-behavior checks live in
-    // TextAnalysisSpec on genuine multilingual snippets. No SQL oracle
-    // (argmax-over-struct-array is not portably expressible). ----
+    // TextAnalysisSpec on genuine multilingual snippets. Oracle mirrors
+    // the argmax via DuckDB list_sort(structs)[-1] — struct comparison is
+    // (hits, lang)-lexicographic in both engines, so ties break the same
+    // way. Profile lists are generated from TextAnalysis.stopwords so the
+    // two sides cannot drift. ----
     QueryDef("text_langid",
       (s, d) => Tables.documents(s, d)
         .select(
@@ -74,7 +77,21 @@ object DocQueries {
           col("lang").as("labeled_lang"),
           TextAnalysis.langPredict(col("text")).as("predicted_lang"))
         .orderBy(col("doc_id")),
-      oracle = None),
+      oracle = Some {
+        val entries = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
+          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"{'hits': len(list_intersect(t, $lst)), 'lang': '$langCode'}"
+        }.mkString(",\n             |    ")
+        raw"""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+             |  FROM documents
+             |)
+             |SELECT doc_id, lang AS labeled_lang,
+             |  list_sort([
+             |    $entries])[-1].lang AS predicted_lang
+             |FROM toks ORDER BY doc_id""".stripMargin
+      }),
 
     // ---- content fingerprint ----
     QueryDef("text_fingerprint",

@@ -398,14 +398,24 @@ object TpchQueries {
 
     // ---- approximate distinct (HLL) — sketches differ across engines, so
     // no SQL oracle; rows-only + ApproxSpec tolerance test vs exact count.
+    // The HLL sketch value itself is engine-specific, so the hashable
+    // contract is the error bound: |approx - exact| / exact < 5% (Spark
+    // HLL++ rsd default 5%; DuckDB HLL ~1.6%) — both engines must emit
+    // approx_ok = true alongside the identical exact count.
     QueryDef("agg_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+            .cast("double") / countDistinct(col("l_partkey")) < 0.05).as("approx_ok"))
         .orderBy(col("l_returnflag")),
-      oracle = None),
+      oracle = Some(
+        """SELECT l_returnflag,
+          |  count(DISTINCT l_partkey) AS exact_parts,
+          |  (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 1.0
+          |    / count(DISTINCT l_partkey)) < 0.05 AS approx_ok
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- window: ranking top-N per group ----
     QueryDef("window_rank_topn",
@@ -732,14 +742,34 @@ object TpchQueries {
 
     // ---- sketch-based percentiles (single-pass mergeable sketch — the
     // 100 TB path; approximate, so no cross-engine oracle) ----
+    // Sketch values differ across engines (Spark GK-summary vs DuckDB
+    // t-digest); the hashable contract is each sketch landing within 2%
+    // of the exact interpolated percentile, next to the exact value.
     QueryDef("agg_approx_percentile",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_median"),
-          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("approx_price_p99"))
-        .orderBy(col("l_returnflag")),
-      oracle = None),
+      (s, d) => {
+        def ok(approx: String, exact: String) =
+          (abs(expr(approx) - expr(exact)) /
+            greatest(abs(expr(exact)), lit(1.0)) < 0.02)
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            Det.fixed(expr("percentile(l_quantity, 0.5)"), 6).as("exact_median"),
+            ok("approx_percentile(l_quantity, 0.5, 10000)",
+              "percentile(l_quantity, 0.5)").as("median_ok"),
+            Det.fixed(expr("percentile(l_extendedprice, 0.99)"), 6).as("exact_price_p99"),
+            ok("approx_percentile(l_extendedprice, 0.99, 10000)",
+              "percentile(l_extendedprice, 0.99)").as("p99_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some(
+        s"""SELECT l_returnflag,
+           |  ${Det.fixedSql("quantile_cont(l_quantity, 0.5)", 6)} AS exact_median,
+           |  (abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5))
+           |    / greatest(abs(quantile_cont(l_quantity, 0.5)), 1.0)) < 0.02 AS median_ok,
+           |  ${Det.fixedSql("quantile_cont(l_extendedprice, 0.99)", 6)} AS exact_price_p99,
+           |  (abs(approx_quantile(l_extendedprice, 0.99) - quantile_cont(l_extendedprice, 0.99))
+           |    / greatest(abs(quantile_cont(l_extendedprice, 0.99)), 1.0)) < 0.02 AS p99_ok
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- JSON functions: construct, extract, parse back ----
     QueryDef("json_funcs",
