@@ -37,8 +37,9 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
-    * shipped in the plan, no side channel. */
-  private def hyperplanes(dim: Int, bits: Int, tables: Int, seed: Long): Seq[Seq[Array[Double]]] = {
+    * shipped in the plan, no side channel. `private[graft]` so the oracle
+    * SQL generator can embed the same constants. */
+  private[graft] def hyperplanes(dim: Int, bits: Int, tables: Int, seed: Long): Seq[Seq[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
   }
@@ -124,7 +125,10 @@ object Similarity {
           .centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       else corpus
         .select(col(idCol), col(vecCol))
-        .orderBy(xxhash64(col(idCol) + lit(seed))) // seeded deterministic sample
+        // seeded deterministic sample via a multiplicative (Knuth) hash —
+        // SQL-expressible in the oracle, unlike xxhash64
+        .orderBy(((col(idCol) * lit(2654435761L) + lit(seed)) % lit(4294967296L)).asc,
+          col(idCol))
         .limit(nCells)
         .orderBy(col(idCol))
         .collect().zipWithIndex

@@ -19,11 +19,36 @@ object EmbedQueries {
     Tables.embeddings(s, d).where(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-  private val cosSql =
-    """list_sum(list_transform(list_zip(q.embedding, c.embedding),
-      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-      |  / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |   * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+  /** DuckDB cosine between two list expressions — same accumulation order
+    * as the native CosineSim kernel (bit-identical, proven by
+    * ann_cosine_topk's exact hash match). */
+  private def cosSqlOf(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  private val cosSql = cosSqlOf("q.embedding", "c.embedding")
+
+  /** The planes CTE rows for [[Similarity.hyperplanes]] — each row
+    * (t, bitval, coeffs) is one hyperplane; signature bit b of table t is
+    * set iff dot(vec, coeffs) > 0 (VectorOps.hyperplaneSig:118). Doubles
+    * are emitted via Double.toString (shortest round-trip repr), which
+    * DuckDB parses back to the identical IEEE value. */
+  private def planesValuesSql(dim: Int, bits: Int, tables: Int, seed: Long): String =
+    Similarity.hyperplanes(dim, bits, tables, seed).zipWithIndex.flatMap {
+      case (tablePlanes, t) => tablePlanes.zipWithIndex.map { case (coeffs, b) =>
+        s"($t, ${1 << b}, ${coeffs.mkString("[", ", ", "]")})"
+      }
+    }.mkString(",\n  ")
+
+  /** LSH signature per (vec, table) as SQL over the planes CTE: exact
+    * integer sum of bit values whose hyperplane dot is positive. The dot
+    * is order-exact list arithmetic, so the sign matches the kernel
+    * bit-for-bit (ties at exactly 0.0 excluded in both). */
+  private val sigAggSql =
+    """SUM(CASE WHEN list_sum(list_transform(list_zip(e.embedding, p.coeffs),
+      |        x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN p.bitval ELSE 0 END)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -68,14 +93,42 @@ object EmbedQueries {
            |SELECT qid, rank, neighbor_id, cos FROM ranked
            |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
-    // ---- LSH-bucketed approximate top-k (the 100 TB path). Approximate
-    // by construction -> no SQL oracle; SimilaritySpec checks recall vs
-    // the brute-force baseline. ----
+    // ---- LSH-bucketed approximate top-k (the 100 TB path). The seeded
+    // hyperplane constants are embedded into the oracle SQL as a planes
+    // CTE, so DuckDB reproduces the exact same buckets, candidates and
+    // ranking — a full hash-match on an approximate operator. ----
     QueryDef("ann_lsh_topk",
       (s, d) => Similarity.lshTopK(
         Tables.embeddings(s, d), queryVectors(s, d), k = 5, dim = 64)
         .orderBy(col("qid"), col("rank")),
-      oracle = None),
+      oracle = Some(
+        s"""WITH planes(t, bitval, coeffs) AS (VALUES
+           |  ${planesValuesSql(dim = 64, bits = 10, tables = 6, seed = 42L)}
+           |),
+           |sig AS (
+           |  SELECT e.vec_id, p.t, $sigAggSql AS sig
+           |  FROM embeddings e, planes p
+           |  GROUP BY e.vec_id, p.t
+           |),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS id
+           |  FROM sig q JOIN sig c ON c.t = q.t AND c.sig = q.sig
+           |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+           |),
+           |scored AS (
+           |  SELECT cand.qid, cand.id AS neighbor_id,
+           |    ${Det.fixedSql(cosSqlOf("qe.embedding", "ce.embedding"), 6)} AS cos
+           |  FROM cand
+           |  JOIN embeddings qe ON qe.vec_id = cand.qid
+           |  JOIN embeddings ce ON ce.vec_id = cand.id
+           |),
+           |ranked AS (
+           |  SELECT qid, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT qid, rank, neighbor_id, cos FROM ranked
+           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
     // ---- array / higher-order functions over the embedding column ----
     QueryDef("array_funcs",
@@ -104,13 +157,51 @@ object EmbedQueries {
           |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin)),
 
     // ---- IVF approximate top-k: seeded coarse quantizer, nProbe cells
-    // per query (the recall/cost dial). Approximate -> recall asserted
-    // in SimilaritySpec against the brute-force baseline. ----
+    // per query (the recall/cost dial). The centroid sample uses a
+    // multiplicative hash so the oracle reproduces the identical cells,
+    // probes and ranking in SQL. ----
     QueryDef("ann_ivf_topk",
       (s, d) => Similarity.ivfTopK(
         Tables.embeddings(s, d), queryVectors(s, d), k = 5)
         .orderBy(col("qid"), col("rank")),
-      oracle = None),
+      oracle = Some(
+        s"""WITH cent AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+           |  FROM (
+           |    SELECT vec_id, embedding FROM embeddings
+           |    ORDER BY (vec_id * 2654435761 + 42) % 4294967296, vec_id
+           |    LIMIT 16
+           |  )
+           |),
+           |cells AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSqlOf("e.embedding", "c.embedding")} DESC, c.cell) AS r
+           |    FROM embeddings e CROSS JOIN cent c
+           |  ) WHERE r = 1
+           |),
+           |probes AS (
+           |  SELECT qid, qvec, cell FROM (
+           |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSqlOf("q.embedding", "c.embedding")} DESC, c.cell) AS r
+           |    FROM embeddings q CROSS JOIN cent c
+           |    WHERE q.vec_id < 20
+           |  ) WHERE r <= 4
+           |),
+           |scored AS (
+           |  SELECT p.qid, ce.vec_id AS neighbor_id,
+           |    ${Det.fixedSql(cosSqlOf("p.qvec", "ce.embedding"), 6)} AS cos
+           |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.qid
+           |),
+           |ranked AS (
+           |  SELECT qid, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT qid, rank, neighbor_id, cos FROM ranked
+           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
     // ---- embedding-cosine near-dup, exact pairs (oracle baseline; capped
     // to the first 300 vectors -- all-pairs is the verifier, not the scale
@@ -128,12 +219,32 @@ object EmbedQueries {
            |ORDER BY a, b""".stripMargin)),
 
     // ---- embedding-cosine near-dup at scale: hyperplane-LSH bucket
-    // self-join for candidates, exact-cosine verify. Approximate ->
-    // recall asserted in SimilaritySpec, rows-only check here. ----
+    // self-join for candidates, exact-cosine verify. Oracle reproduces
+    // the identical buckets from the embedded plane constants. ----
     QueryDef("dedup_embedding_lsh",
       (s, d) => Similarity.lshNearDupPairs(
         Tables.embeddings(s, d), threshold = 0.4, dim = 64)
         .orderBy(col("a"), col("b")),
-      oracle = None)
+      oracle = Some(
+        s"""WITH planes(t, bitval, coeffs) AS (VALUES
+           |  ${planesValuesSql(dim = 64, bits = 4, tables = 8, seed = 42L)}
+           |),
+           |sig AS (
+           |  SELECT e.vec_id, p.t, $sigAggSql AS sig
+           |  FROM embeddings e, planes p
+           |  GROUP BY e.vec_id, p.t
+           |),
+           |cand AS (
+           |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+           |  FROM sig l JOIN sig r ON r.t = l.t AND r.sig = l.sig
+           |  WHERE l.vec_id < r.vec_id
+           |)
+           |SELECT cand.a, cand.b,
+           |  ${Det.fixedSql(cosSqlOf("ea.embedding", "eb.embedding"), 6)} AS cos
+           |FROM cand
+           |JOIN embeddings ea ON ea.vec_id = cand.a
+           |JOIN embeddings eb ON eb.vec_id = cand.b
+           |WHERE ${Det.fixedSql(cosSqlOf("ea.embedding", "eb.embedding"), 6)} >= 0.4
+           |ORDER BY a, b""".stripMargin))
   )
 }
