@@ -50,7 +50,10 @@ object Bench {
     // Seconds at 2 decimals, Locale.ROOT: the whole line must stay well
     // under the driver's 2000-char output-tail buffer or it records
     // parsed=null (observed in round 1 with full-precision doubles).
-    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    def f2(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = f2(results.map(_._2).sum)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DocQueries, EmbedQueries, EventQueries, GmmQueries, MultimodalQueries, TpchQueries}
+import graft.queries.{CurationQueries, DocQueries, EmbedQueries, EventQueries, GmmQueries, MultimodalQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ object SparkEntry {
   /** Full capability registry (SURVEY.md §2 inventory + §7.6 extensions). */
   def registry: Seq[QueryDef] =
     GmmQueries.defs ++ TpchQueries.defs ++ EventQueries.defs ++
-      DocQueries.defs ++ EmbedQueries.defs ++ MultimodalQueries.defs
+      DocQueries.defs ++ EmbedQueries.defs ++ MultimodalQueries.defs ++
+      CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's whole program — an EM-GMM fit — as one table-valued

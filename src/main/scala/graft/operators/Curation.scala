@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-corpus curation operators beyond dedup/similarity: sequence
+  * packing, stratified sampling, PII scrubbing, and near-dup cluster
+  * resolution. All are declarative Column/DataFrame transforms (window
+  * aggregates, hash predicates, regex built-ins) except connected
+  * components, which is an iterative driver loop of joins — the shape
+  * Spark uses for any fixpoint computation (cf. GraphX's CC; reference
+  * has the same driver-loop pattern for EM, Main.scala:72-89).
+  */
+object Curation {
+
+  /** Capacity-quantized sequence packing: documents ordered by `orderCol`
+    * within each `shardCol` partition are assigned to fixed-`budget`
+    * token packs; a document's pack is `floor(cum_tokens_before/budget)`.
+    *
+    * One window cumulative sum — no sequential scan. True first-fit
+    * packing is inherently order-sequential; quantized packing is the
+    * scalable compromise (a document straddling a boundary overflows its
+    * pack by < its own length). At 100 TB the shard column (here: lang)
+    * bounds each window's partition, so packing parallelizes per shard.
+    */
+  def packSequences(
+      docs: DataFrame, tokenCol: Column, shardCol: Column, orderCol: Column,
+      budget: Int): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", tokenCol.cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / lit(budget)).cast("long"))
+      .withColumn("offset_in_pack", col("cum_before") % lit(budget.toLong))
+      .drop("cum_before")
+  }
+
+  /** Deterministic per-stratum sampling: keep a row iff its multiplicative
+    * hash unit-uniform `u(id) = ((id*2654435761 + seed) mod 2^32) / 2^32`
+    * is below the stratum's rate. Unlike `DataFrame.sampleBy` (RNG per
+    * partition), this is reproducible across runs, partitionings and
+    * engines — the property a curation pipeline needs for auditable
+    * subsets. Unknown strata default to rate 0. */
+  def stratifiedSample(
+      df: DataFrame, idCol: Column, strataCol: Column,
+      rates: Map[String, Double], seed: Long): DataFrame = {
+    val u = ((idCol * lit(2654435761L) + lit(seed)) % lit(4294967296L))
+      .cast("double") / lit(4294967296.0)
+    val rateMap = map(rates.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.withColumn("u", u)
+      .where(col("u") < coalesce(element_at(rateMap, strataCol), lit(0.0)))
+  }
+
+  /** PII scrubbing patterns — conservative regexes that parse identically
+    * under Java regex (Spark codegen) and RE2 (DuckDB oracle). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+  val phoneRe = "\\+?[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+  /** Replace URLs, then emails, then phone numbers with placeholder
+    * tokens (order matters: an email inside a URL must scrub as URL).
+    * Pure regexp_replace chain — codegen'd, no UDF. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  /** Connected components over undirected `edges(a, b)` restricted to
+    * `nodes(node)`: iterative min-label propagation to fixpoint
+    * (label(n) := min(label(n), min over neighbors' labels); O(diameter)
+    * rounds). Returns (node, cluster_id = min node id of the component).
+    *
+    * Each round is one shuffle join + partial aggregate; `localCheckpoint`
+    * truncates the growing lineage. At 100 TB scale the round count is cut
+    * with large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce"), but the per-round dataflow is identical. */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("a").as("x"), col("b").as("y"))
+      .union(edges.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("lab")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("node", "y"), Seq("y"))
+        .groupBy(col("x")).agg(min(col("lab")).as("nbr_lab"))
+        .withColumnRenamed("x", "node")
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lab", "old"), Seq("node"))
+        .where(col("lab") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("lab", "cluster_id")
+  }
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Curation, Similarity, TextAnalysis}
+import graft.util.Det
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries (training-data pipeline mandate): sequence
+  * packing, auditable stratified sampling, PII scrubbing, near-dup
+  * cluster resolution, plus small SQL-surface demos (histogram, regex,
+  * unpivot, bitwise aggregates). Every query here is DuckDB-oracle
+  * hash-checked, including the iterative connected-components operator
+  * (oracle = recursive CTE transitive closure).
+  */
+object CurationQueries {
+
+  /** DuckDB cosine between two list expressions (same accumulation order
+    * as the CosineSim kernel). */
+  private def cosSqlOf(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- sequence packing: fixed-token-budget packs per lang shard ----
+    QueryDef("pack_sequences",
+      (s, d) => Curation.packSequences(
+        Tables.documents(s, d),
+        tokenCol = size(TextAnalysis.tokens(col("text"))),
+        shardCol = col("lang"), orderCol = col("doc_id"), budget = 2048)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("pack_id"), col("offset_in_pack"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        raw"""WITH t AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM t
+             |)
+             |SELECT doc_id, lang, n_tokens,
+             |  CAST(floor(cum_before / 2048) AS BIGINT) AS pack_id,
+             |  cum_before % 2048 AS offset_in_pack
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- stratified sampling: per-lang rates, reproducible hash u ----
+    QueryDef("sample_stratified",
+      (s, d) => Curation.stratifiedSample(
+        Tables.documents(s, d), col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25,
+          "es" -> 0.1, "zh" -> 0.1),
+        seed = 7L)
+        .select(col("doc_id"), col("lang"), col("u"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        """WITH s AS (
+          |  SELECT doc_id, lang,
+          |    ((doc_id * 2654435761 + 7) % 4294967296) / 4294967296.0 AS u
+          |  FROM documents
+          |)
+          |SELECT doc_id, lang, u FROM s
+          |WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+          |  WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1 WHEN 'zh' THEN 0.1
+          |  ELSE 0.0 END
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- PII scrubbing. The fixture corpus carries no PII, so each doc
+    // is augmented with deterministic synthetic contact info derived from
+    // its id; the scrub chain (URL -> email -> phone) and the pre-scrub
+    // counts are the operator under test. ----
+    QueryDef("scrub_pii",
+      (s, d) => {
+        val aug = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1 "),
+          lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at https://ex.example/d/"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            Curation.scrubPii(aug).as("scrubbed"),
+            regexp_count(aug, lit(Curation.emailRe)).as("n_emails"),
+            regexp_count(aug, lit(Curation.urlRe)).as("n_urls"),
+            regexp_count(aug, lit(Curation.phoneRe)).as("n_phones"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+          "'@mail.example.com or +1 ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-' || " +
+          "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at https://ex.example/d/' || CAST(doc_id AS VARCHAR)"
+        raw"""WITH a AS (SELECT doc_id, $aug AS t FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(t,
+             |    'https?://[^\s]+', '<URL>', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+?[0-9]{1,2} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+             |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+             |  len(regexp_extract_all(t, '\+?[0-9]{1,2} [0-9]{3}-[0-9]{4}')) AS n_phones
+             |FROM a ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- near-dup cluster resolution: connected components over the
+    // exact embedding near-dup pairs (vec_id < 300, cos >= 0.4). The
+    // Spark side is the iterative min-label-propagation loop; the oracle
+    // is a recursive-CTE transitive closure — same fixpoint. ----
+    QueryDef("dedup_clusters",
+      (s, d) => {
+        val corpus = Tables.embeddings(s, d).where(col("vec_id") < 300)
+        val edges = Similarity.bruteForceNearDupPairs(corpus, threshold = 0.4)
+          .select(col("a"), col("b"))
+        val nodes = corpus.select(col("vec_id").as("node"))
+        Curation.connectedComponents(edges, nodes)
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster_id"))))
+          .withColumn("is_representative", col("node") === col("cluster_id"))
+          .select(col("node").as("vec_id"), col("cluster_id"),
+            col("cluster_size"), col("is_representative"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE
+           |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+           |edges AS (
+           |  SELECT q.vec_id AS a, c.vec_id AS b
+           |  FROM e q JOIN e c ON q.vec_id < c.vec_id
+           |  WHERE ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} >= 0.4
+           |),
+           |sym AS (SELECT a AS x, b AS y FROM edges
+           |        UNION ALL SELECT b AS x, a AS y FROM edges),
+           |reach AS (
+           |  SELECT vec_id AS node, vec_id AS lab FROM e
+           |  UNION
+           |  SELECT s.y AS node, r.lab FROM reach r JOIN sym s ON s.x = r.node
+           |),
+           |lab AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+           |SELECT node AS vec_id, cluster_id,
+           |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           |  node = cluster_id AS is_representative
+           |FROM lab ORDER BY vec_id""".stripMargin)),
+
+    // ---- token-count histogram (bucket width 20) ----
+    QueryDef("tokens_hist",
+      (s, d) => Tables.documents(s, d)
+        .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("bucket", floor(col("n_tokens") / lit(20)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("bucket")),
+      oracle = Some(
+        raw"""WITH t AS (
+             |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |)
+             |SELECT CAST(floor(n_tokens / 20) AS BIGINT) AS bucket,
+             |  count(*) AS n_docs, min(n_tokens) AS min_tokens,
+             |  max(n_tokens) AS max_tokens
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = false),
+
+    // ---- regex surface: extract / count / match ----
+    QueryDef("regex_funcs",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([A-Z][a-z]+)", 1).as("first_cap"),
+          regexp_count(col("text"), lit("[0-9]+")).as("n_numbers"),
+          col("text").rlike("\\bthe\\b").as("has_the"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        raw"""SELECT doc_id,
+             |  regexp_extract(text, '([A-Z][a-z]+)', 1) AS first_cap,
+             |  len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+             |  regexp_matches(text, '\bthe\b') AS has_the
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      bench = false),
+
+    // ---- unpivot / melt (Dataset.unpivot; oracle = UNION ALL form) ----
+    QueryDef("unpivot_stack",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+      oracle = Some(
+        """SELECT l_orderkey, l_linenumber, measure, value FROM (
+          |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+          |    FROM lineitem WHERE l_orderkey < 100
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          |    FROM lineitem WHERE l_orderkey < 100
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          |    FROM lineitem WHERE l_orderkey < 100
+          |  UNION ALL
+          |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+          |    FROM lineitem WHERE l_orderkey < 100
+          |)
+          |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin),
+      bench = false),
+
+    // ---- bitwise aggregates + scalar bit ops ----
+    QueryDef("bitwise_funcs",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("bit_and(user_id)").as("band"),
+          expr("bit_or(user_id)").as("bor"),
+          expr("bit_xor(user_id)").as("bxor"),
+          count(lit(1)).as("n"))
+        .withColumn("bor_bits", bit_count(col("bor")))
+        .orderBy(col("event_type")),
+      oracle = Some(
+        """SELECT event_type,
+          |  bit_and(user_id) AS band, bit_or(user_id) AS bor,
+          |  bit_xor(user_id) AS bxor, count(*) AS n,
+          |  bit_count(bit_or(user_id)) AS bor_bits
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = false)
+  )
+}

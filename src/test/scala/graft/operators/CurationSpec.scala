@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: pack totals bounded by budget + max doc, offsets consistent") {
+    val budget = 256
+    val docs = Tables.documents(spark, sf)
+    val packed = Curation.packSequences(docs,
+      tokenCol = org.apache.spark.sql.functions.size(TextAnalysis.tokens(col("text"))),
+      shardCol = col("lang"), orderCol = col("doc_id"), budget = budget)
+    val stats = packed.groupBy(col("lang"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("tot"), max(col("n_tokens")).as("mx"),
+        min(col("offset_in_pack")).as("off0"))
+      .collect()
+    stats.length should be > 1
+    // quantized packing overflows a pack by less than one document
+    stats.foreach { r =>
+      r.getAs[Long]("tot") should be < (budget + r.getAs[Long]("mx") + 1)
+    }
+    // a document's offset is its pack-local start: always < budget
+    packed.where(col("offset_in_pack") >= budget).count() shouldBe 0L
+  }
+
+  test("stratifiedSample: deterministic, unknown strata dropped, rate honored") {
+    val docs = Tables.documents(spark, sf)
+    val rates = Map("en" -> 1.0, "de" -> 0.0)
+    val s1 = Curation.stratifiedSample(docs, col("doc_id"), col("lang"), rates, 7L)
+    val s2 = Curation.stratifiedSample(docs, col("doc_id"), col("lang"), rates, 7L)
+    s1.select("doc_id").collect().toSeq shouldBe s2.select("doc_id").collect().toSeq
+    s1.where(col("lang") === "de").count() shouldBe 0L
+    s1.where(col("lang") === "en").count() shouldBe
+      docs.where(col("lang") === "en").count() // rate 1.0 keeps everything
+    // unknown stratum -> rate 0
+    s1.where(!col("lang").isin("en", "de")).count() shouldBe 0L
+  }
+
+  test("scrubPii removes emails, urls and phone numbers") {
+    val rows = Seq(
+      "mail me at a.b+c@foo-bar.example please",
+      "see https://example.com/x?q=1 now",
+      "call +1 555-0147 today",
+      "clean text stays").toDF("t")
+    val out = rows.select(Curation.scrubPii(col("t")).as("s")).as[String].collect()
+    out(0) shouldBe "mail me at <EMAIL> please"
+    out(1) shouldBe "see <URL> now"
+    out(2) shouldBe "call <PHONE> today"
+    out(3) shouldBe "clean text stays"
+  }
+
+  test("connectedComponents labels chain + isolated node correctly") {
+    // graph: 1-2, 2-3, 3-4 (one component), 10-11, and isolated 20
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("node")
+    val got = Curation.connectedComponents(edges, nodes)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+  }
+}
