@@ -100,6 +100,36 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Stream-static enrichment join: each streaming event joined to a
+    * STATIC dimension table (here: per-user attributes). The static side
+    * is broadcast — no streaming state at all, and the dim table is
+    * re-read per micro-batch, so slowly-changing dimensions pick up
+    * updates without restarting the query. The 100 TB pattern for
+    * "attach metadata to an ingest stream". */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Micro-batch sink with exactly-once-per-batch semantics: foreachBatch
+    * writing each batch to a parquet dir partitioned by `partitionCol`,
+    * tagged with the batch id for idempotent replay (a restarted query
+    * re-running batch N overwrites batch N's rows instead of duplicating
+    * them — the standard idempotent-sink recipe when the target has no
+    * transactional MERGE). */
+  def foreachBatchParquetSink(
+      transformed: DataFrame, path: String, partitionCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    transformed.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // dynamic partition overwrite keyed by batch id: replaying a batch
+        // replaces exactly its own partition, nothing else
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id", partitionCol)
+          .parquet(path)
+      }
+
   /** Stream-stream inner join: each click joined to the same user's
     * purchases within (click_ts, click_ts + window]. Both sides carry
     * watermarks and the join condition time-bounds both event times, so

@@ -142,4 +142,49 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
     ids shouldBe Array(1L, 2L)
   }
+
+  test("enrichWithDim: stream-static broadcast join attaches dim attributes") {
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = StreamingOps.enrichWithDim(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(1), 1, "view", 1.0),
+        Event(2, ts(2), 2, "view", 2.0),
+        Event(3, ts(3), 3, "view", 3.0)) // user 3 not in dim -> null tier
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enriched")
+      .select(col("event_id"), col("tier")).as[(Long, Option[String])]
+      .collect().toMap
+    got shouldBe Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None)
+  }
+
+  test("foreachBatchParquetSink: batch replay is idempotent per batch id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fbsink").toString
+    val in = MemoryStream[Event]
+    val sink = StreamingOps.foreachBatchParquetSink(in.toDF(), dir, "event_type")
+      .option("checkpointLocation", s"$dir/_ckpt")
+    val q = sink.start()
+    try {
+      in.addData(Event(1, ts(1), 1, "view", 1.0), Event(2, ts(2), 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(3), 2, "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out1 = spark.read.parquet(dir)
+    out1.select("event_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
+
+    // simulate a replay of batch 0: same rows, same batch id -> its
+    // partition is overwritten, not duplicated
+    Seq(Event(1, ts(1), 1, "view", 1.0), Event(2, ts(2), 1, "click", 2.0)).toDF()
+      .withColumn("_batch_id", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id", "event_type")
+      .parquet(dir)
+    val out2 = spark.read.parquet(dir)
+    out2.select("event_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
+  }
 }
