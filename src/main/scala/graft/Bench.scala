@@ -47,16 +47,17 @@ object Bench {
       spark.catalog.clearCache()
       (name, sec, ok)
     }
-    // Seconds at 2 decimals, Locale.ROOT: the whole line must stay well
-    // under the driver's 2000-char output-tail buffer or it records
-    // parsed=null (observed in round 1 with full-precision doubles).
-    def f2(v: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.2f", v)
+    // Compact seconds (Locale.ROOT, trailing zeros stripped): the whole
+    // line must stay well under the driver's 2000-char output-tail buffer
+    // or it records parsed=null (observed in round 1 with full-precision
+    // doubles). Per-query at 1 decimal (run noise is coarser), total at 2.
+    def fmt(v: Double, decimals: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
-    val total = f2(results.map(_._2).sum)
+    val total = fmt(results.map(_._2).sum, 2)
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val failedJson =
       if (failed.isEmpty) "" else failed.mkString(",\"failed\":[", ",", "]")

@@ -211,6 +211,69 @@ object CurationQueries {
           |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin),
       bench = false),
 
+    // ---- snapshot upsert (MERGE without a transactional format):
+    // synthetic updates = every 10th order repriced + 50 brand-new keys;
+    // output restricted to the touched keys ----
+    QueryDef("upsert_snapshot",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val updates = base.where(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+          .unionByName(base.where(col("o_orderkey") < 50)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+        graft.operators.Snapshot.upsert(base, updates, Seq("o_orderkey"))
+          .where(col("o_orderkey") % 10 === 0 || col("o_orderkey") >= 10000000L)
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some(
+        """WITH base AS (
+          |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |), updates AS (
+          |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+          |  FROM base WHERE o_orderkey % 10 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+          |  FROM base WHERE o_orderkey < 50
+          |), merged AS (
+          |  SELECT * FROM base
+          |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+          |  UNION ALL
+          |  SELECT * FROM updates
+          |)
+          |SELECT o_orderkey, o_custkey, o_totalprice FROM merged
+          |WHERE o_orderkey % 10 = 0 OR o_orderkey >= 10000000
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- correlated LATERAL subquery (top-2 orders per customer; the
+    // decorrelation-into-window shape Catalyst plans for lateral joins) ----
+    QueryDef("join_lateral",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+        Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+        s.sql(
+          """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+            |FROM customer_lat c
+            |JOIN LATERAL (
+            |  SELECT o_orderkey, o_totalprice FROM orders_lat
+            |  WHERE o_custkey = c.c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+            |) o
+            |WHERE c.c_custkey < 200
+            |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer c
+          |JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+          |) o ON true
+          |WHERE c.c_custkey < 200
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
+      bench = false),
+
     // ---- bitwise aggregates + scalar bit ops ----
     QueryDef("bitwise_funcs",
       (s, d) => Tables.events(s, d)
