@@ -93,6 +93,30 @@ object DocQueries {
              |FROM toks ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- BPE-ish sub-word tokenization (brief: "token counting —
+    // whitespace + a BPE-ish regex"): alphanumeric runs + individual
+    // punctuation marks, the pre-merge piece inventory of a BPE
+    // tokenizer. Alternation is leftmost-first in both Java regex and
+    // RE2, so piece boundaries agree. ----
+    QueryDef("tokens_bpe",
+      (s, d) => {
+        val pieceRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            regexp_count(col("text"), lit(pieceRe)).as("n_pieces"),
+            size(array_distinct(regexp_extract_all(col("text"), lit(pieceRe), lit(0))))
+              .as("n_uniq_pieces"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        raw"""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
+             |  len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+             |    AS n_uniq_pieces
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      bench = false),
+
     // ---- content fingerprint ----
     QueryDef("text_fingerprint",
       (s, d) => Tables.documents(s, d)

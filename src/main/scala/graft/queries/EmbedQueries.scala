@@ -203,7 +203,50 @@ object EmbedQueries {
            |SELECT qid, rank, neighbor_id, cos FROM ranked
            |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
-    // ---- embedding-cosine near-dup, exact pairs (oracle baseline; capped
+    // ---- int8 symmetric quantization of the embedding column: the
+    // storage/bandwidth dial every vector store exposes. Per-vector
+    // scale = 127/max|x|; reconstruction MSE is order-exact list
+    // arithmetic (squares via multiplication, not libm pow). ----
+    QueryDef("embed_quantize",
+      (s, d) => {
+        val absmax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+        val scl = lit(127.0) / col("absmax")
+        val q = transform(col("embedding"), x => round(x.cast("double") * scl, 0).cast("int"))
+        Tables.embeddings(s, d)
+          .withColumn("absmax", absmax)
+          .withColumn("q", q)
+          .select(
+            col("vec_id"),
+            col("absmax"),
+            element_at(col("q"), 1).as("q1"),
+            aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
+            Det.fixed(
+              aggregate(
+                zip_with(col("embedding"), col("q"), (x, qi) => {
+                  val e = x.cast("double") - qi.cast("double") / scl
+                  e * e
+                }),
+                lit(0.0), (a, v) => a + v) / size(col("embedding")), 12).as("mse"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(
+        s"""WITH staged AS (
+           |  SELECT vec_id, embedding,
+           |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+           |  FROM embeddings
+           |), quant AS (
+           |  SELECT vec_id, embedding, absmax,
+           |    list_transform(embedding,
+           |      x -> CAST(ROUND(CAST(x AS DOUBLE) * (127.0 / absmax), 0) AS INT)) AS q
+           |  FROM staged
+           |)
+           |SELECT vec_id, absmax, q[1] AS q1,
+           |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+           |  ${Det.fixedSql(
+              "list_sum(list_transform(list_zip(embedding, q), " +
+              "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / (127.0 / absmax)) * " +
+              "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / (127.0 / absmax)))) / len(embedding)", 12)} AS mse
+           |FROM quant ORDER BY vec_id""".stripMargin)),
     // to the first 300 vectors -- all-pairs is the verifier, not the scale
     // path). Fixture embeddings are near-random (max pairwise cos ~0.46),
     // so threshold 0.4 exercises a real, non-empty result. ----

@@ -33,6 +33,29 @@ object EventQueries {
            |  ${Det.fixedAvgSql("value", 2)} AS avg_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- sliding windows (1h length, 30min slide): each event lands in
+    // exactly 2 windows; oracle = two epoch-aligned shifted buckets ----
+    QueryDef("events_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Det.fixedSum(col("value"), 2).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type")),
+      oracle = Some(
+        s"""WITH exploded AS (
+           |  SELECT make_timestamp((epoch_us(ts) // 1800000000 - i) * 1800000000)
+           |           AS window_start,
+           |         event_type, value
+           |  FROM events, (VALUES (0), (1)) shifts(i)
+           |)
+           |SELECT window_start, event_type,
+           |  count(*) AS n_events,
+           |  ${Det.fixedSumSql("value", 2)} AS sum_value
+           |FROM exploded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- sessionization: 30-min inactivity gap via lag + running sum ----
     QueryDef("events_sessionize",
       (s, d) => {

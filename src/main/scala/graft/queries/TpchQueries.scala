@@ -771,6 +771,58 @@ object TpchQueries {
            |    / greatest(abs(quantile_cont(l_extendedprice, 0.99)), 1.0)) < 0.02 AS p99_ok
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- correlation/covariance via exact sufficient statistics: the
+    // single-pass suffstats pattern (same shape as the EM aggregate) with
+    // scale-0 integerized inputs, so both engines hash-match the derived
+    // corr bit-for-bit; the float built-in is asserted close. corr is
+    // scale-invariant, so whole-unit rounding only perturbs it ~1e-6. ----
+    QueryDef("stats_corr",
+      (s, d) => {
+        val x = round(col("l_quantity"), 0).cast("long")
+        val y = round(col("l_extendedprice"), 0).cast("long")
+        def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"),
+            corr(col("l_quantity"), col("l_extendedprice")).as("corr_builtin"))
+          .select(
+            col("l_returnflag"), col("n"),
+            ((d2(col("n")) * d2(col("sxy")) - d2(col("sx")) * d2(col("sy"))) /
+              (sqrt(d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx"))) *
+                sqrt(d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy")))))
+              .as("corr_exact"),
+            col("corr_builtin"))
+          .withColumn("builtin_close",
+            abs(col("corr_builtin") - col("corr_exact")) < 0.0001)
+          .drop("corr_builtin") // float value is engine-ordered; only the contract is hashed
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some(
+        """SELECT l_returnflag, n, corr_exact,
+          |  abs(corr_builtin - corr_exact) < 0.0001 AS builtin_close
+          |FROM (
+          |  SELECT l_returnflag, count(*) AS n,
+          |    (CAST(count(*) AS DOUBLE) * CAST(sum(x*y) AS DOUBLE)
+          |       - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+          |    / (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x*x) AS DOUBLE)
+          |         - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+          |     * sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(y*y) AS DOUBLE)
+          |         - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE))) AS corr_exact,
+          |    corr(xr, yr) AS corr_builtin
+          |  FROM (
+          |    SELECT l_returnflag, l_quantity AS xr, l_extendedprice AS yr,
+          |      CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
+          |      CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y
+          |    FROM lineitem
+          |  )
+          |  GROUP BY 1
+          |)
+          |ORDER BY l_returnflag""".stripMargin),
+      bench = false),
+
     // ---- JSON functions: construct, extract, parse back ----
     QueryDef("json_funcs",
       (s, d) => {
