@@ -61,7 +61,8 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val failedJson =
       if (failed.isEmpty) "" else failed.mkString(",\"failed\":[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    val sfName = sfDir.split('/').last // basename keeps the line short
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfName"}""")
     spark.stop()
     if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries failed")
   }
