@@ -115,6 +115,28 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Struct-returning one-pass quantization stats (absmax, q1, q_sum,
+    * mse) — replaces a 4-HOF interpreted chain (transform + 2×aggregate +
+    * zip_with cost ~10 s at sf0.1; this kernel runs inside whole-stage
+    * codegen). NOTE: downstream `GetStructField` projections re-inline
+    * the call (CollapseProject), so the kernel may run once per extracted
+    * field — acceptable because a pass over a 64-float array is ~100 ns. */
+  case class QuantStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("absmax", DoubleType),
+      StructField("q1", IntegerType),
+      StructField("q_sum", LongType),
+      StructField("mse", DoubleType)))
+    override def prettyName: String = "quant_stats"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorOps.quantStatsFloat(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.quantStatsFloat($a);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column-level API
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -130,4 +152,6 @@ object VectorExpressions {
     GraftBridge.column(MinHashSig(GraftBridge.expression(shingles), numHashes))
   def hyperplaneSig(vec: Column, planes: Seq[Double], bits: Int): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes, bits))
+  def quantStats(vec: Column): Column =
+    GraftBridge.column(QuantStats(GraftBridge.expression(vec)))
 }

@@ -149,4 +149,54 @@ object VectorOps {
     while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
     out
   }
+
+  /** Spark's `round(x, 0)` on a double: shortest-repr BigDecimal HALF_UP,
+    * NaN/Infinity passed through (Catalyst RoundBase codegen does exactly
+    * this guard). Kept bit-identical so the quantization oracle's
+    * ROUND(...) comparison stays a hash match. */
+  private def sparkRound0(v: Double): Double =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** One-pass int8 symmetric quantization stats over a float vector:
+    * (absmax, q1, q_sum, mse) with scale = 127/absmax. Reproduces the
+    * exact composite-HOF semantics it replaces —
+    * `array_max(transform(abs))`, `round(x*scl, 0).cast(int)` per
+    * element, `aggregate` sums strictly in array order, `/ size` as
+    * double division — so the DuckDB oracle comparison is unchanged.
+    * Empty vectors (out of fixture contract) yield an all-null row. */
+  def quantStatsFloat(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+    if (n == 0) {
+      row.setNullAt(0); row.setNullAt(1); row.setNullAt(2); row.setNullAt(3)
+      return row
+    }
+    var absmax = math.abs(a.getFloat(0).toDouble)
+    var i = 1
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      // array_max ordering: NaN sorts greater than any double
+      if (v > absmax || java.lang.Double.isNaN(v)) absmax = v
+      i += 1
+    }
+    val scl = 127.0 / absmax
+    var q1 = 0
+    var qsum = 0L
+    var sse = 0.0
+    i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val q = sparkRound0(x * scl).toInt // non-ANSI double->int cast
+      if (i == 0) q1 = q
+      qsum += q
+      val e = x - q.toDouble / scl
+      sse += e * e
+      i += 1
+    }
+    row.update(0, absmax); row.update(1, q1); row.update(2, qsum)
+    row.update(3, sse / n)
+    row
+  }
 }
