@@ -848,7 +848,162 @@ object TpchQueries {
           |  CAST(json_extract(to_json(struct_pack(o_orderkey := o_orderkey,
           |                      o_orderpriority := o_orderpriority)),
           |                    '$.o_orderkey') AS BIGINT) AS parsed_key
-          |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin))
+          |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- TPC-H Q7 shape: volume shipping between a nation pair. The
+    // nation dimension joins in TWICE under different roles (supplier
+    // nation / customer nation) — both broadcast; the disjunctive pair
+    // predicate prunes after the joins. At 100 TB the two fact joins
+    // (lineitem-orders on orderkey) dominate; everything else is a
+    // broadcast of <25 rows. ----
+    QueryDef("q7_volume_shipping",
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+          .where(
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(Det.fixedSum(revenueExpr, 2).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      oracle = Some(
+        s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           |  CAST(year(l_shipdate) AS INT) AS l_year,
+           |  ${Det.fixedSumSql(revenueSql, 2)} AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- TPC-H Q8 shape: market share of one nation within a region's
+    // order volume, per year. The share is a ratio of two fixed-point-
+    // exact sums — bit-identical across engines without any final
+    // rounding (Det scaladoc corollary). ----
+    QueryDef("q8_market_share",
+      (s, d) => {
+        val n1 = Tables.nation(s, d) // customer nation -> region filter
+          .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+        val n2 = Tables.nation(s, d) // supplier nation -> share numerator
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+        val r = Tables.region(s, d).where(col("r_name") === "EUROPE")
+        val vol = Det.toFixed(revenueExpr, 2)
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg((sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0L)))
+            .cast("double") / sum(vol).cast("double")).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      oracle = Some(
+        s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+           |    THEN ${Det.toFixedSql(revenueSql, 2)} ELSE 0 END) AS DOUBLE)
+           |  / CAST(SUM(${Det.toFixedSql(revenueSql, 2)}) AS DOUBLE) AS mkt_share
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           |JOIN region ON n1.n_regionkey = r_regionkey
+           |WHERE r_name = 'EUROPE'
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = false),
+
+    // ---- TPC-H Q19 shape: disjunctive OR-of-ANDs predicate across the
+    // fact and a dimension. Catalyst extracts the common p_partkey join
+    // and pushes the p_brand/p_size disjunction to the part scan
+    // (PushedFilters shows an Or tree); the per-branch quantity bounds
+    // apply post-join. ----
+    QueryDef("q19_disjunctive_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(20, 35)))
+        .agg(count(lit(1)).as("n_items"), Det.fixedSum(revenueExpr, 2).as("revenue")),
+      oracle = Some(
+        s"""SELECT count(*) AS n_items, ${Det.fixedSumSql(revenueSql, 2)} AS revenue
+           |FROM lineitem JOIN part ON p_partkey = l_partkey
+           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           |       AND l_quantity BETWEEN 1 AND 15)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           |       AND l_quantity BETWEEN 10 AND 25)
+           |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+           |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin)),
+
+    // ---- conditional aggregates: count_if / FILTER-style conditional
+    // sum / bool_and / bool_or — all single-pass hash-agg built-ins. ----
+    QueryDef("agg_conditional",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          Det.fixedSum(when(col("o_orderstatus") === "F", col("o_totalprice")), 2)
+            .as("sum_f_price"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          bool_or(col("o_orderstatus") === "P").as("any_pending"))
+        .orderBy(col("o_orderpriority")),
+      oracle = Some(
+        s"""SELECT o_orderpriority,
+           |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           |  ${Det.fixedSumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 2)}
+           |    AS sum_f_price,
+           |  bool_and(o_totalprice > 0) AS all_positive,
+           |  bool_or(o_orderstatus = 'P') AS any_pending
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = false),
+
+    // ---- window value functions: first/last/nth over explicit ROWS
+    // frames (deterministic: ts+event_id is a total order per user). ----
+    QueryDef("window_value_funcs",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d).where(col("user_id") < 50)
+          .select(
+            col("user_id"), col("event_id"), col("value"),
+            first(col("value")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_v"),
+            last(col("value")).over(
+              w.rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("last_v"),
+            nth_value(col("value"), 2).over(wAll).as("second_v"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      oracle = Some(
+        """SELECT user_id, event_id, value,
+          |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+          |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_v,
+          |  nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_v
+          |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin),
+      bench = false)
   )
 
   private def custsIn(s: org.apache.spark.sql.SparkSession, d: String,

@@ -42,6 +42,22 @@ object Det {
     s"(ROUND(($expr) * $f, 0) / $f)"
   }
 
+  /** Per-row integerization to `scale` decimals (BIGINT units) — the
+    * building block of [[fixedSum]], exposed for conditional aggregates
+    * (e.g. a CASE over the integerized value summed exactly, then a
+    * ratio of two such sums, which is pure IEEE division of equal
+    * inputs and hence bit-identical cross-engine). */
+  def toFixed(c: Column, scale: Int): Column = {
+    val f = math.pow(10.0, scale.toDouble)
+    round(c * lit(f), 0).cast("long")
+  }
+
+  /** The DuckDB SQL text matching [[toFixed]]. */
+  def toFixedSql(expr: String, scale: Int): String = {
+    val f = "1" + ("0" * scale)
+    s"CAST(ROUND(($expr) * $f, 0) AS BIGINT)"
+  }
+
   /** Exact sum of `c` interpreted as fixed-point with `scale` decimals.
     * SQL equivalent: CAST(SUM(CAST(ROUND(c * 10^scale, 0) AS BIGINT)) AS DOUBLE) / 10^scale
     */
