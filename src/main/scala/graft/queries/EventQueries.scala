@@ -176,7 +176,8 @@ object EventQueries {
            |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
            |  ${Det.fixedSumSql("value", 2)} AS session_value
            |FROM sessions GROUP BY user_id, session_seq
-           |ORDER BY user_id, session_start""".stripMargin)),
+           |ORDER BY user_id, session_start""".stripMargin),
+      bench = false),
 
     // ---- range/interval join: purchases within 1h after each click,
     // per user. Equi-key (user_id) + range predicate -> a co-partitioned

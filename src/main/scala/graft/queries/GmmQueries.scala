@@ -58,7 +58,8 @@ object GmmQueries {
       oracle = Some(
         s"""SELECT event_id, ${Det.fixedSql("value", 2)} AS x,
            |  ${Det.fixedSql(s"EXP(-POW(value - 50.0, 2) / 5000.0) / ${math.sqrt(2.0 * math.Pi * 2500.0)}", 9)} AS pdf
-           |FROM events ORDER BY event_id""".stripMargin)),
+           |FROM events ORDER BY event_id""".stripMargin),
+      bench = false),
 
     // Log-likelihood of the fixed mixture, with the reference's -Infinity
     // guard (Main.scala:112). Per-row log values are integerized to 1e-6

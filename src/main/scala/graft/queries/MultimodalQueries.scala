@@ -51,7 +51,8 @@ object MultimodalQueries {
           |SELECT doc_id, width, height, resize_scale,
           |  CAST(floor(width * resize_scale) AS INT) AS out_w,
           |  CAST(floor(height * resize_scale) AS INT) AS out_h
-          |FROM scaled ORDER BY doc_id""".stripMargin)),
+          |FROM scaled ORDER BY doc_id""".stripMargin),
+      bench = false),
 
     // ---- frame sampling: decode -> generate frame indices (sequence +
     // explode, the generator/UDTF shape) -> keep every 5th frame ----

@@ -216,7 +216,8 @@ object TpchQueries {
         s"""SELECT l_returnflag, l_linestatus,
            |  ${Det.fixedSumSql("l_quantity", 2)} AS sum_qty, count(*) AS n
            |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+      bench = false),
 
     // ---- CUBE ----
     QueryDef("agg_cube",
@@ -562,7 +563,8 @@ object TpchQueries {
         s"""${custSql("1995-01-01", "1996-01-01")}
            |INTERSECT
            |${custSql("2000-01-01", "2001-01-01")}
-           |ORDER BY custkey""".stripMargin)),
+           |ORDER BY custkey""".stripMargin),
+      bench = false),
 
     QueryDef("set_except",
       (s, d) => {
@@ -574,7 +576,8 @@ object TpchQueries {
         s"""${custSql("1995-01-01", "1996-01-01")}
            |EXCEPT
            |${custSql("2000-01-01", "2001-01-01")}
-           |ORDER BY custkey""".stripMargin)),
+           |ORDER BY custkey""".stripMargin),
+      bench = false),
 
     // ---- global top-k: TakeOrderedAndProject, never a full sort ----
     QueryDef("sort_topk",
@@ -869,8 +872,8 @@ object TpchQueries {
           .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
           .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
           .where(
-            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+            (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18") ||
+            (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("l_year"))
           .agg(Det.fixedSum(revenueExpr, 2).as("revenue"))
@@ -886,8 +889,8 @@ object TpchQueries {
            |JOIN supplier ON l_suppkey = s_suppkey
            |JOIN nation n1 ON s_nationkey = n1.n_nationkey
            |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-           |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-           |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+           |WHERE (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+           |   OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
     // ---- TPC-H Q8 shape: market share of one nation within a region's
