@@ -727,13 +727,21 @@ object TpchQueries {
     // ---- exact percentiles (Spark `percentile` == DuckDB quantile_cont,
     // both linearly interpolated) ----
     QueryDef("agg_percentiles",
+      // The three l_quantity percentiles share ONE aggregation buffer
+      // (array-of-percentiles form) instead of three independent
+      // value-count hashmaps over the same 6M+ rows — same sort +
+      // interpolation semantics, one buffer update per row.
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          Det.fixed(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
-          Det.fixed(expr("percentile(l_quantity, 0.5)"), 6).as("median"),
-          Det.fixed(expr("percentile(l_quantity, 0.9)"), 6).as("q90"),
-          Det.fixed(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))
+          expr("percentile(l_quantity, array(0.25, 0.5, 0.9))").as("qs"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        .select(
+          col("l_returnflag"),
+          Det.fixed(element_at(col("qs"), 1), 6).as("q25"),
+          Det.fixed(element_at(col("qs"), 2), 6).as("median"),
+          Det.fixed(element_at(col("qs"), 3), 6).as("q90"),
+          Det.fixed(col("p99"), 6).as("price_p99"))
         .orderBy(col("l_returnflag")),
       oracle = Some(
         """SELECT l_returnflag,
@@ -822,6 +830,76 @@ object TpchQueries {
           |    FROM lineitem
           |  )
           |  GROUP BY 1
+          |)
+          |ORDER BY l_returnflag""".stripMargin),
+      bench = false),
+
+    // ---- linear-regression aggregates: regr_slope / regr_intercept /
+    // regr_r2 built-ins, checked against exact closed forms from
+    // integerized sufficient statistics (same determinism contract as
+    // stats_corr: the exact values hash cross-engine, the float-summed
+    // builtins are asserted within tolerance and dropped). ----
+    QueryDef("stats_regression",
+      (s, d) => {
+        val x = round(col("l_quantity"), 0).cast("long")
+        val y = round(col("l_extendedprice"), 0).cast("long")
+        def d2(c: Column) = c.cast("double")
+        val agg = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"),
+            expr("regr_slope(l_extendedprice, l_quantity)").as("slope_b"),
+            expr("regr_intercept(l_extendedprice, l_quantity)").as("icept_b"),
+            expr("regr_r2(l_extendedprice, l_quantity)").as("r2_b"))
+        val covn  = d2(col("n")) * d2(col("sxy")) - d2(col("sx")) * d2(col("sy"))
+        val varxn = d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx"))
+        val varyn = d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy"))
+        val slope = covn / varxn
+        agg.select(
+            col("l_returnflag"), col("n"),
+            slope.as("slope"),
+            ((d2(col("sy")) - slope * d2(col("sx"))) / d2(col("n"))).as("icept"),
+            ((covn * covn) / (varxn * varyn)).as("r2"),
+            col("slope_b"), col("icept_b"), col("r2_b"))
+          .withColumn("builtin_close",
+            (abs(col("slope_b") - col("slope")) / greatest(abs(col("slope")), lit(1.0)) < 1e-6) &&
+            (abs(col("icept_b") - col("icept")) / greatest(abs(col("icept")), lit(1.0)) < 1e-6) &&
+            (abs(col("r2_b") - col("r2")) < 1e-6))
+          .drop("slope_b", "icept_b", "r2_b") // float-ordered; only the contract hashes
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some(
+        """SELECT l_returnflag, CAST(n AS BIGINT) AS n, slope, icept, r2,
+          |  ((abs(slope_b - slope) / greatest(abs(slope), 1.0) < 0.000001)
+          |   AND (abs(icept_b - icept) / greatest(abs(icept), 1.0) < 0.000001)
+          |   AND (abs(r2_b - r2) < 0.000001)) AS builtin_close
+          |FROM (
+          |  SELECT l_returnflag, n, covn / varxn AS slope,
+          |    (sy - (covn / varxn) * sx) / n AS icept,
+          |    (covn * covn) / (varxn * varyn) AS r2,
+          |    slope_b, icept_b, r2_b
+          |  FROM (
+          |    SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+          |      CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+          |      CAST(count(*) AS DOUBLE) * CAST(sum(x*y) AS DOUBLE)
+          |        - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE) AS covn,
+          |      CAST(count(*) AS DOUBLE) * CAST(sum(x*x) AS DOUBLE)
+          |        - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE) AS varxn,
+          |      CAST(count(*) AS DOUBLE) * CAST(sum(y*y) AS DOUBLE)
+          |        - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE) AS varyn,
+          |      regr_slope(yr, xr) AS slope_b,
+          |      regr_intercept(yr, xr) AS icept_b,
+          |      regr_r2(yr, xr) AS r2_b
+          |    FROM (
+          |      SELECT l_returnflag, l_quantity AS xr, l_extendedprice AS yr,
+          |        CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
+          |        CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y
+          |      FROM lineitem
+          |    )
+          |    GROUP BY 1
+          |  )
           |)
           |ORDER BY l_returnflag""".stripMargin),
       bench = false),

@@ -37,6 +37,21 @@ class FormatRoundTripSpec extends SparkSpec {
     canon(back) shouldBe canon(nation)
   }
 
+  test("lineitem round-trips through ORC with predicate pushdown on read") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/lineitem"
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).where(col("l_quantity") > 40)
+    canon(back) shouldBe canon(li.where(col("l_quantity") > 40))
+    // the quantity predicate must reach the ORC scan as a pushed filter
+    val formatted = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    formatted should include("PushedFilters")
+    formatted should include("GreaterThan(l_quantity,40.0)")
+  }
+
   test("malformed CSV rows are quarantined, not fatal (PERMISSIVE + corrupt column)") {
     val dir = Files.createTempDirectory("graft-badcsv").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.csv"),
