@@ -200,6 +200,67 @@ object DocQueries {
              |    CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
              |    CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)) * 1000000, 0) / 1000000) AS jaccard
              |FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
-             |ORDER BY a_id""".stripMargin))
+             |ORDER BY a_id""".stripMargin)),
+
+    // ---- END-TO-END curation pipeline (the training-data story in one
+    // query): language-ID -> quality gate -> exact content dedup (keep
+    // lowest doc_id per fingerprint) -> per-source corpus stats. One
+    // scan, one window over the fingerprint hash-partition, one group-by:
+    // at 100 TB this is scan + 2 shuffles (fp, source), no iteration.
+    // Every stage reuses an individually-oracled operator, and the
+    // composite is oracled as one SQL pipeline too. ----
+    QueryDef("curation_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val f = TextAnalysis.qualityFeatures(col("text"))
+        val staged = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.langPredict(col("text")).as("pred_lang"),
+            Det.fixed(f.getField("quality_score"), 6).as("q"),
+            f.getField("n_tokens").as("n_tokens"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+        staged
+          .withColumn("keeper_id",
+            min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+          .where(col("doc_id") === col("keeper_id") &&
+            col("pred_lang") === "en" && col("q") >= 0.5)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("total_tokens"),
+            Det.fixedSum(col("q"), 6).as("sum_quality"))
+          .orderBy(col("source"))
+      },
+      oracle = Some {
+        val entries = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
+          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"{'hits': len(list_intersect(t, $lst)), 'lang': '$langCode'}"
+        }.mkString(",\n             |      ")
+        raw"""WITH feats AS (
+             |  SELECT doc_id, source,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             |      / len(string_split_regex(trim(text), '\s+')) AS avg_word_len,
+             |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+             |      / length(text) AS punct_ratio,
+             |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM documents
+             |), scored AS (
+             |  SELECT doc_id, source, fp, n_tokens,
+             |    (ROUND((1.0 / (1.0 + exp(-(0.01 * n_tokens + 1.0 * avg_word_len
+             |      - 20.0 * punct_ratio - 3.0)))) * 1000000, 0) / 1000000) AS q,
+             |    list_sort([
+             |      $entries])[-1].lang AS pred_lang,
+             |    min(doc_id) OVER (PARTITION BY fp) AS keeper_id
+             |  FROM feats
+             |)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  ${Det.fixedSumSql("q", 6)} AS sum_quality
+             |FROM scored
+             |WHERE doc_id = keeper_id AND pred_lang = 'en' AND q >= 0.5
+             |GROUP BY source ORDER BY source""".stripMargin
+      })
   )
 }
