@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import graft.streaming.StreamingOps.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -186,5 +186,36 @@ class StreamingSpec extends SparkSpec {
       .parquet(dir)
     val out2 = spark.read.parquet(dir)
     out2.select("event_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
+  }
+
+  test("Trigger.AvailableNow: incremental file backfill, only new files on rerun") {
+    // The production backfill pattern at 100 TB: a scheduled job drains
+    // whatever landed since the last run and exits — streaming-engine
+    // bookkeeping (checkpointed file offsets), batch-job lifecycle.
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val schema = Tables.orders(spark, sf).schema
+
+    Tables.orders(spark, sf).where(col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(inDir)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(inDir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination() // AvailableNow self-terminates when drained
+    }
+    drain()
+    val afterFirst = spark.read.parquet(outDir).count()
+    afterFirst shouldBe Tables.orders(spark, sf).where(col("o_orderkey") % 2 === 0).count()
+
+    // more files land; the rerun must process ONLY the delta
+    Tables.orders(spark, sf).where(col("o_orderkey") % 2 === 1)
+      .write.mode("append").parquet(inDir)
+    drain()
+    spark.read.parquet(outDir).count() shouldBe Tables.orders(spark, sf).count()
+    spark.read.parquet(outDir).select("o_orderkey").distinct().count() shouldBe
+      Tables.orders(spark, sf).count()
   }
 }
