@@ -254,6 +254,45 @@ object EventQueries {
           |  count(*) FILTER (event_type = 'purchase') AS purchase,
           |  count(*) FILTER (event_type = 'signup') AS signup,
           |  count(*) FILTER (event_type = 'view') AS view
-          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- KEYLESS interval join via time-banding (RangeJoin): purchases
+    // by ANY user within 1h after each click. No equality conjunct exists,
+    // so a direct theta join would plan BroadcastNestedLoopJoin (|L|x|R|
+    // at scale); the banded rewrite joins on an integer time-band key and
+    // filters the exact interval inside each band — one shuffle, local
+    // joins. Inner banded join + left join of aggregates back onto clicks
+    // preserves zero-match clicks. ----
+    QueryDef("join_banded_interval",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id").as("click_event_id"), col("ts").as("click_ts"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("ts").as("p_ts"), col("value"))
+        val agg = graft.operators.RangeJoin
+          .bandedIntervalAfter(clicks, purchases, "click_ts", "p_ts", widthSec = 3600L)
+          .groupBy(col("click_event_id"))
+          .agg(count(col("p_ts")).as("n_purchases"),
+            Det.fixedSum(col("value"), 2).as("purchase_value"))
+        clicks.join(agg, Seq("click_event_id"), "left")
+          .select(col("click_event_id"), col("click_ts"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+            col("purchase_value"))
+          .orderBy(col("click_event_id"))
+      },
+      oracle = Some(
+        s"""WITH clicks AS (
+           |  SELECT event_id AS click_event_id, ts AS click_ts
+           |  FROM events WHERE event_type = 'click'
+           |), purchases AS (
+           |  SELECT ts AS p_ts, value FROM events WHERE event_type = 'purchase'
+           |)
+           |SELECT c.click_event_id, c.click_ts,
+           |  count(p.p_ts) AS n_purchases,
+           |  ${Det.fixedSumSql("p.value", 2)} AS purchase_value
+           |FROM clicks c LEFT JOIN purchases p
+           |  ON p.p_ts > c.click_ts AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   )
 }
