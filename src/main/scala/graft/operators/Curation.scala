@@ -101,4 +101,49 @@ object Curation {
     }
     labels.withColumnRenamed("lab", "cluster_id")
   }
+
+  /** Train/test decontamination: for every train document, the test
+    * document sharing the most distinct word k-shingles, as an overlap
+    * fraction of the train doc's own shingle set. The standard
+    * "benchmark leaked into the training corpus" check.
+    *
+    * Dataflow: explode distinct shingles per side (native
+    * [[TextAnalysis.wordShingles]] kernel), equi-join on the shingle,
+    * count shared per (train, test) pair, keep each train doc's
+    * lexicographic max (shared, test_id) — deterministic tie-break —
+    * and left-join back so clean docs survive with overlap 0.
+    *
+    * Scale: the shuffle key is the shingle string; at 100 TB join on
+    * xxhash64(shingle) instead (8-byte shuffle rows, collision odds
+    * ~n²/2⁶⁴) and pre-aggregate the test side to distinct shingles —
+    * its size is the benchmark suite, usually broadcastable. The output
+    * is O(|train|). */
+  def crossCorpusOverlap(
+      train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val trainSh = train.select(col(idCol).as("train_id"),
+      explode(TextAnalysis.wordShingles(col(textCol), k)).as("s"))
+    val testSh = test.select(col(idCol).as("test_id"),
+      explode(TextAnalysis.wordShingles(col(textCol), k)).as("s"))
+    val nSh = trainSh.groupBy(col("train_id")).agg(count(lit(1)).as("n_sh"))
+    val best = trainSh.join(testSh, Seq("s"))
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("shared"))
+      .groupBy(col("train_id"))
+      .agg(max(struct(col("shared"), col("test_id"))).as("b"))
+      .select(col("train_id"), col("b.shared").as("shared"),
+        col("b.test_id").as("best_test_id"))
+    train.select(col(idCol).as("train_id"))
+      .join(nSh, Seq("train_id"), "left")
+      .join(best, Seq("train_id"), "left")
+      .select(
+        col("train_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        col("best_test_id"),
+        (col("shared").cast("double") / col("n_sh").cast("double")).as("overlap_frac"),
+        coalesce(col("shared").cast("double") / col("n_sh").cast("double")
+          >= threshold, lit(false)).as("contaminated"))
+  }
 }

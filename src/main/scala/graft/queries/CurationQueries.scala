@@ -291,6 +291,55 @@ object CurationQueries {
           |  bit_xor(user_id) AS bxor, count(*) AS n,
           |  bit_count(bit_or(user_id)) AS bor_bits
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
-      bench = false)
+      bench = false),
+
+    // ---- train/test decontamination: word-3-shingle overlap of every
+    // train doc (source != src0) against the test corpus (source = src0).
+    // Deterministic argmax via lexicographic max(struct(shared, test_id))
+    // on both engines; overlap_frac is an exact int/int IEEE division. ----
+    QueryDef("decontam_overlap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.crossCorpusOverlap(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "doc_id", "text", k = 3, threshold = 0.5)
+          .orderBy(col("train_id"))
+      },
+      oracle = Some(
+        raw"""WITH sh AS (
+             |  SELECT doc_id, source, unnest(list_distinct(
+             |    CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+             |    ELSE list_transform(range(1, len(t) - 1),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+             |  FROM (SELECT doc_id, source,
+             |          string_split_regex(trim(text), '\s+') AS t
+             |        FROM documents)
+             |), nsh AS (
+             |  SELECT doc_id AS train_id, count(*) AS n_sh FROM sh
+             |  WHERE source <> 'src0' GROUP BY 1
+             |), best AS (
+             |  SELECT train_id,
+             |    max(struct_pack(shared := shared, tid := test_id)).shared AS shared,
+             |    max(struct_pack(shared := shared, tid := test_id)).tid AS best_test_id
+             |  FROM (
+             |    SELECT a.doc_id AS train_id, b.doc_id AS test_id, count(*) AS shared
+             |    FROM sh a JOIN sh b ON a.s = b.s
+             |    WHERE a.source <> 'src0' AND b.source = 'src0'
+             |    GROUP BY 1, 2
+             |  ) GROUP BY 1
+             |)
+             |SELECT d.doc_id AS train_id,
+             |  coalesce(nsh.n_sh, 0) AS n_sh,
+             |  coalesce(best.shared, 0) AS shared,
+             |  best.best_test_id AS best_test_id,
+             |  CAST(best.shared AS DOUBLE) / CAST(nsh.n_sh AS DOUBLE) AS overlap_frac,
+             |  coalesce(CAST(best.shared AS DOUBLE) / CAST(nsh.n_sh AS DOUBLE) >= 0.5,
+             |    false) AS contaminated
+             |FROM documents d
+             |LEFT JOIN nsh ON d.doc_id = nsh.train_id
+             |LEFT JOIN best ON d.doc_id = best.train_id
+             |WHERE d.source <> 'src0'
+             |ORDER BY train_id""".stripMargin))
   )
 }
