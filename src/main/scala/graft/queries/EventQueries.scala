@@ -293,6 +293,31 @@ object EventQueries {
            |  ${Det.fixedSumSql("p.value", 2)} AS purchase_value
            |FROM clicks c LEFT JOIN purchases p
            |  ON p.p_ts > c.click_ts AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR
-           |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // ---- VARIANT (Spark 4 semi-structured type): parse once, extract
+    // typed paths. At scale VARIANT beats per-path get_json_object — the
+    // binary encoding parses the JSON once per row instead of once per
+    // extraction, and columnar readers can shred frequent paths. ----
+    QueryDef("variant_funcs",
+      (s, d) => {
+        val v = parse_json(col("props"))
+        Tables.events(s, d).where(col("event_id") < 2000)
+          .select(
+            col("event_id"),
+            variant_get(v, "$.k", "int").as("k_int"),
+            variant_get(v, "$.k", "string").as("k_str"),
+            variant_get(v, "$.missing", "int").as("k_missing"),
+            is_variant_null(variant_get(v, "$.k", "variant")).as("k_is_jsonnull"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |  CAST(json_extract(props, '$.k') AS INT) AS k_int,
+          |  json_extract_string(props, '$.k') AS k_str,
+          |  CAST(json_extract(props, '$.missing') AS INT) AS k_missing,
+          |  false AS k_is_jsonnull
+          |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin),
+      bench = false)
   )
 }
