@@ -363,6 +363,27 @@ object TpchQueries {
            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // ---- grouping()/grouping_id(): distinguish "NULL because subtotal"
+    // from "NULL in the data" — the disambiguator every ROLLUP consumer
+    // needs. ----
+    QueryDef("agg_grouping_id",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      oracle = Some(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(GROUPING(l_returnflag) AS TINYINT) AS g_rf,
+          |  CAST(GROUPING(l_linestatus) AS TINYINT) AS g_ls,
+          |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+      bench = false),
+
     // ---- map construction + generator (explode) round-trip: per-customer
     // order-priority counts as a MAP column, exploded back to rows. The
     // relational result is oracle-checkable without DuckDB MAP support. ----
