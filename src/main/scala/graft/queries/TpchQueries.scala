@@ -424,6 +424,34 @@ object TpchQueries {
     // contract is the error bound: |approx - exact| / exact < 5% (Spark
     // HLL++ rsd default 5%; DuckDB HLL ~1.6%) — both engines must emit
     // approx_ok = true alongside the identical exact count.
+    // ---- mergeable HLL sketches (DataSketches): per-group sketch ->
+    // union -> estimate. THE 100 TB cardinality pattern: sketch once per
+    // partition/day at ingest, union lazily for any rollup — no re-scan.
+    // Estimates are engine-specific, so the hashed contract is the
+    // tolerance bool (oracle pins `true`; a sketch drifting >5% off the
+    // exact count fails the gate) next to exact values. ----
+    QueryDef("agg_sketch_union",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val perFlag = li.groupBy(col("l_returnflag"))
+          .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        val est = perFlag.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          count(lit(1)).as("n_groups"))
+        val exact = li.agg(countDistinct(col("l_partkey")).as("exact_total"))
+        est.crossJoin(exact).select(
+          col("n_groups"),
+          col("exact_total"),
+          (abs(col("est") - col("exact_total")).cast("double") /
+            col("exact_total").cast("double") < 0.05).as("sketch_ok"))
+      },
+      oracle = Some(
+        """SELECT count(DISTINCT l_returnflag) AS n_groups,
+          |  count(DISTINCT l_partkey) AS exact_total,
+          |  true AS sketch_ok
+          |FROM lineitem""".stripMargin),
+      bench = false),
+
     QueryDef("agg_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
