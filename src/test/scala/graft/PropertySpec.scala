@@ -65,4 +65,40 @@ object PropertySpec extends Properties("graft") {
       val ab = r.getDouble(0); val ba = r.getDouble(1)
       ab == ba && ab >= -1.0000000001 && ab <= 1.0000000001
     }
+
+  // Non-zero vectors: absmax 0 makes scale infinite (out of the
+  // quantization contract, as documented on VectorOps.quantStatsFloat).
+  private val nonZeroVecGen =
+    Gen.listOfN(16, Gen.choose(-10.0f, 10.0f)).map(_.toArray)
+      .suchThat(v => v.exists(_ != 0.0f))
+
+  property("QuantStats kernel == the composite-HOF quantization it replaced") =
+    forAll(nonZeroVecGen) { v =>
+      val df = Seq(Tuple1(v)).toDF("embedding")
+      val qs = VectorExpressions.quantStats(col("embedding"))
+      val got = df.select(
+        qs.getField("absmax"), qs.getField("q1"),
+        qs.getField("q_sum"), qs.getField("mse")).head()
+
+      val absmax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      val want = df.withColumn("absmax", absmax)
+        .withColumn("q", transform(col("embedding"),
+          x => round(x.cast("double") * (lit(127.0) / col("absmax")), 0).cast("int")))
+        .select(
+          col("absmax"),
+          element_at(col("q"), 1),
+          aggregate(col("q"), lit(0L), (a, x) => a + x),
+          aggregate(
+            zip_with(col("embedding"), col("q"), (x, qi) => {
+              val e = x.cast("double") - qi.cast("double") / (lit(127.0) / col("absmax"))
+              e * e
+            }),
+            lit(0.0), (a, x) => a + x) / size(col("embedding")))
+        .head()
+
+      got.getDouble(0) == want.getDouble(0) &&
+        got.getInt(1) == want.getInt(1) &&
+        got.getLong(2) == want.getLong(2) &&
+        got.getDouble(3) == want.getDouble(3)
+    }
 }
