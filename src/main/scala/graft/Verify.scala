@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Static conf: default codegen cache is 100 entries — a 90+-query
+      // suite evicts the iterative EM loop's stable entry mid-run, so its
+      // 10 iterations recompile (observed as random 10-18 s em_gmm
+      // transients). 1000 entries fits the whole catalog.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
