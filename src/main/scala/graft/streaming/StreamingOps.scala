@@ -154,4 +154,24 @@ object StreamingOps {
       .select(col("click_event_id"), col("user_id"), col("click_ts"),
         col("p_ts"), col("purchase_value"))
   }
+
+  /** Streaming sufficient statistics — the reference's M-step inputs
+    * (n, Σx, Σx²; SURVEY §4.3) maintained incrementally per key by
+    * built-in streaming aggregation in Update mode. Model parameters
+    * (mean, variance) are derived columns of the state, refreshed each
+    * micro-batch without ever re-scanning history: the streaming dual
+    * of the batch `em_suffstats_udaf` pass. State size is O(keys),
+    * merge is associative — the same partial-aggregate machinery as the
+    * batch plan, just checkpointed. */
+  def streamingSuffStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("s1"),
+        sum(col("value") * col("value")).as("s2"))
+      .select(col("event_type"), col("n"), col("s1"), col("s2"),
+        (col("s1") / col("n")).as("mean"),
+        (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+          .as("var_pop"))
 }

@@ -188,6 +188,33 @@ class StreamingSpec extends SparkSpec {
     out2.select("event_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
   }
 
+  test("streamingSuffStats: incremental state equals the batch suffstats pass") {
+    val events = Seq(
+      Event(1, ts(1), 1, "view", 2.0), Event(2, ts(2), 1, "view", 4.0),
+      Event(3, ts(3), 2, "click", 1.0), Event(4, ts(4), 2, "view", 6.0),
+      Event(5, ts(5), 3, "click", 3.0))
+    val in = MemoryStream[Event]
+    val q = StreamingOps.streamingSuffStats(in.toDF())
+      .writeStream.format("memory").queryName("suffstats")
+      .outputMode("update").start()
+    try {
+      in.addData(events.take(2): _*); q.processAllAvailable()
+      in.addData(events.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    // final emission per key = the one with the largest n (state n is
+    // nondecreasing across micro-batches) == batch agg over everything
+    val got = spark.table("suffstats")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("n").desc)))
+      .where(col("rn") === 1).drop("rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5))).toSet
+    val want = StreamingOps.streamingSuffStats(events.toDF())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5))).toSet
+    got shouldBe want
+    want.map(_._1) shouldBe Set("view", "click")
+  }
+
   test("Trigger.AvailableNow: incremental file backfill, only new files on rerun") {
     // The production backfill pattern at 100 TB: a scheduled job drains
     // whatever landed since the last run and exits — streaming-engine
