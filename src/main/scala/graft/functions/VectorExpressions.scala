@@ -115,6 +115,22 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** [[VectorOps.wordShinglesAll]] as an expression: every k-shingle in
+    * position order (non-distinct), for `posexplode`-based span
+    * coverage. */
+  case class WordShinglesAll(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles_all"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorOps.wordShinglesAll(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.wordShinglesAll($a, $k);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Struct-returning one-pass quantization stats (absmax, q1, q_sum,
     * mse) — replaces a 4-HOF interpreted chain (transform + 2×aggregate +
     * zip_with cost ~10 s at sf0.1; this kernel runs inside whole-stage
@@ -154,4 +170,6 @@ object VectorExpressions {
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes, bits))
   def quantStats(vec: Column): Column =
     GraftBridge.column(QuantStats(GraftBridge.expression(vec)))
+  def wordShinglesAll(text: Column, k: Int): Column =
+    GraftBridge.column(WordShinglesAll(GraftBridge.expression(text), k))
 }

@@ -150,6 +150,27 @@ object VectorOps {
     out
   }
 
+  /** ALL word k-shingles in document order (non-distinct) — one entry
+    * per position, so `posexplode` recovers span positions for
+    * substring-span coverage arithmetic. Same tokenization contract as
+    * [[wordShingles]] (trim + `\s+`); empty when fewer than k tokens. */
+  def wordShinglesAll(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val s = text.toString.trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = s.split("\\s+")
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - k + 1)
+    var i = 0
+    while (i + k <= toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Spark's `round(x, 0)` on a double: shortest-repr BigDecimal HALF_UP,
     * NaN/Infinity passed through (Catalyst RoundBase codegen does exactly
     * this guard). Kept bit-identical so the quantization oracle's

@@ -214,4 +214,48 @@ object Dedup {
         col("best.hamming").as("nn_hamming"), col("best.b").as("nn_id"))
     fp.join(cand, Seq("id"), "left")
   }
+
+  /** Exact substring-span duplication metric (the "remove repeated
+    * spans" training-data op): per document, the fraction of tokens
+    * covered by word k-grams that also occur in at least one OTHER
+    * document. Coverage is an exact interval union — positions of
+    * cross-doc-duplicated spans, each covering [pos, pos+k), merged via
+    * a running-max window (`prev_max = max(pos+k) over preceding`,
+    * contribution = max(0, pos+k - max(prev_max, pos))).
+    *
+    * Dataflow at scale: one posexplode of the ordered-shingle kernel
+    * (rows = tokens), one shuffle on the span for the cross-doc count,
+    * one shuffle back on doc_id for the coverage window — all exact
+    * integer arithmetic, fully oracle-hashable. At 100 TB the span key
+    * becomes xxhash64(span) and frequent spans (stopword runs) are the
+    * skew to salt. */
+  def spanDuplication(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val spans = docs.select(col(idCol).as("doc_id"),
+        size(split(trim(col(textCol)), "\\s+")).as("n_tokens"),
+        posexplode(VectorExpressions.wordShinglesAll(col(textCol), k))
+          .as(Seq("pos", "span")))
+    val crossDocSpans = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("span"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = spans.join(crossDocSpans, Seq("span"))
+      .withColumn("prev_max", max(col("pos") + lit(k)).over(w))
+      .withColumn("contrib", greatest(lit(0),
+        col("pos") + lit(k) -
+          greatest(coalesce(col("prev_max"), lit(0)), col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("contrib")).cast("long").as("covered_tokens"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_ratio"))
+  }
 }

@@ -202,6 +202,47 @@ object DocQueries {
              |FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
              |ORDER BY a_id""".stripMargin)),
 
+    // ---- exact substring-span duplication (the "remove repeated spans"
+    // op): per doc, fraction of tokens covered by word 5-grams occurring
+    // in >= 2 documents — interval-union coverage, all exact integers,
+    // hence fully oracle-hashable unlike hash-family near-dup ops. ----
+    QueryDef("dedup_span_coverage",
+      (s, d) => Dedup.spanDuplication(Tables.documents(s, d), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        raw"""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+             |), pos_spans AS (
+             |  SELECT doc_id, sp.pos AS pos, sp.span AS span
+             |  FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+             |      i -> {'pos': i, 'span': array_to_string(t[i:i+4], ' ')})) AS sp
+             |    FROM toks
+             |  )
+             |), dup AS (
+             |  SELECT span FROM pos_spans GROUP BY span
+             |  HAVING count(DISTINCT doc_id) >= 2
+             |), contrib AS (
+             |  SELECT p.doc_id,
+             |    greatest(0, p.pos + 5 - greatest(coalesce(
+             |      max(p.pos + 5) OVER (PARTITION BY p.doc_id ORDER BY p.pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+             |      p.pos)) AS c
+             |  FROM pos_spans p JOIN dup USING (span)
+             |), agg AS (
+             |  SELECT doc_id, count(*) AS n_dup_spans,
+             |    CAST(sum(c) AS BIGINT) AS covered_tokens
+             |  FROM contrib GROUP BY 1
+             |)
+             |SELECT d.doc_id AS doc_id,
+             |  CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
+             |  coalesce(agg.n_dup_spans, 0) AS n_dup_spans,
+             |  coalesce(agg.covered_tokens, 0) AS covered_tokens,
+             |  CAST(coalesce(agg.covered_tokens, 0) AS DOUBLE)
+             |    / CAST(len(string_split_regex(trim(d.text), '\s+')) AS DOUBLE) AS dup_ratio
+             |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- END-TO-END curation pipeline (the training-data story in one
     // query): language-ID -> quality gate -> exact content dedup (keep
     // lowest doc_id per fingerprint) -> per-source corpus stats. One
