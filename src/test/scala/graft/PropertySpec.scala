@@ -66,6 +66,25 @@ object PropertySpec extends Properties("graft") {
       ab == ba && ab >= -1.0000000001 && ab <= 1.0000000001
     }
 
+  property("bandedIntervalAfter == theta join on random timestamps") = {
+    val rowGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 1000L), Gen.choose(0L, 5000L))) // (id, epochSec)
+    forAll(rowGen, rowGen, Gen.choose(1L, 600L)) { (ls, rs, w) =>
+      val l = ls.zipWithIndex.map { case ((_, s), i) =>
+        (i.toLong, new java.sql.Timestamp(s * 1000L)) }.toDF("l_id", "l_ts")
+      val r = rs.zipWithIndex.map { case ((_, s), i) =>
+        (i.toLong, new java.sql.Timestamp(s * 1000L)) }.toDF("r_id", "r_ts")
+      val banded = graft.operators.RangeJoin
+        .bandedIntervalAfter(l, r, "l_ts", "r_ts", w)
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+      val theta = l.join(r,
+          col("r_ts") > col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr(s"INTERVAL $w SECOND"))
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+      banded.toSet == theta.toSet && banded.length == theta.length // no dup pairs
+    }
+  }
+
   // Non-zero vectors: absmax 0 makes scale infinite (out of the
   // quantization contract, as documented on VectorOps.quantStatsFloat).
   private val nonZeroVecGen =
