@@ -258,4 +258,32 @@ object Dedup {
         (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double")).as("dup_ratio"))
   }
+
+  /** The removal action for [[spanDuplication]]: rebuild each document
+    * keeping only tokens NOT covered by a cross-doc duplicated k-gram.
+    * Duplicated span start positions are gathered per doc (array size ≤
+    * token count), and an indexed `filter` HOF drops covered tokens —
+    * per-doc O(tokens × dup-spans), fine because both are document-
+    * bounded; the corpus-scale work (finding the spans) is the same
+    * two-shuffle dataflow as the metric. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val spans = docs.select(col(idCol).as("doc_id"),
+        posexplode(VectorExpressions.wordShinglesAll(col(textCol), k))
+          .as(Seq("pos", "span")))
+    val crossDocSpans = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("span"))
+    val dupStarts = spans.join(crossDocSpans, Seq("span"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(toks, (t, i) =>
+          !exists(coalesce(col("starts"), array().cast("array<int>")),
+            p => i >= p && i < p + lit(k)))).as("clean_text"))
+  }
 }

@@ -93,4 +93,29 @@ class DedupSpec extends SparkSpec {
       .select(TextAnalysis.wordShingles(col("text"), 3).as("sh")).head()
     r.getSeq[String](0) shouldBe Seq.empty
   }
+
+  test("spanDuplication: exact dups fully covered, unique docs at zero") {
+    val got = Dedup.spanDuplication(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    got(0L) shouldBe 1.0 // exact dup pair 0/1: every span shared
+    got(1L) shouldBe 1.0
+    got(3L) shouldBe 0.0 // unique docs share no 5-gram
+    got(4L) shouldBe 0.0
+    got(5L) should (be >= 0.5 and be < 1.0) // shares base's spans, not the tail
+  }
+
+  test("removeDuplicatedSpans drops exactly the cross-doc spans") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta unique one"),
+      (1L, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+      (2L, "totally different text with no shared five gram")).toDF("doc_id", "text")
+    val cleaned = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // shared 6-token run covers spans starting at its first 2 positions:
+    // tokens alpha..zeta go; the unshared tails stay
+    cleaned(0L) shouldBe "unique one"
+    cleaned(1L) shouldBe "prefix words suffix"
+    cleaned(2L) shouldBe "totally different text with no shared five gram"
+  }
 }
