@@ -347,6 +347,85 @@ object TpchQueries {
           |  WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- TPC-H Q13 shape: order-count distribution including
+    // zero-order customers (left join + count of the nullable side,
+    // then a second aggregation over the counts). ----
+    QueryDef("q13_custdist",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      oracle = Some(
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c_custkey, count(o_orderkey) AS c_count
+          |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |  GROUP BY c_custkey
+          |) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      bench = false),
+
+    // ---- TPC-H Q17 shape: correlated scalar-aggregate subquery per
+    // part (decorrelated by Catalyst into an aggregate + join). The
+    // threshold avg(l_quantity) is a sum of small integers in double —
+    // exact under any merge order, so the filter is cross-engine-safe. ----
+    QueryDef("q17_small_quantity_revenue",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q17")
+        Tables.part(s, d).createOrReplaceTempView("part_q17")
+        s.sql(
+          s"""SELECT ${Det.fixedSumSql("l_extendedprice", 2)} / 7.0 AS avg_yearly,
+             |  count(*) AS n_items
+             |FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#23'
+             |  AND l_quantity < 0.2 * (
+             |    SELECT avg(l2.l_quantity) FROM lineitem_q17 l2
+             |    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+      },
+      oracle = Some(
+        s"""SELECT ${Det.fixedSumSql("l_extendedprice", 2)} / 7.0 AS avg_yearly,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN part ON p_partkey = l_partkey
+           |WHERE p_brand = 'Brand#23'
+           |  AND l_quantity < 0.2 * (
+           |    SELECT avg(l2.l_quantity) FROM lineitem l2
+           |    WHERE l2.l_partkey = p_partkey)""".stripMargin),
+      bench = false),
+
+    // ---- TPC-H Q22 shape: positive-balance customers above the exact
+    // (integerized) average with no RECENT orders (the fixture has no
+    // fully order-less customers) — scalar subquery + anti join,
+    // grouped by a derived country code. ----
+    QueryDef("q22_global_sales_opportunity",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_q22")
+        Tables.orders(s, d).createOrReplaceTempView("orders_q22")
+        s.sql(
+          s"""SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
+             |  ${Det.fixedSumSql("c_acctbal", 2)} AS totacctbal
+             |FROM customer_q22 c
+             |WHERE c_acctbal > (
+             |    SELECT ${Det.fixedAvgSql("c2.c_acctbal", 2)}
+             |    FROM customer_q22 c2 WHERE c2.c_acctbal > 0)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM orders_q22 o WHERE o.o_custkey = c.c_custkey
+             |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      oracle = Some(
+        s"""SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
+           |  ${Det.fixedSumSql("c_acctbal", 2)} AS totacctbal
+           |FROM customer c
+           |WHERE c_acctbal > (
+           |    SELECT ${Det.fixedAvgSql("c2.c_acctbal", 2)}
+           |    FROM customer c2 WHERE c2.c_acctbal > 0)
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = false),
+
     // ---- GROUPING SETS (explicit set list, Dataset.groupingSets) ----
     QueryDef("agg_grouping_sets",
       (s, d) => Tables.lineitem(s, d)
