@@ -117,6 +117,38 @@ object DocQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       bench = false),
 
+    // ---- the first BPE TRAINING step: corpus-wide adjacent-piece pair
+    // frequencies, top-20. BPE training is "repeatedly merge the most
+    // frequent adjacent pair"; this is one full iteration of the count —
+    // a map-side pair explode + one count shuffle, embarrassingly
+    // parallel at 100 TB. Deterministic ordering: (count desc, pair). ----
+    QueryDef("tokens_bpe_pairs",
+      (s, d) => {
+        val pieceRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+        val pieces = regexp_extract_all(col("text"), lit(pieceRe), lit(0))
+        Tables.documents(s, d)
+          .select(explode(zip_with(
+            slice(pieces, lit(1), greatest(size(pieces) - 1, lit(0))),
+            slice(pieces, lit(2), greatest(size(pieces) - 1, lit(0))),
+            (a, b) => concat_ws(" ", a, b))).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      oracle = Some(
+        raw"""WITH pieces AS (
+             |  SELECT regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]') AS p
+             |  FROM documents
+             |), pairs AS (
+             |  SELECT unnest(list_transform(range(1, len(p)),
+             |    i -> p[i] || ' ' || p[i+1])) AS pair
+             |  FROM pieces
+             |)
+             |SELECT pair, count(*) AS n FROM pairs
+             |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+      bench = false),
+
     // ---- content fingerprint ----
     QueryDef("text_fingerprint",
       (s, d) => Tables.documents(s, d)
