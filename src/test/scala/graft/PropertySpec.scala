@@ -66,6 +66,22 @@ object PropertySpec extends Properties("graft") {
       ab == ba && ab >= -1.0000000001 && ab <= 1.0000000001
     }
 
+  private val textGen = Gen.listOfN(25,
+    Gen.oneOf("spark", "data", "join", "agg", "row", "batch", "stream"))
+    .map(_.mkString(" "))
+
+  property("wordShinglesAll: distinct+order == wordShingles; count == n-k+1") =
+    forAll(textGen, Gen.choose(1, 6)) { (text, k) =>
+      val df = Seq(Tuple1(text)).toDF("text")
+      val r = df.select(
+        VectorExpressions.wordShinglesAll(col("text"), k).as("all"),
+        VectorExpressions.wordShingles(col("text"), k).as("dist")).head()
+      val all = r.getSeq[String](0); val dist = r.getSeq[String](1)
+      val nToks = text.trim.split("\\s+").length
+      all.distinct == dist &&
+        all.length == (if (nToks < k) 0 else nToks - k + 1)
+    }
+
   property("bandedIntervalAfter == theta join on random timestamps") = {
     val rowGen = Gen.listOfN(30,
       Gen.zip(Gen.choose(0L, 1000L), Gen.choose(0L, 5000L))) // (id, epochSec)
