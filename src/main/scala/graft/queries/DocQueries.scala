@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.operators.{Dedup, TextAnalysis}
 import graft.util.Det
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-corpus curation queries over `documents` (SURVEY.md §7.6 +
@@ -207,6 +208,202 @@ object DocQueries {
           col("nn_id"), col("nn_hamming"))
         .orderBy(col("doc_id")),
       oracle = None),
+
+    // ---- MinHash + LSH oracle twin: the SAME banded-LSH dataflow as
+    // dedup_minhash_lsh (signatures -> band buckets -> in-bucket pairs ->
+    // exact-Jaccard verify -> per-doc best), but the hash family is
+    // md5-derived — h = first 15 hex chars of md5(shingle) as a 60-bit
+    // int, Kirsch-Mitzenmacher g_i = (h>>30 + i*(h&2^30-1)) mod p over
+    // its 30-bit halves — so DuckDB recomputes IDENTICAL signatures,
+    // buckets, candidates and verified pairs: an exact hash-match oracle
+    // for the full near-dup pipeline. The murmur-family native kernel
+    // stays the bench/scale path (one md5 per shingle here costs ~10x a
+    // murmur round); this twin exists to pin the PIPELINE semantics
+    // cross-engine, not to race. bench=false. ----
+    QueryDef("dedup_minhash_oracle",
+      (s, d) => {
+        val kSh = 3; val nHashes = 16; val bands = 4
+        val rowsPerBand = nHashes / bands
+        val prime = 1073741789L; val mask = 1073741823L // 2^30 - 1
+        val toks = split(trim(col("text")), "\\s+")
+        val shingles = when(size(toks) >= kSh,
+          array_distinct(transform(
+            sequence(lit(1), size(toks) - lit(kSh - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(kSh))))))
+          .otherwise(array().cast("array<string>"))
+        def h60(x: Column): Column =
+          conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")
+        // Staged (id, sh, harr) persisted so the bucket/verify self-joins
+        // read materialized arrays (one md5 per shingle; CollapseProject
+        // would otherwise re-inline the hash per consumer — see NOTES).
+        val staged = Tables.documents(s, d)
+          .select(col("doc_id").as("id"), shingles.as("sh"))
+          .withColumn("harr", transform(col("sh"), x => h60(x)))
+          .persist()
+        val sig = transform(sequence(lit(0), lit(nHashes - 1)),
+          i => array_min(transform(col("harr"),
+            h => (shiftright(h, 30) + i.cast("long") * h.bitwiseAND(lit(mask))) % lit(prime))))
+        val sigged = staged.where(size(col("sh")) > 0).withColumn("sig", sig)
+        val bandKeys = (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until rowsPerBand).map(r =>
+              col("sig").getItem(b * rowsPerBand + r)): _*).as("bucket"))
+        }
+        val buckets = sigged
+          .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+          .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        val cand = buckets.select(col("band"), col("bucket"), col("id").as("a"))
+          .join(buckets.select(col("band"), col("bucket"), col("id").as("b")),
+            Seq("band", "bucket"))
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        val sh = staged.select(col("id"), col("sh"))
+        val ver = cand
+          .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+          .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+          .withColumn("jaccard",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .where(col("jaccard") >= 0.5)
+        val sym = ver.select(col("a").as("doc_id"), col("b").as("other"), col("jaccard"))
+          .union(ver.select(col("b").as("doc_id"), col("a").as("other"), col("jaccard")))
+        // best_jaccard is a ratio of two exact ints — pure IEEE division,
+        // bit-identical cross-engine, no rounding needed (Det scaladoc).
+        val best = sym.groupBy(col("doc_id"))
+          .agg(max(struct(col("jaccard"), col("other"))).as("m"))
+          .select(col("doc_id"), col("m.jaccard").as("best_jaccard"),
+            col("m.other").as("best_match_id"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(best, Seq("doc_id"), "left")
+          .withColumn("is_near_duplicate", col("best_jaccard").isNotNull)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        raw"""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(t) - 1),
+             |        i -> array_to_string(t[i:i+2], ' ')))
+             |    ELSE CAST([] AS VARCHAR[]) END AS sh
+             |  FROM toks
+             |), hs AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(sh, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS harr
+             |  FROM sh
+             |), sigs AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 16), i -> list_min(list_transform(harr,
+             |      h -> ((h >> 30) + i * (h & 1073741823)) % 1073741789))) AS sig
+             |  FROM hs WHERE len(sh) > 0
+             |), buckets AS (
+             |  SELECT s.doc_id, b.band,
+             |    array_to_string(s.sig[b.band*4+1 : b.band*4+4], ',') AS bucket
+             |  FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+             |), cand AS (
+             |  SELECT l.doc_id AS a, r.doc_id AS b
+             |  FROM buckets l JOIN buckets r USING (band, bucket)
+             |  WHERE l.doc_id < r.doc_id
+             |  GROUP BY 1, 2
+             |), ver AS (
+             |  SELECT c.a AS a, c.b AS b,
+             |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+             |  FROM cand c JOIN hs x ON x.doc_id = c.a JOIN hs y ON y.doc_id = c.b
+             |), kept AS (
+             |  SELECT * FROM ver WHERE jaccard >= 0.5
+             |), sym AS (
+             |  SELECT a AS doc_id, b AS other, jaccard FROM kept
+             |  UNION ALL
+             |  SELECT b AS doc_id, a AS other, jaccard FROM kept
+             |), best AS (
+             |  SELECT doc_id, max(struct_pack(jaccard := jaccard, other := other)) AS m
+             |  FROM sym GROUP BY doc_id
+             |)
+             |SELECT d.doc_id AS doc_id, m.jaccard AS best_jaccard,
+             |  m.other AS best_match_id, m.jaccard IS NOT NULL AS is_near_duplicate
+             |FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      bench = false),
+
+    // ---- SimHash oracle twin: 60-bit fingerprint over the md5-derived
+    // token hash (bit b set iff tokens with bit b set outnumber those
+    // without), chunk-blocked nearest neighbor (4 x 15-bit chunks),
+    // Hamming via bit_count(xor) — every step integer-exact, so the whole
+    // fingerprint+NN pipeline hash-matches DuckDB. The native SimHash64
+    // kernel stays the bench path. bench=false. ----
+    QueryDef("dedup_simhash_oracle",
+      (s, d) => {
+        val nBits = 60; val maxHamming = 10
+        def h60(x: Column): Column =
+          conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")
+        val toksD = array_distinct(split(trim(col("text")), "\\s+"))
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"), transform(toksD, t => h60(t)).as("harr"))
+        val n = size(col("harr"))
+        val fpExpr = (0 until nBits).map { b =>
+          when(size(filter(col("harr"),
+            h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L))) * 2 > n,
+            lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val fps = hashed.select(col("doc_id"), fpExpr.as("simhash60"))
+        val chunked = fps.select(col("doc_id"), col("simhash60"),
+          explode(array((0 until 4).map(c =>
+            struct(lit(c).as("chunk"),
+              shiftright(col("simhash60"), c * 15).bitwiseAND(lit(32767L)).as("ck"))): _*))
+            .as("c"))
+          .select(col("doc_id"), col("simhash60"),
+            col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+        val l = chunked.select(col("chunk"), col("ck"),
+          col("doc_id").as("a"), col("simhash60").as("fa"))
+        val r = chunked.select(col("chunk"), col("ck"),
+          col("doc_id").as("b"), col("simhash60").as("fb"))
+        val nn = l.join(r, Seq("chunk", "ck")).where(col("a") =!= col("b"))
+          .withColumn("hamming",
+            bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int"))
+          .where(col("hamming") <= maxHamming)
+          .groupBy(col("a"))
+          .agg(min(struct(col("hamming"), col("b"))).as("m"))
+          .select(col("a").as("doc_id"),
+            col("m.hamming").as("nn_hamming"), col("m.b").as("nn_id"))
+        fps.join(nn, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("simhash60"), col("nn_id"), col("nn_hamming"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        raw"""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_distinct(string_split_regex(trim(text), '\s+')) AS t
+             |  FROM documents
+             |), hs AS (
+             |  SELECT doc_id,
+             |    list_transform(t, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS harr
+             |  FROM toks
+             |), fps AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(range(0, 60),
+             |      b -> CASE WHEN 2 * len(list_filter(harr, h -> ((h >> b) & 1) = 1)) > len(harr)
+             |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+             |      AS simhash60
+             |  FROM hs
+             |), chunked AS (
+             |  SELECT f.doc_id, f.simhash60, c.chunk,
+             |    (f.simhash60 >> (c.chunk * 15)) & 32767 AS ck
+             |  FROM fps f CROSS JOIN (SELECT unnest([0,1,2,3]) AS chunk) c
+             |), nn AS (
+             |  SELECT l.doc_id AS doc_id,
+             |    min(struct_pack(hamming := CAST(bit_count(xor(l.simhash60, r.simhash60)) AS INTEGER),
+             |                    b := r.doc_id)) AS m
+             |  FROM chunked l JOIN chunked r
+             |    ON l.chunk = r.chunk AND l.ck = r.ck AND l.doc_id <> r.doc_id
+             |  WHERE bit_count(xor(l.simhash60, r.simhash60)) <= 10
+             |  GROUP BY l.doc_id
+             |)
+             |SELECT f.doc_id AS doc_id, f.simhash60 AS simhash60,
+             |  m.b AS nn_id, m.hamming AS nn_hamming
+             |FROM fps f LEFT JOIN nn ON f.doc_id = nn.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      bench = false),
 
     // ---- unigram Jaccard between consecutive docs (oracle-checkable
     // window into the same similarity kernel the LSH verifier uses) ----
