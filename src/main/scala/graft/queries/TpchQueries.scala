@@ -1212,6 +1212,296 @@ object TpchQueries {
           |  nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_v
           |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin),
+      bench = false),
+
+    // ---- TPC-H Q2 shape: min-cost supplier per part — a correlated MIN
+    // subquery over a multi-join (here: unit price from lineitem, since
+    // the fixture has no partsupp). Catalyst decorrelates to agg+join;
+    // the double equality against the min is exact (same IEEE division
+    // both engines). Region-filtered supplier side is broadcast. ----
+    QueryDef("q2_min_cost_supplier",
+      (s, d) => {
+        val supNat = broadcast(Tables.supplier(s, d)
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, d).where(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+        val offers = Tables.lineitem(s, d)
+          .join(supNat, col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey"), col("s_name"), col("s_acctbal"), col("n_name"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        val minCost = offers.groupBy(col("l_partkey"))
+          .agg(min(col("unit_cost")).as("min_cost"))
+        Tables.part(s, d)
+          .where(col("p_size") === 15 && col("p_type") === "SMALL")
+          .join(offers, col("p_partkey") === col("l_partkey"))
+          .join(minCost, Seq("l_partkey"))
+          .where(col("unit_cost") === col("min_cost"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"), col("unit_cost"))
+          .distinct()
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      oracle = Some(
+        """WITH offers AS (
+          |  SELECT l_partkey, s_name, s_acctbal, n_name,
+          |    l_extendedprice / l_quantity AS unit_cost
+          |  FROM lineitem
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  WHERE r_name = 'EUROPE'
+          |)
+          |SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+          |FROM part JOIN offers ON p_partkey = l_partkey
+          |WHERE p_size = 15 AND p_type = 'SMALL'
+          |  AND unit_cost = (SELECT min(o2.unit_cost) FROM offers o2
+          |                   WHERE o2.l_partkey = p_partkey)
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin),
+      bench = false),
+
+    // ---- TPC-H Q9 shape: product-type profit per nation and year — a
+    // 5-table join with a LIKE-filtered part dimension (broadcast after
+    // the pushed-down filter); profit uses p_retailprice as the cost
+    // basis (no partsupp in the fixture). ----
+    QueryDef("q9_product_type_profit",
+      (s, d) => {
+        val amount = revenueExpr -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).where(col("p_name").like("red%"))),
+            col("p_partkey") === col("l_partkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(Det.fixedSum(amount, 2).as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      oracle = Some(
+        s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           |  ${Det.fixedSumSql(
+               s"($revenueSql) - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity", 2)} AS sum_profit
+           |FROM lineitem
+           |JOIN part ON p_partkey = l_partkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |WHERE p_name LIKE 'red%'
+           |GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC""".stripMargin),
+      bench = false),
+
+    // ---- TPC-H Q11 shape: groups whose share of a global total exceeds
+    // a threshold — HAVING against a scalar subquery. Spark side: the
+    // one-row total is crossJoin(broadcast(...)), the classic scalar
+    // pattern; both sides of the comparison are fixed-point-exact sums,
+    // so the > cut is bit-identical cross-engine. ----
+    QueryDef("q11_important_parts",
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+        val perPart = base.groupBy(col("l_partkey"))
+          .agg(Det.fixedSum(revenueExpr, 2).as("value"))
+        val total = base.agg(Det.fixedSum(revenueExpr, 2).as("total"))
+        perPart.crossJoin(broadcast(total))
+          .where(col("value") > col("total") * lit(0.001))
+          .select(col("l_partkey"), col("value"))
+          .orderBy(col("value").desc, col("l_partkey"))
+      },
+      oracle = Some(
+        s"""WITH base AS (
+           |  SELECT l_partkey, ${Det.toFixedSql(revenueSql, 2)} AS v
+           |  FROM lineitem
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  WHERE n_name = 'NATION_3'
+           |)
+           |SELECT l_partkey, CAST(sum(v) AS DOUBLE) / 100 AS value
+           |FROM base GROUP BY l_partkey
+           |HAVING CAST(sum(v) AS DOUBLE) / 100 >
+           |  (SELECT CAST(sum(v) AS DOUBLE) / 100 FROM base) * CAST(0.001 AS DOUBLE)
+           |ORDER BY value DESC, l_partkey""".stripMargin),
+      bench = false),
+
+    // ---- TPC-H Q12 shape: per-group pair of conditional counts over a
+    // fact-fact join with a date-arithmetic lateness predicate (the
+    // fixture has no shipmode/receiptdate; returnflag groups, shipdate
+    // vs orderdate+60d stands in). ----
+    QueryDef("q12_late_priority_class",
+      (s, d) => {
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(high, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+            sum(when(!high, lit(1L)).otherwise(lit(0L))).as("low_line_count"))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some(
+        """SELECT l_returnflag,
+          |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      bench = false),
+
+    // ---- TPC-H Q15 shape: argmax group vs a scalar MAX subquery — the
+    // "top supplier" view. Equality against the max is exact because
+    // total_revenue is a fixed-point sum (identical doubles on both
+    // engines), so ties surface identically too. ----
+    QueryDef("q15_top_supplier",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= ts("1998-01-01") &&
+            col("l_shipdate") < ts("1998-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(Det.fixedSum(revenueExpr, 2).as("total_revenue"))
+        val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+        Tables.supplier(s, d)
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .crossJoin(broadcast(maxRev))
+          .where(col("total_revenue") === col("max_revenue"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      oracle = Some(
+        s"""WITH rev AS (
+           |  SELECT l_suppkey, ${Det.fixedSumSql(revenueSql, 2)} AS total_revenue
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+           |    AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+           |  GROUP BY l_suppkey
+           |)
+           |SELECT s_suppkey, s_name, total_revenue
+           |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+           |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+           |ORDER BY s_suppkey""".stripMargin),
+      bench = false),
+
+    // ---- TPC-H Q16 shape: distinct-supplier counts per part attribute
+    // with a NOT IN supplier exclusion (anti-join of a broadcast list;
+    // the exclusion set is NULL-free so anti == NOT IN). The
+    // part-supplier bridge is lineitem (no partsupp in the fixture). ----
+    QueryDef("q16_parts_supplier_count",
+      (s, d) => {
+        val excluded = Tables.supplier(s, d).where(col("s_acctbal") < 0)
+          .select(col("s_suppkey").as("bad_suppkey"))
+        Tables.part(s, d)
+          .where(col("p_brand") =!= "Brand#2" && col("p_type") =!= "ECONOMY" &&
+            col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+          .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+          .join(broadcast(excluded), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      oracle = Some(
+        """SELECT p_brand, p_type, p_size,
+          |  count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM part JOIN lineitem ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#2' AND p_type <> 'ECONOMY'
+          |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+      bench = false),
+
+    // ---- TPC-H Q20 shape: nested semi-join chain — suppliers qualified
+    // by a HAVING-filtered aggregate over a LIKE-filtered part subset.
+    // Both inner filters collapse to one grouped agg + left-semi join;
+    // the qty threshold compares fixed-point-exact sums. ----
+    QueryDef("q20_promotion_suppliers",
+      (s, d) => {
+        val red = Tables.part(s, d).where(col("p_name").like("red%"))
+          .select(col("p_partkey"))
+        val qual = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= ts("1998-01-01") &&
+            col("l_shipdate") < ts("1999-01-01"))
+          .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(Det.fixedSum(col("l_quantity"), 2).as("qty"))
+          .where(col("qty") > lit(20.0))
+          .select(col("l_suppkey")).distinct()
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"), col("s_acctbal"))
+          .orderBy(col("s_name"))
+      },
+      oracle = Some(
+        s"""SELECT s_name, s_acctbal
+           |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           |WHERE n_name = 'NATION_3' AND s_suppkey IN (
+           |  SELECT l_suppkey
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE p_name LIKE 'red%'
+           |    AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+           |    AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+           |  GROUP BY l_suppkey, l_partkey
+           |  HAVING ${Det.fixedSumSql("l_quantity", 2)} > 20.0
+           |)
+           |ORDER BY s_name""".stripMargin),
+      bench = false),
+
+    // ---- TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the fact —
+    // suppliers who were the ONLY late shipper on a finished multi-
+    // supplier order. Late = shipdate > orderdate + 90d (no receiptdate
+    // in the fixture). Plans as left-semi then left-anti on orderkey
+    // with a suppkey-inequality residual — no nested loop. ----
+    QueryDef("q21_suppliers_kept_waiting",
+      (s, d) => {
+        val lateLines = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).where(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("suppkey"))
+        val allLines = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+        val lateOther = lateLines
+          .select(col("orderkey").as("l3_orderkey"), col("suppkey").as("l3_suppkey"))
+        lateLines
+          .join(broadcast(Tables.supplier(s, d)), col("suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(allLines,
+            col("orderkey") === col("l2_orderkey") && col("suppkey") =!= col("l2_suppkey"),
+            "left_semi")
+          .join(lateOther,
+            col("orderkey") === col("l3_orderkey") && col("suppkey") =!= col("l3_suppkey"),
+            "left_anti")
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      oracle = Some(
+        """SELECT s_name, count(*) AS numwait
+          |FROM lineitem l1
+          |JOIN orders ON o_orderkey = l1.l_orderkey
+          |JOIN supplier ON s_suppkey = l1.l_suppkey
+          |JOIN nation ON n_nationkey = s_nationkey
+          |WHERE o_orderstatus = 'F' AND n_name = 'NATION_7'
+          |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND o3.o_orderstatus = 'F'
+          |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
       bench = false)
   )
 
