@@ -1471,7 +1471,7 @@ object TpchQueries {
           .select(col("orderkey").as("l3_orderkey"), col("suppkey").as("l3_suppkey"))
         lateLines
           .join(broadcast(Tables.supplier(s, d)), col("suppkey") === col("s_suppkey"))
-          .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_7")),
+          .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_19")),
             col("s_nationkey") === col("n_nationkey"))
           .join(allLines,
             col("orderkey") === col("l2_orderkey") && col("suppkey") =!= col("l2_suppkey"),
@@ -1490,7 +1490,7 @@ object TpchQueries {
           |JOIN orders ON o_orderkey = l1.l_orderkey
           |JOIN supplier ON s_suppkey = l1.l_suppkey
           |JOIN nation ON n_nationkey = s_nationkey
-          |WHERE o_orderstatus = 'F' AND n_name = 'NATION_7'
+          |WHERE o_orderstatus = 'F' AND n_name = 'NATION_19'
           |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
           |  AND EXISTS (SELECT 1 FROM lineitem l2
           |              WHERE l2.l_orderkey = l1.l_orderkey
