@@ -431,6 +431,35 @@ object DocQueries {
              |FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
              |ORDER BY a_id""".stripMargin)),
 
+    // ---- Levenshtein edit distance between consecutive docs — the
+    // character-level fuzzy-match primitive (both engines implement the
+    // identical unit-cost DP, so the metric is integer-exact). O(n*m)
+    // per pair: at scale this runs AFTER candidate pruning (LSH buckets,
+    // length bands), never all-pairs — mirrored here by the id-adjacency
+    // band. ----
+    QueryDef("text_edit_distance",
+      (s, d) => {
+        val docs = Tables.documents(s, d).where(col("doc_id") < 100)
+        val a = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+        val b = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+        a.join(b, col("b_id") === col("a_id") + 1)
+          .select(col("a_id"), col("b_id"),
+            levenshtein(col("a_text"), col("b_text")).as("edit_dist"),
+            (lit(1.0) - levenshtein(col("a_text"), col("b_text")).cast("double") /
+              greatest(length(col("a_text")), length(col("b_text"))).cast("double"))
+              .as("similarity"))
+          .orderBy(col("a_id"))
+      },
+      oracle = Some(
+        """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  levenshtein(a.text, b.text) AS edit_dist,
+          |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+          |    / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS similarity
+          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          |WHERE a.doc_id < 100 AND b.doc_id < 100
+          |ORDER BY a_id""".stripMargin),
+      bench = false),
+
     // ---- exact substring-span duplication (the "remove repeated spans"
     // op): per doc, fraction of tokens covered by word 5-grams occurring
     // in >= 2 documents — interval-union coverage, all exact integers,

@@ -318,6 +318,111 @@ object EventQueries {
           |  CAST(json_extract(props, '$.missing') AS INT) AS k_missing,
           |  false AS k_is_jsonnull
           |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin),
+      bench = false),
+
+    // ---- time-grid gap filling + forward fill (feature-pipeline
+    // resampling): hourly average per user, densified to the user's full
+    // [min,max] hour range via sequence+explode, missing hours forward-
+    // filled with last(_, ignoreNulls) over a running frame. At scale the
+    // grid explode is map-side (rows ~ users x hours, no extra shuffle)
+    // and the fill is one window over the user partition — the same two-
+    // shuffle shape regardless of gap density. ----
+    QueryDef("events_gap_fill",
+      (s, d) => {
+        val hourly = Tables.events(s, d).where(col("user_id") < 20)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(Det.fixedAvg(col("value"), 6).as("v"))
+        val grid = hourly.groupBy(col("user_id"))
+          .agg(min(col("h")).as("hmin"), max(col("h")).as("hmax"))
+          .select(col("user_id"),
+            explode(sequence(col("hmin"), col("hmax"), expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"), col("v"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+          .orderBy(col("user_id"), col("h"))
+      },
+      oracle = Some(
+        s"""WITH hourly AS (
+           |  SELECT user_id, date_trunc('hour', ts) AS h,
+           |    ${Det.fixedAvgSql("value", 6)} AS v
+           |  FROM events WHERE user_id < 20 GROUP BY 1, 2
+           |), grid AS (
+           |  SELECT user_id,
+           |    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+           |  FROM hourly GROUP BY user_id
+           |)
+           |SELECT g.user_id AS user_id, g.h AS h, hourly.v AS v,
+           |  last_value(hourly.v IGNORE NULLS) OVER (
+           |    PARTITION BY g.user_id ORDER BY g.h
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+           |FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
+           |ORDER BY user_id, h""".stripMargin),
+      bench = false),
+
+    // ---- running COUNT(DISTINCT) per partition — not directly a Spark
+    // window aggregate; the standard rewrite flags each key's first
+    // occurrence (row_number over (user, type)) and running-sums the
+    // flags over the user partition. Two window passes, both over the
+    // same user-hash shuffle (one exchange at scale). ----
+    QueryDef("window_cumulative_distinct",
+      (s, d) => {
+        val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val running = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d).where(col("user_id") < 50)
+          .withColumn("f",
+            when(row_number().over(firstSeen) === 1, lit(1)).otherwise(lit(0)))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            sum(col("f")).over(running).cast("long").as("cum_distinct_types"),
+            col("ts"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+          .drop("ts")
+      },
+      oracle = Some(
+        """WITH flagged AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+          |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS f
+          |  FROM events WHERE user_id < 50
+          |)
+          |SELECT user_id, event_id, event_type,
+          |  CAST(SUM(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS cum_distinct_types
+          |FROM flagged ORDER BY user_id, ts, event_id""".stripMargin),
+      bench = false),
+
+    // ---- null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match NULL keys, so a nullable dimension key still hash-joins (the
+    // null bucket is a normal hash bucket, not a dropped row). Ordering
+    // pinned NULLS FIRST on both engines (their defaults differ). ----
+    QueryDef("join_null_safe",
+      (s, d) => {
+        val a = Tables.events(s, d)
+          .groupBy(nullif(col("event_type"), lit("click")).as("k"))
+          .agg(count(lit(1)).as("n_all"))
+        val b = Tables.events(s, d).where(col("user_id") < 75)
+          .groupBy(nullif(col("event_type"), lit("click")).as("k2"))
+          .agg(count(lit(1)).as("n_small"))
+        a.join(b, col("k") <=> col("k2"))
+          .select(col("k"), col("n_all"), col("n_small"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      oracle = Some(
+        """WITH a AS (
+          |  SELECT nullif(event_type, 'click') AS k, count(*) AS n_all
+          |  FROM events GROUP BY 1
+          |), b AS (
+          |  SELECT nullif(event_type, 'click') AS k2, count(*) AS n_small
+          |  FROM events WHERE user_id < 75 GROUP BY 1
+          |)
+          |SELECT k, n_all, n_small
+          |FROM a JOIN b ON k IS NOT DISTINCT FROM k2
+          |ORDER BY k NULLS FIRST""".stripMargin),
       bench = false)
   )
 }

@@ -1502,6 +1502,90 @@ object TpchQueries {
           |                    AND o3.o_orderstatus = 'F'
           |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+      bench = false),
+
+    // ---- FULL OUTER join of two grouped aggregates with coalesced keys
+    // — the reconciliation shape (rows surviving from either side).
+    // Plans as a shuffle full-outer hash join on the nation key. ----
+    QueryDef("join_full_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+        val sup = Tables.supplier(s, d).where(col("s_acctbal") > 0)
+          .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+        c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy(col("nationkey"))
+      },
+      oracle = Some(
+        """WITH c AS (
+          |  SELECT c_nationkey, count(*) AS n_cust FROM customer
+          |  WHERE c_mktsegment = 'BUILDING' GROUP BY 1
+          |), s AS (
+          |  SELECT s_nationkey, count(*) AS n_supp FROM supplier
+          |  WHERE s_acctbal > 0 GROUP BY 1
+          |)
+          |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+          |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+          |FROM c FULL JOIN s ON c_nationkey = s_nationkey
+          |ORDER BY nationkey""".stripMargin),
+      bench = false),
+
+    // ---- multiset set ops (INTERSECT ALL / EXCEPT ALL): bag semantics —
+    // per-value multiplicity min / difference — vs the distinct set ops
+    // already in the catalog. Grouped after the op so the output is a
+    // small deterministic histogram. ----
+    QueryDef("set_intersect_all",
+      (s, d) => {
+        val a = Tables.orders(s, d)
+          .where(col("o_orderdate") >= ts("1998-01-01") && col("o_orderdate") < ts("1999-01-01"))
+          .select(col("o_orderpriority"))
+        val b = Tables.orders(s, d)
+          .where(col("o_orderdate") >= ts("1999-01-01") && col("o_orderdate") < ts("2000-01-01"))
+          .select(col("o_orderpriority"))
+        a.intersectAll(b)
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n FROM (
+          |  SELECT o_orderpriority FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          |    AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+          |  INTERSECT ALL
+          |  SELECT o_orderpriority FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          |    AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+          |)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      bench = false),
+
+    QueryDef("set_except_all",
+      (s, d) => {
+        val a = Tables.orders(s, d)
+          .where(col("o_orderdate") >= ts("1998-01-01") && col("o_orderdate") < ts("1999-01-01"))
+          .select(col("o_orderpriority"))
+        val b = Tables.orders(s, d)
+          .where(col("o_orderdate") >= ts("1999-01-01") && col("o_orderdate") < ts("2000-01-01"))
+          .select(col("o_orderpriority"))
+        a.exceptAll(b)
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n FROM (
+          |  SELECT o_orderpriority FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          |    AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+          |  EXCEPT ALL
+          |  SELECT o_orderpriority FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          |    AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+          |)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       bench = false)
   )
 
