@@ -231,17 +231,26 @@ object Dedup {
     * skew to salt. */
   def spanDuplication(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
+    // Shuffle on xxhash64(span), not the span string: the cross-doc count
+    // and the membership join move 8-byte keys instead of ~6k-char text
+    // (k words + separators). A 64-bit collision needs ~2^32 distinct
+    // spans (birthday bound) to appear at all, and even then only
+    // miscounts one span pair — acceptable for a dedup heuristic and
+    // invisible at fixture scale (the DuckDB oracle, which compares the
+    // string form's output, stays hash-exact).
     val spans = docs.select(col(idCol).as("doc_id"),
         size(split(trim(col(textCol)), "\\s+")).as("n_tokens"),
         posexplode(VectorExpressions.wordShinglesAll(col(textCol), k))
           .as(Seq("pos", "span")))
-    val crossDocSpans = spans.groupBy(col("span"))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        xxhash64(col("span")).as("sk"))
+    val crossDocSpans = spans.groupBy(col("sk"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)
-      .select(col("span"))
+      .select(col("sk"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val covered = spans.join(crossDocSpans, Seq("span"))
+    val covered = spans.join(crossDocSpans, Seq("sk"))
       .withColumn("prev_max", max(col("pos") + lit(k)).over(w))
       .withColumn("contrib", greatest(lit(0),
         col("pos") + lit(k) -
@@ -268,14 +277,16 @@ object Dedup {
     * two-shuffle dataflow as the metric. */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
+    // Same xxhash64 span-key shuffle as [[spanDuplication]].
     val spans = docs.select(col(idCol).as("doc_id"),
         posexplode(VectorExpressions.wordShinglesAll(col(textCol), k))
           .as(Seq("pos", "span")))
-    val crossDocSpans = spans.groupBy(col("span"))
+      .select(col("doc_id"), col("pos"), xxhash64(col("span")).as("sk"))
+    val crossDocSpans = spans.groupBy(col("sk"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)
-      .select(col("span"))
-    val dupStarts = spans.join(crossDocSpans, Seq("span"))
+      .select(col("sk"))
+    val dupStarts = spans.join(crossDocSpans, Seq("sk"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
     val toks = split(trim(col(textCol)), "\\s+")
