@@ -190,4 +190,91 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
   }
+
+  /** Product-quantization (PQ) approximate top-k — the memory-bounded ANN
+    * scale path: each vector is encoded as `subspaces` small codes
+    * (argmin-L2 codeword per sub-slice), and query-to-vector distance is
+    * approximated by ADC (asymmetric distance computation): the query
+    * precomputes its L2² to every codeword of every subspace (a
+    * |Q| x subspaces x codebookSize table, broadcast), and a candidate's
+    * distance is the SUM of the partials its codes select — the corpus
+    * is never touched in float space at query time. At 100 TB the
+    * encoded corpus is (subspaces x log2(codebookSize)) bits/vector
+    * (here 4 x 4 = 16 bits vs 64 x 32 float bits = 128x compression) and
+    * scoring is a broadcast-hash join + partial-sum aggregation.
+    *
+    * Codebooks are the sub-slices of a deterministic Knuth-hash sample
+    * of the corpus (same trick as [[ivfTopK]] — SQL-expressible, so the
+    * whole pipeline has an exact DuckDB oracle; k-means training would
+    * sharpen the codebooks without changing the dataflow). ADC partials
+    * are integerized at `scale` decimals, so the 4-term sum is
+    * order-free and bit-identical cross-engine.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      subspaces: Int = 16, codebookSize: Int = 16, shortlist: Int = 100,
+      seed: Long = 77L, scale: Int = 6, roundTo: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % subspaces == 0, "subspaces must divide dim")
+    val sub = dim / subspaces
+    // L2-normalize first: on unit vectors L2² = 2 - 2·cos, so ADC ranks
+    // by (approximate) cosine. Norm via the native kernel (array-order
+    // double accumulation = DuckDB's list arithmetic, bit-identical).
+    def normalized(vec: Column): Column =
+      transform(vec, x => x.cast("double") / l2Norm(vec))
+    val sampled = corpus.select(col(idCol), normalized(col(vecCol)).as("nv"))
+      .orderBy(((col(idCol) * lit(2654435761L) + lit(seed)) % lit(4294967296L)).asc,
+        col(idCol))
+      .limit(codebookSize)
+      .orderBy(col(idCol))
+      .collect().zipWithIndex
+    val cbRows = for {
+      (r, c) <- sampled.toIndexedSeq
+      s <- 0 until subspaces
+    } yield (s, c, r.getSeq[Double](1).slice(s * sub, (s + 1) * sub))
+    val cb = broadcast(spark.createDataFrame(cbRows).toDF("s", "code", "cw"))
+    // L2² with the SAME accumulation order as DuckDB's list arithmetic.
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    def bySubspace(df: DataFrame, id: Column, vec: Column, idName: String): DataFrame =
+      df.select(id.as(idName),
+          explode(array((0 until subspaces).map(s =>
+            struct(lit(s).as("s"), slice(normalized(vec), s * sub + 1, sub).as("v"))): _*)).as("sv"))
+        .select(col(idName), col("sv.s").as("s"), col("sv.v").as("v"))
+    val encW = Window.partitionBy(col("cid"), col("s"))
+      .orderBy(col("d").asc, col("code"))
+    val enc = bySubspace(corpus, col(idCol), col(vecCol), "cid")
+      .join(cb, Seq("s"))
+      .withColumn("d", l2sq(col("v"), col("cw")))
+      .withColumn("r", row_number().over(encW))
+      .where(col("r") === 1)
+      .select(col("cid"), col("s"), col("code"))
+    val pd = bySubspace(queries, col("qid"), col("qvec"), "qid")
+      .join(cb, Seq("s"))
+      .select(col("qid"), col("s"), col("code"),
+        Det.toFixed(l2sq(col("v"), col("cw")), scale).as("pdl"))
+    val adcW = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("cid"))
+    val shortlisted = enc.join(broadcast(pd), Seq("s", "code"))
+      .where(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg((sum(col("pdl")).cast("double") /
+        lit(math.pow(10.0, scale.toDouble))).as("adc"))
+      .withColumn("sr", row_number().over(adcW))
+      .where(col("sr") <= shortlist)
+      .select(col("qid"), col("cid"))
+    // Exact re-rank of the ADC shortlist — the standard PQ serving shape
+    // (quantized scan prunes, float math only touches `shortlist` rows).
+    val rerankW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    shortlisted
+      .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")), Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("cos", Det.fixed(cosineSim(col("qvec"), col("cvec")), roundTo))
+      .withColumn("rank", row_number().over(rerankW))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid").as("neighbor_id"), col("cos"))
+  }
 }

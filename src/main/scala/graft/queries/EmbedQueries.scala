@@ -203,6 +203,77 @@ object EmbedQueries {
            |SELECT qid, rank, neighbor_id, cos FROM ranked
            |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // ---- PQ (product quantization) approximate top-k: L2-normalized
+    // vectors encoded as 16 subspace codes (4 dims each, 16 Knuth-hash-
+    // sampled codewords -> 64 bits/vector, 32x compression), ADC
+    // shortlist of 100 by integerized partial sums, then EXACT cosine
+    // re-rank of the shortlist — the standard PQ serving shape (float
+    // math touches only the shortlist). Every stage, including the
+    // shortlist cut and the re-rank, hash-matches DuckDB recomputing
+    // from the same sampled codebooks. ----
+    QueryDef("ann_pq_topk",
+      (s, d) => Similarity.pqTopK(
+        Tables.embeddings(s, d), queryVectors(s, d), k = 5)
+        .orderBy(col("qid"), col("rank")),
+      oracle = Some(
+        raw"""WITH norm AS (
+             |  SELECT vec_id, embedding,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+             |      sqrt(list_sum(list_transform(embedding,
+             |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+             |  FROM embeddings
+             |), samp AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, nv
+             |  FROM (
+             |    SELECT vec_id, nv FROM norm
+             |    ORDER BY (vec_id * 2654435761 + 77) % 4294967296, vec_id
+             |    LIMIT 16
+             |  )
+             |), cb AS (
+             |  SELECT sp.s AS s, samp.code AS code,
+             |    samp.nv[sp.s*4+1 : sp.s*4+4] AS cw
+             |  FROM samp CROSS JOIN (SELECT unnest(range(0, 16)) AS s) sp
+             |), enc AS (
+             |  SELECT vec_id, s, code FROM (
+             |    SELECT e.vec_id, cb.s, cb.code,
+             |      row_number() OVER (PARTITION BY e.vec_id, cb.s ORDER BY
+             |        list_sum(list_transform(list_zip(e.nv[cb.s*4+1 : cb.s*4+4], cb.cw),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, cb.code) AS r
+             |    FROM norm e CROSS JOIN cb
+             |  ) WHERE r = 1
+             |), pd AS (
+             |  SELECT q.vec_id AS qid, cb.s, cb.code,
+             |    CAST(ROUND(list_sum(list_transform(list_zip(q.nv[cb.s*4+1 : cb.s*4+4], cb.cw),
+             |      p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000, 0) AS BIGINT) AS pdl
+             |  FROM norm q CROSS JOIN cb
+             |  WHERE q.vec_id < 20
+             |), adc AS (
+             |  SELECT pd.qid, enc.vec_id AS cid,
+             |    CAST(sum(pd.pdl) AS DOUBLE) / 1000000 AS adc
+             |  FROM enc JOIN pd ON pd.s = enc.s AND pd.code = enc.code
+             |  WHERE enc.vec_id <> pd.qid
+             |  GROUP BY 1, 2
+             |), shortlisted AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT qid, cid,
+             |      row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid) AS sr
+             |    FROM adc
+             |  ) WHERE sr <= 100
+             |), rr AS (
+             |  SELECT sl.qid AS qid, sl.cid AS neighbor_id,
+             |    ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} AS cos
+             |  FROM shortlisted sl
+             |  JOIN embeddings c ON c.vec_id = sl.cid
+             |  JOIN embeddings q ON q.vec_id = sl.qid
+             |), ranked AS (
+             |  SELECT qid, neighbor_id, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM rr
+             |)
+             |SELECT qid, rank, neighbor_id, cos FROM ranked
+             |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+      bench = false),
+
     // ---- int8 symmetric quantization of the embedding column: the
     // storage/bandwidth dial every vector store exposes. Per-vector
     // scale = 127/max|x|; reconstruction MSE is order-exact list
