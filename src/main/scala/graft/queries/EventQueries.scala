@@ -423,6 +423,169 @@ object EventQueries {
           |SELECT k, n_all, n_small
           |FROM a JOIN b ON k IS NOT DISTINCT FROM k2
           |ORDER BY k NULLS FIRST""".stripMargin),
+      bench = false),
+
+    // ---- funnel conversion (view -> click -> purchase, strictly ordered
+    // per user): each stage is a grouped MIN over the events AFTER the
+    // previous stage's timestamp — three small aggs chained by user-key
+    // joins (same-key shuffles; AQE coalesces), then one global count.
+    // Conversion rates are ratios of exact counts. ----
+    QueryDef("events_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, Seq("user_id")).where(col("ts") > col("v_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).where(col("ts") > col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .agg(
+            count(col("v_ts")).as("n_view"),
+            count(col("c_ts")).as("n_view_click"),
+            count(col("p_ts")).as("n_full_funnel"),
+            (count(col("c_ts")).cast("double") / count(col("v_ts")).cast("double"))
+              .as("click_rate"),
+            (count(col("p_ts")).cast("double") / count(col("c_ts")).cast("double"))
+              .as("purchase_rate"))
+      },
+      oracle = Some(
+        """WITH v AS (
+          |  SELECT user_id, min(ts) AS v_ts FROM events
+          |  WHERE event_type = 'view' GROUP BY 1
+          |), c AS (
+          |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+          |  JOIN v ON e.user_id = v.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1
+          |), p AS (
+          |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+          |  JOIN c ON e.user_id = c.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1
+          |)
+          |SELECT count(v_ts) AS n_view, count(c_ts) AS n_view_click,
+          |  count(p_ts) AS n_full_funnel,
+          |  CAST(count(c_ts) AS DOUBLE) / CAST(count(v_ts) AS DOUBLE) AS click_rate,
+          |  CAST(count(p_ts) AS DOUBLE) / CAST(count(c_ts) AS DOUBLE) AS purchase_rate
+          |FROM v LEFT JOIN c ON v.user_id = c.user_id
+          |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin),
+      bench = false),
+
+    // ---- cohort retention: users bucketed by first-activity date, then
+    // the distinct-active count per (cohort, day offset) with the
+    // retention ratio against cohort size — one distinct-projection and
+    // two grouped aggs, all user-key or cohort-key shuffles. ----
+    QueryDef("events_cohort_retention",
+      (s, d) => {
+        val first = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("cohort"))
+        val cohortSize = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_n"))
+        val activity = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        activity.join(first, Seq("user_id"))
+          .withColumn("day_offset", datediff(col("day"), col("cohort")))
+          .where(col("day_offset").between(0, 7))
+          .groupBy(col("cohort"), col("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(cohortSize, Seq("cohort"))
+          .select(col("cohort"), col("day_offset"), col("n_active"),
+            (col("n_active").cast("double") / col("cohort_n").cast("double"))
+              .as("retention"))
+          .orderBy(col("cohort"), col("day_offset"))
+      },
+      oracle = Some(
+        """WITH first AS (
+          |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY 1
+          |), size_ AS (
+          |  SELECT cohort, count(*) AS cohort_n FROM first GROUP BY 1
+          |), activity AS (
+          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+          |), ret AS (
+          |  SELECT f.cohort, datediff('day', f.cohort, a.day) AS day_offset,
+          |    count(*) AS n_active
+          |  FROM activity a JOIN first f ON a.user_id = f.user_id
+          |  WHERE datediff('day', f.cohort, a.day) BETWEEN 0 AND 7
+          |  GROUP BY 1, 2
+          |)
+          |SELECT r.cohort AS cohort, r.day_offset AS day_offset,
+          |  r.n_active AS n_active,
+          |  CAST(r.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE) AS retention
+          |FROM ret r JOIN size_ s ON r.cohort = s.cohort
+          |ORDER BY cohort, day_offset""".stripMargin),
+      bench = false),
+
+    // ---- SCD2 change history (change-data compaction + versioning):
+    // collapse consecutive equal attribute values per user (lag filter),
+    // then version with row_number and close each interval with
+    // lead(valid_from) — NULL valid_to marks the current version. Both
+    // windows share one user-hash exchange. ----
+    QueryDef("events_scd2_history",
+      (s, d) => {
+        val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d).where(col("user_id") < 20)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(order))
+          .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+          .withColumn("version", row_number().over(order))
+          .withColumn("valid_from", col("ts"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(order))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("valid_from"), col("valid_to"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      oracle = Some(
+        """WITH changed AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS prev_type
+          |  FROM events WHERE user_id < 20
+          |), versions AS (
+          |  SELECT user_id, event_type, ts AS valid_from, event_id,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS version,
+          |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS valid_to
+          |  FROM changed
+          |  WHERE prev_type IS NULL OR prev_type <> event_type
+          |)
+          |SELECT user_id, version, event_type, valid_from, valid_to
+          |FROM versions ORDER BY user_id, version""".stripMargin),
+      bench = false),
+
+    // ---- count-min-sketch heavy hitters with a tolerance contract: the
+    // CMS is built distributed (counter merges are commutative, so the
+    // sketch is partition-order-independent with a fixed seed), queried
+    // on the driver, and every estimate is hashed AGAINST ITS CONTRACT —
+    // CMS never underestimates and overshoots by at most eps*N here —
+    // rather than its engine-specific raw value (the oracle recomputes
+    // exact counts and expects the contract bits to hold). ----
+    QueryDef("sketch_cms_heavy_hitters",
+      (s, d) => {
+        import org.apache.spark.util.sketch.CountMinSketch
+        val ev = Tables.events(s, d)
+        val bytes = ev.agg(
+          expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+          .head().getAs[Array[Byte]](0)
+        val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+        val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+        val n = ev.count()
+        val est = exact.collect().map { r =>
+          (r.getAs[String]("event_type"), cms.estimateCount(r.getAs[String]("event_type")))
+        }.toMap
+        val estCol = est.foldLeft(lit(-1L)) { case (acc, (t, e)) =>
+          when(col("event_type") === t, lit(e)).otherwise(acc)
+        }
+        exact
+          .withColumn("cms_n", estCol)
+          .select(col("event_type"), col("exact_n"),
+            (col("cms_n") >= col("exact_n") &&
+              col("cms_n") <= col("exact_n") + lit((0.001 * n).toLong + 1))
+              .as("within_eps"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """SELECT event_type, count(*) AS exact_n, true AS within_eps
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       bench = false)
   )
 }
