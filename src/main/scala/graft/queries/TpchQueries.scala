@@ -1586,6 +1586,32 @@ object TpchQueries {
           |    AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
           |)
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      bench = false),
+
+    // ---- the SQL TEXT entry path: temp view + spark.sql(...) — proves
+    // the engine's full ANSI surface is reachable as literal SQL, not
+    // only through the DataFrame DSL (same Catalyst plan either way).
+    // The statement itself uses the fixed-point summation idiom. ----
+    QueryDef("sql_interface_revenue",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        s.sql(
+          """SELECT l_returnflag,
+            |  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0)
+            |    AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+            |  COUNT(*) AS n
+            |FROM lineitem_v
+            |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT l_returnflag,
+          |  CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0)
+          |    AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+          |  COUNT(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       bench = false)
   )
 

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators for the events stream (SURVEY.md §7.6):
   * the streaming duals of the batch EventQueries. Each transform takes a
@@ -99,6 +100,40 @@ object StreamingOps {
       .withColumn("fingerprint", graft.operators.TextAnalysis.fingerprint(col("text")))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Spark 4 arbitrary-state operator (`transformWithState`): per-user
+    * running totals in a typed ValueState slot, re-emitted every
+    * micro-batch (Update mode). This is the modern replacement for
+    * mapGroupsWithState — named state slots (value/list/map) with
+    * per-slot TTL, timers, and the RocksDB state-store backend (required:
+    * set spark.sql.streaming.stateStore.providerClass to
+    * RocksDBStateStoreProvider). At scale the state lives off-heap in
+    * RocksDB with incremental checkpointing to the checkpoint location —
+    * state size is bounded by distinct keys, not stream length. */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var agg: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      var (n, tot) = if (agg.exists()) agg.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; tot += e.value }
+      agg.update((n, tot))
+      Iterator(UserRunning(key, n, tot))
+    }
+  }
+
+  /** Running per-user (count, sum) via [[RunningTotalsProcessor]]. */
+  def runningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Stream-static enrichment join: each streaming event joined to a
     * STATIC dimension table (here: per-user attributes). The static side

@@ -245,4 +245,39 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(outDir).select("o_orderkey").distinct().count() shouldBe
       Tables.orders(spark, sf).count()
   }
+
+  test("transformWithState runningTotals: final per-user state equals the batch aggregate") {
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // dyadic values: sums are exact in any accumulation order
+      val b1 = Seq(
+        Event(1, ts(1), 1, "view", 1.5),
+        Event(2, ts(2), 1, "click", 2.25),
+        Event(3, ts(3), 2, "view", 4.0))
+      val b2 = Seq(
+        Event(4, ts(4), 1, "view", 0.5),
+        Event(5, ts(5), 2, "click", 1.25))
+      val in = MemoryStream[Event]
+      val q = StreamingOps.runningTotals(in.toDS())
+        .writeStream.format("memory").queryName("twstate")
+        .outputMode("update").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      // update mode re-emits a row per key per batch; the final state is
+      // the row with the highest running count
+      val got = spark.table("twstate")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events"), col("m.total_value"))
+        .as[(Long, Long, Double)].collect().toSet
+      val want = (b1 ++ b2).groupBy(_.user_id).map { case (u, es) =>
+        (u, es.size.toLong, es.map(_.value).sum)
+      }.toSet
+      got shouldBe want
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
