@@ -1612,6 +1612,57 @@ object TpchQueries {
           |FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      bench = false),
+
+    // ---- recursive CTE (Spark 4 WITH RECURSIVE): ancestor-chain walk
+    // over the implied part hierarchy (parent = key DIV 4 — an acyclic
+    // 4-ary tree rooted at 0). Spark supports UNION ALL recursion; the
+    // chain terminates at the root, depth ~ log4(|part|). The same
+    // recursion runs verbatim in DuckDB. ----
+    QueryDef("recursive_hierarchy_walk",
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("part_v")
+        s.sql(
+          """WITH RECURSIVE anc(part, ancestor, depth) AS (
+            |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT),
+            |    CAST(0 AS INT)
+            |  FROM part_v WHERE p_partkey < 15
+            |  UNION ALL
+            |  SELECT part, ancestor DIV 4, depth + 1 FROM anc WHERE ancestor > 0
+            |)
+            |SELECT part, ancestor, depth FROM anc
+            |ORDER BY part, depth""".stripMargin)
+      },
+      oracle = Some(
+        """WITH RECURSIVE anc(part, ancestor, depth) AS (
+          |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT),
+          |    CAST(0 AS INT)
+          |  FROM part WHERE p_partkey < 15
+          |  UNION ALL
+          |  SELECT part, ancestor // 4, depth + 1 FROM anc WHERE ancestor > 0
+          |)
+          |SELECT part, ancestor, depth FROM anc
+          |ORDER BY part, depth""".stripMargin),
+      bench = false),
+
+    // ---- Z-order (Morton) clustering key: one sort column serving TWO
+    // filter dimensions — range-partition + sort by zkey at write time
+    // and every file gets a tight min/max envelope on BOTH l_partkey and
+    // l_suppkey, so either predicate prunes row groups (see
+    // operators.Layout + SCALING.md). Pure shift/and/or built-ins,
+    // whole-stage codegen'd, same arithmetic in the oracle. ----
+    QueryDef("layout_zorder",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.operators.Layout.mortonKey(col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+      oracle = Some(
+        s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |  ${graft.operators.Layout.mortonKeySql("l_partkey", "l_suppkey")} AS zkey
+           |FROM lineitem
+           |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin),
       bench = false)
   )
 
