@@ -187,6 +187,65 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** md5-family twin of [[nearDuplicatePairs]]: the SAME banded-LSH
+    * dataflow, but every hash is derived from md5 — h = first 15 hex
+    * chars of md5(shingle) as a 60-bit int, Kirsch-Mitzenmacher
+    * g_i = (h>>30 + i*(h & 2^30-1)) mod p over its 30-bit halves — so a
+    * SQL engine with md5 + hex parsing (DuckDB: ('0x'||…)::BIGINT)
+    * recomputes IDENTICAL signatures, buckets, candidates and verified
+    * pairs. ~10x the murmur kernel's per-shingle cost: use for oracle
+    * validation, keep [[nearDuplicatePairs]] as the throughput path.
+    * Returns (a, b, jaccard), a < b. */
+  def nearDuplicatePairsMd5(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleK: Int = 3,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val prime = 1073741789L; val mask = 1073741823L // 2^30 - 1
+    val toks = split(trim(col(textCol)), "\\s+")
+    val shingles = when(size(toks) >= shingleK,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(shingleK - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(shingleK))))))
+      .otherwise(array().cast("array<string>"))
+    def h60(x: Column): Column =
+      conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")
+    // staged (id, sh, harr) persisted: one md5 per shingle, read by both
+    // sides of the bucket self-join and the verify join (see Cache
+    // ownership note above)
+    val staged = docs
+      .select(col(idCol).as("id"), shingles.as("sh"))
+      .withColumn("harr", transform(col("sh"), x => h60(x)))
+      .persist()
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(col("harr"),
+        h => (shiftright(h, 30) + i.cast("long") * h.bitwiseAND(lit(mask))) % lit(prime))))
+    val sigged = staged.where(size(col("sh")) > 0).withColumn("sig", sig)
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          col("sig").getItem(b * rowsPerBand + r)): _*).as("bucket"))
+    }
+    val buckets = sigged
+      .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = buckets.select(col("band"), col("bucket"), col("id").as("a"))
+      .join(buckets.select(col("band"), col("bucket"), col("id").as("b")),
+        Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sh = staged.select(col("id"), col("sh"))
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Per-document SimHash fingerprints plus the nearest candidate within
     * `maxHamming` bits (candidates = documents sharing any 16-bit chunk
     * of the fingerprint — the standard chunk-blocking for Hamming space). */

@@ -222,49 +222,9 @@ object DocQueries {
     // cross-engine, not to race. bench=false. ----
     QueryDef("dedup_minhash_oracle",
       (s, d) => {
-        val kSh = 3; val nHashes = 16; val bands = 4
-        val rowsPerBand = nHashes / bands
-        val prime = 1073741789L; val mask = 1073741823L // 2^30 - 1
-        val toks = split(trim(col("text")), "\\s+")
-        val shingles = when(size(toks) >= kSh,
-          array_distinct(transform(
-            sequence(lit(1), size(toks) - lit(kSh - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(kSh))))))
-          .otherwise(array().cast("array<string>"))
-        def h60(x: Column): Column =
-          conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")
-        // Staged (id, sh, harr) persisted so the bucket/verify self-joins
-        // read materialized arrays (one md5 per shingle; CollapseProject
-        // would otherwise re-inline the hash per consumer — see NOTES).
-        val staged = Tables.documents(s, d)
-          .select(col("doc_id").as("id"), shingles.as("sh"))
-          .withColumn("harr", transform(col("sh"), x => h60(x)))
-          .persist()
-        val sig = transform(sequence(lit(0), lit(nHashes - 1)),
-          i => array_min(transform(col("harr"),
-            h => (shiftright(h, 30) + i.cast("long") * h.bitwiseAND(lit(mask))) % lit(prime))))
-        val sigged = staged.where(size(col("sh")) > 0).withColumn("sig", sig)
-        val bandKeys = (0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws(",", (0 until rowsPerBand).map(r =>
-              col("sig").getItem(b * rowsPerBand + r)): _*).as("bucket"))
-        }
-        val buckets = sigged
-          .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
-          .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-        val cand = buckets.select(col("band"), col("bucket"), col("id").as("a"))
-          .join(buckets.select(col("band"), col("bucket"), col("id").as("b")),
-            Seq("band", "bucket"))
-          .where(col("a") < col("b"))
-          .select(col("a"), col("b")).distinct()
-        val sh = staged.select(col("id"), col("sh"))
-        val ver = cand
-          .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
-          .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
-          .withColumn("jaccard",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-          .where(col("jaccard") >= 0.5)
+        val ver = Dedup.nearDuplicatePairsMd5(
+          Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
         val sym = ver.select(col("a").as("doc_id"), col("b").as("other"), col("jaccard"))
           .union(ver.select(col("b").as("doc_id"), col("a").as("other"), col("jaccard")))
         // best_jaccard is a ratio of two exact ints — pure IEEE division,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -68,11 +69,24 @@ class SyntheticDocsTable(rows: Long, chunk: Long) extends Table with SupportsRea
 
 class SyntheticDocsScanBuilder(rows: Long, chunk: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required = SyntheticDocs.schema
+  private var countPushed = false
+
+  // COMPLETE aggregate pushdown for ungrouped COUNT(*): the source knows
+  // the (filter-narrowed) cardinality exactly, so the scan answers with
+  // one row and Spark plans NO aggregation at all. Filters are pushed
+  // before aggregates, so the count composes with range pruning.
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countPushed = supportCompletePushDown(agg)
+    countPushed
+  }
 
   // doc_id range predicates narrow [lo, hi) before partition planning;
   // everything else stays a post-scan filter (returned as remainder)
@@ -99,7 +113,29 @@ class SyntheticDocsScanBuilder(rows: Long, chunk: Long)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SyntheticDocsScan(lo, hi, chunk, required)
+  override def build(): Scan =
+    if (countPushed) new SyntheticDocsCountScan(lo, hi)
+    else new SyntheticDocsScan(lo, hi, chunk, required)
+}
+
+/** Complete COUNT(*) pushdown: one partition, one row, zero row reads. */
+class SyntheticDocsCountScan(lo: Long, hi: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count_star", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticDocs COUNT pushdown range=[$lo,$hi)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(IdRangePartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val n = math.max(0L, hi - lo)
+    (_: InputPartition) => new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](n))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class IdRangePartition(start: Long, end: Long) extends InputPartition

@@ -118,4 +118,26 @@ class DedupSpec extends SparkSpec {
     cleaned(1L) shouldBe "prefix words suffix"
     cleaned(2L) shouldBe "totally different text with no shared five gram"
   }
+
+  test("murmur-kernel and md5-oracle-twin pipelines agree on planted duplicates") {
+    // Exact duplicates have Jaccard 1.0, so EVERY banded-LSH variant must
+    // surface them regardless of hash family; the planted near-dup is
+    // above both thresholds too. Cross-validates the two independent
+    // implementations (native murmur kernels vs md5 HOF pipeline).
+    val murmur = Dedup.nearDuplicatePairs(corpus, "doc_id", "text",
+      threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val md5fam = Dedup.nearDuplicatePairsMd5(corpus, "doc_id", "text",
+      threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    withClue(s"murmur=$murmur md5=$md5fam") {
+      murmur should contain ((0L, 1L)) // exact dup: guaranteed bucket hit
+      md5fam should contain ((0L, 1L))
+      // both verified-pair sets contain only true >= 0.5 Jaccard pairs
+      // over the planted corpus: near dups of 0 are docs 2 and 5
+      murmur.subsetOf(Set((0L,1L),(0L,2L),(0L,5L),(1L,2L),(1L,5L),(2L,5L))) shouldBe true
+      md5fam.subsetOf(Set((0L,1L),(0L,2L),(0L,5L),(1L,2L),(1L,5L),(2L,5L))) shouldBe true
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -35,4 +35,12 @@ class SyntheticDocsSourceSpec extends SparkSpec {
     pruned.queryExecution.executedPlan.toString should include("cols=doc_id")
     pruned.agg(sum(col("doc_id"))).as[Long].head() shouldBe (0L until 1000L).sum
   }
+
+  test("ungrouped COUNT(*) pushes down completely and composes with filter pruning") {
+    val counted = docs.where(col("doc_id") >= 100 && col("doc_id") < 350)
+      .groupBy().count()
+    counted.as[Long].head() shouldBe 250L
+    // the scan answered the count itself — no aggregation planned at all
+    counted.queryExecution.executedPlan.toString should include("COUNT pushdown range=[100,350)")
+  }
 }
