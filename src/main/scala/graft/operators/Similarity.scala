@@ -137,8 +137,8 @@ object Similarity {
       corpus.sparkSession.createDataFrame(centroids.toIndexedSeq)
         .toDF("cell", "centroid"))
 
-    // cell assignment = nearest centroid by cosine (rank over the small
-    // broadcast cross join; nCells is tiny so this is |rows| x nCells)
+    // probe assignment = rank over the small broadcast cross join (|Q| x
+    // nCells rows — tiny)
     def assign(df: DataFrame, id: Column, vec: Column, topN: Int): DataFrame = {
       val w = Window.partitionBy(id).orderBy(
         cosineSim(vec, col("centroid")).desc, col("cell"))
@@ -148,7 +148,16 @@ object Similarity {
         .drop("centroid", "cell_rank")
     }
 
-    val cells = assign(corpus, col(idCol), col(vecCol), 1)
+    // CORPUS cell assignment is row-local: argmax over the centroid
+    // literals (max struct(cos, -cell) — same tie-break as the ranked
+    // form: highest cos, then lowest cell). No cross join, no window, no
+    // shuffle for the |corpus|-scale stage; this is the same kernel
+    // shape as VecKMeans.cellExpr.
+    val bestCell = array_max(array(centroids.map { case (i, c) =>
+      struct(cosineSim(col(vecCol), typedlit(c)).as("cos"), lit(-i).as("negCell"))
+    }: _*))
+    val cells = corpus.select(col(idCol), col(vecCol),
+      (-bestCell.getField("negCell")).as("cell"))
     val probes = assign(queries, col("qid"), col("qvec"), nProbe)
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .where(col("qid") =!= col(idCol))
@@ -245,14 +254,17 @@ object Similarity {
           explode(array((0 until subspaces).map(s =>
             struct(lit(s).as("s"), slice(normalized(vec), s * sub + 1, sub).as("v"))): _*)).as("sv"))
         .select(col(idName), col("sv.s").as("s"), col("sv.v").as("v"))
-    val encW = Window.partitionBy(col("cid"), col("s"))
-      .orderBy(col("d").asc, col("code"))
+    // argmin codeword as a HASH AGGREGATE, not a window: min(struct(d,
+    // code)) combines map-side (partial agg), so the shuffle carries one
+    // row per (cid, s) instead of the full codebookSize explosion —
+    // this is the corpus-scale stage. Tie-break (smallest d, then
+    // smallest code) matches the oracle's row_number ordering.
     val enc = bySubspace(corpus, col(idCol), col(vecCol), "cid")
       .join(cb, Seq("s"))
       .withColumn("d", l2sq(col("v"), col("cw")))
-      .withColumn("r", row_number().over(encW))
-      .where(col("r") === 1)
-      .select(col("cid"), col("s"), col("code"))
+      .groupBy(col("cid"), col("s"))
+      .agg(min(struct(col("d"), col("code"))).as("m"))
+      .select(col("cid"), col("s"), col("m.code").as("code"))
     val pd = bySubspace(queries, col("qid"), col("qvec"), "qid")
       .join(cb, Seq("s"))
       .select(col("qid"), col("s"), col("code"),
