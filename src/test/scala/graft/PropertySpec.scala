@@ -136,4 +136,49 @@ object PropertySpec extends Properties("graft") {
         got.getLong(2) == want.getLong(2) &&
         got.getDouble(3) == want.getDouble(3)
     }
+
+  property("mortonKey == per-bit scalar interleave; monotone along each axis") =
+    forAll(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)) { (x, y) =>
+      def interleave(a: Long, b: Long): Long =
+        (0 until 16).foldLeft(0L) { (acc, i) =>
+          acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+        }
+      val got = Seq((x, y)).toDF("x", "y")
+        .select(graft.operators.Layout.mortonKey(col("x"), col("y")))
+        .as[Long].head()
+      val monotone = // bit spreading preserves per-axis order (disjoint bits)
+        x == 65535L || {
+          val next = Seq((x + 1, y)).toDF("x", "y")
+            .select(graft.operators.Layout.mortonKey(col("x"), col("y")))
+            .as[Long].head()
+          next > got
+        }
+      got == interleave(x, y) && monotone
+    }
+
+  property("murmur-kernel and md5-family LSH both surface a planted exact dup") = {
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    val docGen = Gen.listOfN(12, Gen.oneOf(vocab)).map(_.mkString(" "))
+    forAll(docGen, docGen, docGen) { (d0, d2, d3) =>
+      val corpus = Seq((0L, d0), (1L, d0), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+      val murmur = graft.operators.Dedup.nearDuplicatePairs(
+        corpus, "doc_id", "text", threshold = 0.99)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val md5fam = graft.operators.Dedup.nearDuplicatePairsMd5(
+        corpus, "doc_id", "text", threshold = 0.99)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      spark.catalog.clearCache()
+      murmur.contains((0L, 1L)) && md5fam.contains((0L, 1L))
+    }
+  }
+
+  property("Det.fixed: idempotent, within half an ulp of the scale") =
+    forAll(Gen.choose(-1e6, 1e6), Gen.choose(0, 6)) { (v, k) =>
+      val Seq(once, twice) = Seq(Tuple1(v)).toDF("v")
+        .select(
+          graft.util.Det.fixed(col("v"), k).as("a"),
+          graft.util.Det.fixed(graft.util.Det.fixed(col("v"), k), k).as("b"))
+        .as[(Double, Double)].collect().toSeq.flatMap(t => Seq(t._1, t._2))
+      once == twice && (once - v).abs <= 0.5 * math.pow(10.0, -k) + 1e-9 * v.abs
+    }
 }
