@@ -2,11 +2,13 @@ package graft.sources.v2
 
 import java.util
 
+import java.util.OptionalLong
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -26,7 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    analog of parquet row-group pruning);
   *  - PARTITION PLANNING: the (narrowed) range splits into fixed-size
   *    chunks — at scale, partition count tracks the data actually read,
-  *    not the table size.
+  *    not the table size;
+  *  - AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`): ungrouped
+  *    COUNT(*)/COUNT(doc_id)/MIN/MAX/SUM(doc_id) are answered in closed
+  *    form from the narrowed range — one row, zero row reads;
+  *  - STATISTICS (`SupportsReportStatistics`): filter-narrowed
+  *    rowcount/bytes feed join sizing (auto-broadcast without a hint).
   *
   * Usage: `spark.read.format(classOf[SyntheticDocsSource].getName)
   *   .option("rows", n).option("chunk", c).load()`.
@@ -74,19 +81,37 @@ class SyntheticDocsScanBuilder(rows: Long, chunk: Long)
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required = SyntheticDocs.schema
-  private var countPushed = false
+  private var pushedAggs = Array.empty[String]
 
-  // COMPLETE aggregate pushdown for ungrouped COUNT(*): the source knows
-  // the (filter-narrowed) cardinality exactly, so the scan answers with
-  // one row and Spark plans NO aggregation at all. Filters are pushed
-  // before aggregates, so the count composes with range pruning.
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[CountStar]
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    countPushed = supportCompletePushDown(agg)
-    countPushed
+  // COMPLETE aggregate pushdown for ungrouped COUNT(*)/COUNT(doc_id)/
+  // MIN/MAX/SUM(doc_id): the source knows the (filter-narrowed) id range
+  // [lo, hi) in closed form, so the scan answers with one row and Spark
+  // plans NO aggregation at all. Filters are pushed before aggregates, so
+  // every answer composes with range pruning. Spark only attempts the
+  // complete form when no post-scan filter remains, so partially-pushed
+  // predicates fall back to the row scan automatically.
+  private def tokenOf(f: AggregateFunc): Option[String] = f match {
+    case _: CountStar => Some("count")
+    // doc_id is non-null by schema, so COUNT(doc_id) == COUNT(*)
+    case c: Count if !c.isDistinct && isDocId(c.column) => Some("count")
+    case m: Min if isDocId(m.column) => Some("min")
+    case m: Max if isDocId(m.column) => Some("max")
+    case s: Sum if !s.isDistinct && isDocId(s.column) => Some("sum")
+    case _ => None
   }
+  private def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(tokenOf(_).isDefined)
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && {
+      pushedAggs = agg.aggregateExpressions.flatMap(tokenOf)
+      true
+    }
 
   // doc_id range predicates narrow [lo, hi) before partition planning;
   // everything else stays a post-scan filter (returned as remainder)
@@ -114,25 +139,41 @@ class SyntheticDocsScanBuilder(rows: Long, chunk: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    if (countPushed) new SyntheticDocsCountScan(lo, hi)
+    if (pushedAggs.nonEmpty) new SyntheticDocsAggScan(lo, hi, pushedAggs)
     else new SyntheticDocsScan(lo, hi, chunk, required)
 }
 
-/** Complete COUNT(*) pushdown: one partition, one row, zero row reads. */
-class SyntheticDocsCountScan(lo: Long, hi: Long) extends Scan with Batch {
+/** Complete aggregate pushdown: one partition, one row, zero row reads.
+  * Output columns are positional, one per pushed aggregate; MIN/MAX/SUM
+  * are NULL on an empty (fully-pruned) range, COUNT is 0.
+  */
+class SyntheticDocsAggScan(lo: Long, hi: Long, aggs: Array[String])
+    extends Scan with Batch {
   override def readSchema(): StructType =
-    StructType(Seq(StructField("count_star", LongType, nullable = false)))
+    StructType(aggs.zipWithIndex.map { case (a, i) =>
+      StructField(s"${a}_$i", LongType, nullable = a != "count")
+    })
   override def toBatch: Batch = this
   override def description(): String =
-    s"SyntheticDocs COUNT pushdown range=[$lo,$hi)"
+    s"SyntheticDocs AGG pushdown [${aggs.mkString(",")}] range=[$lo,$hi)"
   override def planInputPartitions(): Array[InputPartition] =
     Array(IdRangePartition(0, 1))
   override def createReaderFactory(): PartitionReaderFactory = {
     val n = math.max(0L, hi - lo)
+    // sum of [lo, hi) = n*(lo+hi-1)/2; BigInt intermediate avoids overflow
+    // before the halving even though the result fits a long for our sizes
+    val values: Array[Any] = aggs.map {
+      case "count" => n
+      case "min" => if (n == 0) null else lo
+      case "max" => if (n == 0) null else hi - 1
+      case "sum" =>
+        if (n == 0) null
+        else ((BigInt(lo) + BigInt(hi - 1)) * BigInt(n) / 2).toLong
+    }
     (_: InputPartition) => new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](n))
+      override def get(): InternalRow = new GenericInternalRow(values)
       override def close(): Unit = ()
     }
   }
@@ -141,11 +182,22 @@ class SyntheticDocsCountScan(lo: Long, hi: Long) extends Scan with Batch {
 case class IdRangePartition(start: Long, end: Long) extends InputPartition
 
 class SyntheticDocsScan(lo: Long, hi: Long, chunk: Long, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"SyntheticDocs range=[$lo,$hi) chunk=$chunk cols=${required.fieldNames.mkString(",")}"
+  // FILTER-NARROWED statistics: the optimizer sizes this relation from the
+  // pruned range, not the table cardinality — so a tightly-filtered scan
+  // auto-qualifies as the broadcast side of a join with no hint. Row width
+  // is doc_id (8) + the 8-word text (~52 chars UTF-8 + offsets).
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    private val rowBytes =
+      required.fieldNames.map { case "doc_id" => 8L; case "text" => 60L }.sum.max(1L)
+    override def sizeInBytes: OptionalLong = OptionalLong.of(n * rowBytes)
+    override def numRows: OptionalLong = OptionalLong.of(n)
+  }
   override def planInputPartitions(): Array[InputPartition] =
     (lo until hi by chunk)
       .map(s => IdRangePartition(s, math.min(s + chunk, hi)): InputPartition)

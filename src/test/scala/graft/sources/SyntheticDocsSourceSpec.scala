@@ -41,6 +41,59 @@ class SyntheticDocsSourceSpec extends SparkSpec {
       .groupBy().count()
     counted.as[Long].head() shouldBe 250L
     // the scan answered the count itself — no aggregation planned at all
-    counted.queryExecution.executedPlan.toString should include("COUNT pushdown range=[100,350)")
+    counted.queryExecution.executedPlan.toString should include(
+      "AGG pushdown [count] range=[100,350)")
+  }
+
+  test("MIN/MAX/SUM/COUNT push down together in closed form") {
+    val agged = docs.where(col("doc_id") >= 10 && col("doc_id") < 20)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+        sum(col("doc_id")).as("sm"), count(lit(1)).as("ct"),
+        count(col("doc_id")).as("ctc"))
+    agged.as[(Long, Long, Long, Long, Long)].head() shouldBe
+      ((10L, 19L, (10L until 20L).sum, 10L, 10L))
+    // Spark dedups the two equivalent counts before pushing
+    agged.queryExecution.executedPlan.toString should include(
+      "AGG pushdown [min,max,sum,count] range=[10,20)")
+  }
+
+  test("aggregates over a fully-pruned range answer NULL/0 without reading rows") {
+    val empty = docs.where(col("doc_id") >= 900 && col("doc_id") < 900)
+      .agg(min(col("doc_id")).as("mn"), count(lit(1)).as("ct"))
+    val row = empty.head()
+    row.isNullAt(0) shouldBe true
+    row.getLong(1) shouldBe 0L
+  }
+
+  test("AVG pushes down as Spark's sum/count rewrite; DISTINCT falls back to the scan") {
+    // Catalyst rewrites Average into Sum+Count when the source supports
+    // complete pushdown of both — the final divide runs in the Project
+    val avgq = docs.where(col("doc_id") < 100).agg(avg(col("doc_id")))
+    avgq.as[Double].head() shouldBe 49.5
+    avgq.queryExecution.executedPlan.toString should include(
+      "AGG pushdown [sum,count] range=[0,100)")
+
+    val dq = docs.where(col("doc_id") < 100).agg(countDistinct(col("doc_id")))
+    dq.as[Long].head() shouldBe 100L
+    dq.queryExecution.executedPlan.toString should not include "AGG pushdown"
+  }
+
+  test("filter-narrowed statistics drive automatic broadcast of the small side") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val filtered = docs.where(col("doc_id") < 100)
+    val scanStats = filtered.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.stats
+    }.head
+    scanStats.rowCount shouldBe Some(BigInt(100))
+    scanStats.sizeInBytes shouldBe BigInt(100 * 68)
+
+    // the probe side (~16 MB by its own stats) exceeds the 10 MB broadcast
+    // threshold; the 6.8 KB filtered scan qualifies — no hint anywhere
+    val big = spark.range(2000000).withColumnRenamed("id", "doc_id")
+    val joined = big.join(filtered, "doc_id")
+    joined.count() shouldBe 100L
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("BroadcastExchange")
   }
 }
