@@ -33,7 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    COUNT(*)/COUNT(doc_id)/MIN/MAX/SUM(doc_id) are answered in closed
   *    form from the narrowed range — one row, zero row reads;
   *  - STATISTICS (`SupportsReportStatistics`): filter-narrowed
-  *    rowcount/bytes feed join sizing (auto-broadcast without a hint).
+  *    rowcount/bytes feed join sizing (auto-broadcast without a hint);
+  *  - RUNTIME FILTERING (`SupportsRuntimeFiltering`): dynamic partition
+  *    pruning over a custom source — when the scan sits under a join
+  *    whose other side is small and selective, Spark executes that side
+  *    first, pushes the join-key values back into the scan as an IN
+  *    filter, and the scan RE-PLANS its partitions to just the chunks
+  *    holding requested ids (readers then emit only member rows).
   *
   * Usage: `spark.read.format(classOf[SyntheticDocsSource].getName)
   *   .option("rows", n).option("chunk", c).load()`.
@@ -181,8 +187,48 @@ class SyntheticDocsAggScan(lo: Long, hi: Long, aggs: Array[String])
 
 case class IdRangePartition(start: Long, end: Long) extends InputPartition
 
+/** One runtime-pruned chunk: only the surviving ids, already sorted. */
+case class IdSetPartition(ids: Array[Long]) extends InputPartition
+
+/** Driver-side observability for specs: what the runtime filter delivered
+  * and how many partitions the re-plan produced. (Runtime filtering has no
+  * explain-visible marker — the filter arrives AFTER planning — so tests
+  * read these instead.)
+  */
+object SyntheticDocsRuntime {
+  @volatile var lastFilterIds: Array[Long] = Array.empty
+  @volatile var lastPlannedPartitions: Int = -1
+  def reset(): Unit = { lastFilterIds = Array.empty; lastPlannedPartitions = -1 }
+}
+
 class SyntheticDocsScan(lo: Long, hi: Long, chunk: Long, required: StructType)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+  // Runtime (post-planning) IN-set from dynamic partition pruning; None
+  // until Spark pushes one. Mutated driver-side only, before re-planning.
+  private var runtimeAllowed: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+
+  // Best-effort by contract: the values come FROM the join condition, so
+  // dropping non-members is safe and keeping extras is also safe (the
+  // join re-checks). We intersect with the compile-time range and keep
+  // the exact membership set for row-level skipping.
+  override def filter(filters: Array[Filter]): Unit = {
+    filters.foreach {
+      case In("doc_id", vs) =>
+        val ids = vs.collect { case l: Long => l }.distinct.sorted
+          .filter(id => id >= lo && id < hi)
+        runtimeAllowed = Some(runtimeAllowed.fold(ids)(_.intersect(ids)))
+      case EqualTo("doc_id", v: Long) =>
+        val ids = Array(v).filter(id => id >= lo && id < hi)
+        runtimeAllowed = Some(runtimeAllowed.fold(ids)(_.intersect(ids)))
+      case _ => () // unsupported runtime filter shapes are ignored
+    }
+    SyntheticDocsRuntime.lastFilterIds = runtimeAllowed.getOrElse(Array.empty)
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -198,24 +244,45 @@ class SyntheticDocsScan(lo: Long, hi: Long, chunk: Long, required: StructType)
     override def sizeInBytes: OptionalLong = OptionalLong.of(n * rowBytes)
     override def numRows: OptionalLong = OptionalLong.of(n)
   }
-  override def planInputPartitions(): Array[InputPartition] =
-    (lo until hi by chunk)
-      .map(s => IdRangePartition(s, math.min(s + chunk, hi)): InputPartition)
-      .toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts: Array[InputPartition] = runtimeAllowed match {
+      case Some(ids) =>
+        // one partition per surviving chunk, carrying exactly its members
+        ids.groupBy(_ / chunk).toArray.sortBy(_._1)
+          .map { case (_, chunkIds) => IdSetPartition(chunkIds.sorted) }
+      case None =>
+        (lo until hi by chunk)
+          .map(s => IdRangePartition(s, math.min(s + chunk, hi)): InputPartition)
+          .toArray
+    }
+    SyntheticDocsRuntime.lastPlannedPartitions = parts.length
+    parts
+  }
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fieldNames // serialize only the field list
-    (partition: InputPartition) => {
-      val p = partition.asInstanceOf[IdRangePartition]
-      new PartitionReader[InternalRow] {
-        private var id = p.start - 1
-        override def next(): Boolean = { id += 1; id < p.end }
-        override def get(): InternalRow =
-          new GenericInternalRow(fields.map {
-            case "doc_id" => id
-            case "text" => UTF8String.fromString(SyntheticDocs.textOf(id))
-          }.asInstanceOf[Array[Any]])
-        override def close(): Unit = ()
+    // a function VAL, not a def: a local def lifts to an instance method
+    // and the factory lambda would capture the non-serializable Scan
+    val rowOf: Long => InternalRow = id =>
+      new GenericInternalRow(fields.map {
+        case "doc_id" => id
+        case "text" => UTF8String.fromString(SyntheticDocs.textOf(id))
+      }.asInstanceOf[Array[Any]])
+    (partition: InputPartition) =>
+      partition match {
+        case p: IdRangePartition =>
+          new PartitionReader[InternalRow] {
+            private var id = p.start - 1
+            override def next(): Boolean = { id += 1; id < p.end }
+            override def get(): InternalRow = rowOf(id)
+            override def close(): Unit = ()
+          }
+        case p: IdSetPartition =>
+          new PartitionReader[InternalRow] {
+            private var i = -1
+            override def next(): Boolean = { i += 1; i < p.ids.length }
+            override def get(): InternalRow = rowOf(p.ids(i))
+            override def close(): Unit = ()
+          }
       }
-    }
   }
 }

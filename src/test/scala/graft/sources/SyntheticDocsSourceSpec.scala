@@ -78,6 +78,21 @@ class SyntheticDocsSourceSpec extends SparkSpec {
     dq.queryExecution.executedPlan.toString should not include "AGG pushdown"
   }
 
+  test("runtime filtering: broadcast-join key values re-plan the scan partitions") {
+    import graft.sources.v2.SyntheticDocsRuntime
+    SyntheticDocsRuntime.reset()
+    // selective dim side: 3 ids in chunks 0, 3 and 7 of the 8-chunk corpus
+    val dim = spark.range(0, 1000).select(col("id").as("doc_id"))
+      .where(col("doc_id") % 450 === 5)
+    val joined = docs.join(broadcast(dim), Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    joined.collect().map(_.getLong(0)).sorted shouldBe Array(5L, 455L, 905L)
+    // the scan received the IN-set after the dim side executed...
+    SyntheticDocsRuntime.lastFilterIds shouldBe Array(5L, 455L, 905L)
+    // ...and re-planned to ONLY the 3 chunks holding those ids (from 8)
+    SyntheticDocsRuntime.lastPlannedPartitions shouldBe 3
+  }
+
   test("filter-narrowed statistics drive automatic broadcast of the small side") {
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     val filtered = docs.where(col("doc_id") < 100)
