@@ -11,8 +11,10 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Minimal DataSource V2 batch connector: a deterministic synthetic
@@ -39,7 +41,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    whose other side is small and selective, Spark executes that side
   *    first, pushes the join-key values back into the scan as an IN
   *    filter, and the scan RE-PLANS its partitions to just the chunks
-  *    holding requested ids (readers then emit only member rows).
+  *    holding requested ids (readers then emit only member rows);
+  *  - COLUMNAR READS (`supportColumnarReads` + `ColumnarBatch` of
+  *    `OnHeapColumnVector`s): the default read path hands Spark whole
+  *    vectorized batches instead of row-at-a-time `InternalRow`s — the
+  *    Tungsten scan shape (`ColumnarToRow` above the scan in the plan,
+  *    amortized per-batch virtual calls). `.option("columnar", false)`
+  *    selects the row path; both paths share partition planning.
   *
   * Usage: `spark.read.format(classOf[SyntheticDocsSource].getName)
   *   .option("rows", n).option("chunk", c).load()`.
@@ -52,7 +60,8 @@ class SyntheticDocsSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
     val chunk = Option(properties.get("chunk")).map(_.toLong).getOrElse(250L)
-    new SyntheticDocsTable(rows, chunk)
+    val columnar = Option(properties.get("columnar")).forall(_.toBoolean)
+    new SyntheticDocsTable(rows, chunk, columnar)
   }
 }
 
@@ -71,16 +80,17 @@ object SyntheticDocs {
     }.mkString(" ")
 }
 
-class SyntheticDocsTable(rows: Long, chunk: Long) extends Table with SupportsRead {
+class SyntheticDocsTable(rows: Long, chunk: Long, columnar: Boolean = true)
+    extends Table with SupportsRead {
   override def name(): String = s"synthetic_docs($rows)"
   override def schema(): StructType = SyntheticDocs.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticDocsScanBuilder(rows, chunk)
+    new SyntheticDocsScanBuilder(rows, chunk, columnar)
 }
 
-class SyntheticDocsScanBuilder(rows: Long, chunk: Long)
+class SyntheticDocsScanBuilder(rows: Long, chunk: Long, columnar: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var lo = 0L
@@ -146,7 +156,7 @@ class SyntheticDocsScanBuilder(rows: Long, chunk: Long)
     required = requiredSchema
   override def build(): Scan =
     if (pushedAggs.nonEmpty) new SyntheticDocsAggScan(lo, hi, pushedAggs)
-    else new SyntheticDocsScan(lo, hi, chunk, required)
+    else new SyntheticDocsScan(lo, hi, chunk, required, columnar)
 }
 
 /** Complete aggregate pushdown: one partition, one row, zero row reads.
@@ -201,7 +211,8 @@ object SyntheticDocsRuntime {
   def reset(): Unit = { lastFilterIds = Array.empty; lastPlannedPartitions = -1 }
 }
 
-class SyntheticDocsScan(lo: Long, hi: Long, chunk: Long, required: StructType)
+class SyntheticDocsScan(lo: Long, hi: Long, chunk: Long, required: StructType,
+    columnar: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   // Runtime (post-planning) IN-set from dynamic partition pruning; None
@@ -260,29 +271,87 @@ class SyntheticDocsScan(lo: Long, hi: Long, chunk: Long, required: StructType)
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fieldNames // serialize only the field list
-    // a function VAL, not a def: a local def lifts to an instance method
-    // and the factory lambda would capture the non-serializable Scan
-    val rowOf: Long => InternalRow = id =>
-      new GenericInternalRow(fields.map {
-        case "doc_id" => id
-        case "text" => UTF8String.fromString(SyntheticDocs.textOf(id))
-      }.asInstanceOf[Array[Any]])
-    (partition: InputPartition) =>
-      partition match {
-        case p: IdRangePartition =>
-          new PartitionReader[InternalRow] {
-            private var id = p.start - 1
-            override def next(): Boolean = { id += 1; id < p.end }
-            override def get(): InternalRow = rowOf(id)
-            override def close(): Unit = ()
+    if (columnar)
+      new SyntheticDocsColumnarFactory(fields, math.min(chunk, 4096L).toInt)
+    else {
+      // a function VAL, not a def: a local def lifts to an instance method
+      // and the factory lambda would capture the non-serializable Scan
+      val rowOf: Long => InternalRow = id =>
+        new GenericInternalRow(fields.map {
+          case "doc_id" => id
+          case "text" => UTF8String.fromString(SyntheticDocs.textOf(id))
+        }.asInstanceOf[Array[Any]])
+      (partition: InputPartition) =>
+        partition match {
+          case p: IdRangePartition =>
+            new PartitionReader[InternalRow] {
+              private var id = p.start - 1
+              override def next(): Boolean = { id += 1; id < p.end }
+              override def get(): InternalRow = rowOf(id)
+              override def close(): Unit = ()
+            }
+          case p: IdSetPartition =>
+            new PartitionReader[InternalRow] {
+              private var i = -1
+              override def next(): Boolean = { i += 1; i < p.ids.length }
+              override def get(): InternalRow = rowOf(p.ids(i))
+              override def close(): Unit = ()
+            }
+        }
+    }
+  }
+}
+
+/** Vectorized read path: fills `OnHeapColumnVector`s a batch at a time and
+  * hands Spark whole `ColumnarBatch`es — the same scan shape as the
+  * vectorized parquet reader (`ColumnarToRow` in the plan; per-batch, not
+  * per-row, iterator overhead). Works for both plain range chunks and
+  * runtime-pruned id-set partitions.
+  */
+class SyntheticDocsColumnarFactory(fields: Array[String], batchSize: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    throw new UnsupportedOperationException("columnar-only scan")
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val (count, idAt): (Int, Int => Long) = p match {
+      case r: IdRangePartition => ((r.end - r.start).toInt, i => r.start + i)
+      case s: IdSetPartition => (s.ids.length, s.ids.apply)
+    }
+    new PartitionReader[ColumnarBatch] {
+      private val schema = StructType(fields.map(SyntheticDocs.schema(_)))
+      private val vectors = OnHeapColumnVector.allocateColumns(batchSize, schema)
+      private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+      private var pos = 0
+      override def next(): Boolean =
+        if (pos >= count) false
+        else {
+          val n = math.min(batchSize, count - pos)
+          var c = 0
+          while (c < fields.length) {
+            val v = vectors(c)
+            v.reset()
+            fields(c) match {
+              case "doc_id" =>
+                var i = 0
+                while (i < n) { v.putLong(i, idAt(pos + i)); i += 1 }
+              case "text" =>
+                var i = 0
+                while (i < n) {
+                  val b = SyntheticDocs.textOf(idAt(pos + i))
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  v.putByteArray(i, b, 0, b.length)
+                  i += 1
+                }
+            }
+            c += 1
           }
-        case p: IdSetPartition =>
-          new PartitionReader[InternalRow] {
-            private var i = -1
-            override def next(): Boolean = { i += 1; i < p.ids.length }
-            override def get(): InternalRow = rowOf(p.ids(i))
-            override def close(): Unit = ()
-          }
-      }
+          batch.setNumRows(n)
+          pos += n
+          true
+        }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
   }
 }

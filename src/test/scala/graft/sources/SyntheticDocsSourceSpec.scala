@@ -78,6 +78,15 @@ class SyntheticDocsSourceSpec extends SparkSpec {
     dq.queryExecution.executedPlan.toString should not include "AGG pushdown"
   }
 
+  test("columnar batches are the default read path and equal the row path") {
+    docs.queryExecution.executedPlan.toString should include("ColumnarToRow")
+    val rowPath = spark.read.format(fmt).option("rows", "1000")
+      .option("chunk", "125").option("columnar", "false").load()
+    rowPath.queryExecution.executedPlan.toString should not include "ColumnarToRow"
+    docs.orderBy("doc_id").collect().map(_.toSeq.toList) shouldBe
+      rowPath.orderBy("doc_id").collect().map(_.toSeq.toList)
+  }
+
   test("runtime filtering: broadcast-join key values re-plan the scan partitions") {
     import graft.sources.v2.SyntheticDocsRuntime
     SyntheticDocsRuntime.reset()
