@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming operators for the events stream (SURVEY.md §7.6):
   * the streaming duals of the batch EventQueries. Each transform takes a
@@ -133,6 +134,76 @@ object StreamingOps {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Gap-session state machine on the Spark 4 arbitrary-state API with
+    * EVENT-TIME TIMERS: the same sessionization semantics as [[sessionize]]
+    * but expressed as a [[StatefulProcessor]] — state in a named
+    * ValueState slot, idle-session eviction via `registerTimer`, emission
+    * in `handleExpiredTimer` when the watermark crosses session end + gap.
+    * Exactly one live timer per key (re-armed on every update), so timer
+    * state is O(keys) alongside the RocksDB value state. This is the
+    * timer-based replacement for GroupStateTimeout in the legacy API.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var sess: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("sess",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def toSession(key: Long, s: SessionState): Session =
+      Session(key, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n, s.total)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[Session]
+      var cur = if (sess.exists()) Option(sess.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            closed ::= toSession(key, s) // gap crossed within one batch
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        // re-arm: exactly one live timer per key, at session end + gap
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.end + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] =
+      if (sess.exists()) {
+        val s = sess.get()
+        sess.clear()
+        Iterator(toSession(key, s))
+      } else Iterator.empty
+  }
+
+  /** Per-user gap sessions via [[SessionTimerProcessor]] (event-time
+    * timers). `lateness` bounds out-of-order arrival; sessions close when
+    * the watermark passes last-event + gap. */
+  def sessionizeWithTimers(
+      events: Dataset[Event], gapMs: Long = 1800000L,
+      lateness: String = "1 minute"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream-static enrichment join: each streaming event joined to a

@@ -246,6 +246,37 @@ class StreamingSpec extends SparkSpec {
       Tables.orders(spark, sf).count()
   }
 
+  test("transformWithState timers: sessions evicted by event-time timer match sessionize") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapMs = 30L * 60000
+      val events = Seq(
+        Event(1, ts(1), 1, "view", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),  // same session (gap 9 min)
+        Event(3, ts(100), 1, "view", 4.0),  // new session (gap 90 min)
+        Event(4, ts(5), 2, "view", 8.0))
+
+      val in = MemoryStream[Event]
+      val q = StreamingOps.sessionizeWithTimers(in.toDS(), gapMs)
+        .writeStream.format("memory").queryName("timersess")
+        .outputMode("append").start()
+      try {
+        in.addData(events: _*); q.processAllAvailable()
+        in.addData(flushA); q.processAllAvailable()
+        in.addData(flushB); q.processAllAvailable()
+      } finally q.stop()
+
+      val got = spark.table("timersess").where(col("user_id") < 999)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      got shouldBe Set(
+        (1L, ts(1), ts(10), 2L, 3.0),
+        (1L, ts(100), ts(100), 1L, 4.0),
+        (2L, ts(5), ts(5), 1L, 8.0))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState runningTotals: final per-user state equals the batch aggregate") {
     // transformWithState requires the RocksDB state store
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
