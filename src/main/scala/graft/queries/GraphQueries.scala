@@ -99,6 +99,60 @@ object GraphQueries {
       oracle = Some(pagerankSql(5)),
       bench = false),
 
+    // ---- triangle counting on the supplier co-part projection graph:
+    //      bipartite → unipartite projection (suppliers sharing a part),
+    //      then the canonical a<b<c oriented 3-way self-join — each
+    //      triangle found exactly once. Pure integer ops, oracle-exact.
+    //      At 100 TB orient edges low-degree→high-degree instead of by id
+    //      to bound the wedge join's fan-out on hub nodes.
+    QueryDef("graph_triangles",
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+          .distinct()
+        // stage the projection edges ONCE: all three join branches read
+        // the materialized table instead of re-running scan+distinct+join
+        // (self-joins recompute both branches otherwise); AQE right-sizes
+        // the downstream joins from the staged table's runtime stats
+        val e = ps.as("x").join(ps.as("y"),
+            col("x.p") === col("y.p") && col("x.sup") < col("y.sup"))
+          .select(col("x.sup").as("ea"), col("y.sup").as("eb"))
+          .distinct()
+          .localCheckpoint()
+        val wedges = e.as("e1").join(e.as("e2"), col("e1.eb") === col("e2.ea"))
+          .select(col("e1.ea").as("ta"), col("e1.eb").as("tb"),
+            col("e2.eb").as("tc"))
+        val tri = wedges.join(e.as("e3"),
+          col("ta") === col("e3.ea") && col("tc") === col("e3.eb"))
+          .select(col("ta"), col("tb"), col("tc"))
+        tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("s_suppkey"))
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_triangles"))
+          .orderBy(col("s_suppkey"))
+      },
+      oracle = Some(
+        raw"""WITH ps AS (
+             |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem
+             |),
+             |e AS (
+             |  SELECT DISTINCT x.sup AS ea, y.sup AS eb
+             |  FROM ps x JOIN ps y ON x.p = y.p AND x.sup < y.sup
+             |),
+             |tri AS (
+             |  SELECT e1.ea AS ta, e1.eb AS tb, e2.eb AS tc
+             |  FROM e e1
+             |  JOIN e e2 ON e1.eb = e2.ea
+             |  JOIN e e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+             |)
+             |SELECT node AS s_suppkey, COUNT(*) AS n_triangles
+             |FROM (
+             |  SELECT ta AS node FROM tri
+             |  UNION ALL SELECT tb FROM tri
+             |  UNION ALL SELECT tc FROM tri
+             |)
+             |GROUP BY node ORDER BY node""".stripMargin),
+      bench = false),
+
     // ---- bounded min-label propagation (3 hops) on the sparse
     //      high-quantity subgraph → many components, pure integer ops ----
     QueryDef("graph_min_label_prop",
