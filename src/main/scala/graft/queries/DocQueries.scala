@@ -520,6 +520,106 @@ object DocQueries {
              |FROM scored
              |WHERE doc_id = keeper_id AND pred_lang = 'en' AND q >= 0.5
              |GROUP BY source ORDER BY source""".stripMargin
-      })
+      }),
+
+    // ---- unigram-LM surprisal: the perplexity-filter shape without an
+    //      external model — token logprob = ln(corpus_freq), per-doc mean.
+    //      Per-token logs are integerized (Det) so the doc sum is exact;
+    //      the mean is a ratio of bit-identical inputs. The 100 TB form
+    //      is identical: the token-frequency table is corpus-wide state
+    //      (broadcast below ~GB vocab, else a shuffle join on token). ----
+    QueryDef("text_unigram_surprisal",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val tot = cnt.agg(sum(col("c")).as("t"))
+        toks.join(cnt, Seq("tok"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            Det.toFixed(log(col("c").cast("double") / col("t").cast("double")), 9)
+              .as("lp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
+          .select(col("doc_id"), col("n_tokens"),
+            ((col("slp").cast("double") / lit(1e9)) / col("n_tokens").cast("double"))
+              .as("avg_token_logprob"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        raw"""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents
+             |),
+             |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+             |tot AS (SELECT SUM(c) AS t FROM cnt),
+             |scored AS (
+             |  SELECT toks.doc_id,
+             |    ${Det.toFixedSql(
+                    "ln(CAST(cnt.c AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE))", 9)} AS lp
+             |  FROM toks JOIN cnt USING (tok)
+             |)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  (CAST(SUM(lp) AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+             |    / CAST(COUNT(*) AS DOUBLE) AS avg_token_logprob
+             |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      bench = false),
+
+    // ---- Gopher-style repetition stats: distinct-token ratio and the
+    //      token fraction covered by the top bigram — pure integer
+    //      arithmetic end-to-end (ratios of exact counts), no
+    //      transcendental ulp exposure at all. ----
+    QueryDef("text_repetition_stats",
+      (s, d) => {
+        val toksOf = TextAnalysis.tokens(col("text"))
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), toksOf.as("toks"))
+        base.select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+            explode(zip_with(
+              slice(col("toks"), lit(1), size(col("toks")) - 1),
+              slice(col("toks"), lit(2), size(col("toks")) - 1),
+              (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .groupBy(col("doc_id"), col("n_tokens"), col("n_unique"), col("bigram"))
+          .agg(count(lit(1)).as("bc"))
+          .groupBy(col("doc_id"), col("n_tokens"), col("n_unique"))
+          .agg(max(col("bc")).as("top_bigram_count"))
+          .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+            (col("n_unique").cast("double") / col("n_tokens").cast("double"))
+              .as("unique_ratio"),
+            col("top_bigram_count"),
+            ((col("top_bigram_count") * 2).cast("double") / col("n_tokens").cast("double"))
+              .as("top_bigram_token_frac"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        raw"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |),
+             |b AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+             |    unnest(list_transform(range(1, len(toks)),
+             |      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+             |  FROM t
+             |),
+             |c AS (
+             |  SELECT doc_id, n_tokens, n_unique, bigram, COUNT(*) AS bc
+             |  FROM b GROUP BY doc_id, n_tokens, n_unique, bigram
+             |),
+             |m AS (
+             |  SELECT doc_id, n_tokens, n_unique, MAX(bc) AS top_bigram_count
+             |  FROM c GROUP BY doc_id, n_tokens, n_unique
+             |)
+             |SELECT doc_id, n_tokens, n_unique,
+             |  CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS unique_ratio,
+             |  top_bigram_count,
+             |  CAST(top_bigram_count * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |    AS top_bigram_token_frac
+             |FROM m ORDER BY doc_id""".stripMargin),
+      bench = false)
   )
 }

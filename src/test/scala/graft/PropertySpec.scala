@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 import graft.gmm.{EM, Gaussian}
 import graft.functions.VectorExpressions
 
@@ -171,6 +171,40 @@ object PropertySpec extends Properties("graft") {
       murmur.contains((0L, 1L)) && md5fam.contains((0L, 1L))
     }
   }
+
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(15, for {
+      a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L) if a != b
+    } yield (a, b))
+
+  property("minLabelPropagation at node-count iters == connectedComponents") =
+    forAll(edgeGen) { pairs =>
+      pairs.nonEmpty ==> {
+        val e = pairs.toDF("src", "dst")
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        val labels = graft.operators.Graph.minLabelPropagation(sym, iters = 10)
+          .as[(Long, Long)].collect().toMap
+        val nodes = sym.select(col("src").as("node")).distinct()
+        val cc = graft.operators.Curation.connectedComponents(
+          e.select(col("src").as("a"), col("dst").as("b")), nodes)
+          .as[(Long, Long)].collect().toMap
+        labels == cc
+      }
+    }
+
+  property("pageRank: mass conserved (no dangling) and bit-stable under repartition") =
+    forAll(edgeGen) { pairs =>
+      pairs.nonEmpty ==> {
+        val e = pairs.toDF("src", "dst")
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        val a = graft.operators.Graph.pageRank(sym, iters = 3)
+          .orderBy("node").as[(Long, Double)].collect()
+        val b = graft.operators.Graph.pageRank(sym.repartition(5), iters = 3)
+          .orderBy("node").as[(Long, Double)].collect()
+        // symmetric graph: every node has out-edges, so no rank leaks
+        (a.map(_._2).sum - 1.0).abs <= 1e-9 && a.sameElements(b)
+      }
+    }
 
   property("Det.fixed: idempotent, within half an ulp of the scale") =
     forAll(Gen.choose(-1e6, 1e6), Gen.choose(0, 6)) { (v, k) =>
