@@ -32,4 +32,35 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     two shouldBe plain
   }
+
+  test("AQE skew-join splits a hot partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    // one hot key carrying ~5 MB vs 8 KB advisory/skew thresholds: AQE
+    // must mark the sort-merge join skewed and split the hot partition
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1", // AQE too
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 100
+      // 90% of rows on key 0 (~4.5 MB in one shuffle partition), the rest
+      // one row per distinct key (~125 KB per partition): hot partition is
+      // far beyond 2x median AND the 8 KB threshold
+      val left = spark.range(0, 50000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+          lit(pad).as("pad"))
+      val right = spark.range(0, 50000).select(col("id").as("k"), lit(1).as("tag"))
+      val joined = left.join(right, Seq("k"))
+      joined.count() shouldBe 50000L
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      finalPlan should include("skew=true")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
