@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses graft.Bench's JSON line from a stdout tail.
+// Default forked-run output goes through sbt's logger, which prefixes
+// every line with "[info] " — that broke the driver's line-based JSON
+// parse in round 2 (BENCH_r02.json parsed=null despite the full line
+// being inside the tail buffer). StdoutOutput passes the child's stdout
+// through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

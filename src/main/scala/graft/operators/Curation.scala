@@ -42,11 +42,19 @@ object Curation {
     * is below the stratum's rate. Unlike `DataFrame.sampleBy` (RNG per
     * partition), this is reproducible across runs, partitionings and
     * engines — the property a curation pipeline needs for auditable
-    * subsets. Unknown strata default to rate 0. */
+    * subsets. Unknown strata default to rate 0.
+    *
+    * `pmod` (not signed `%`) keeps u in [0,1) for ALL long ids and seeds:
+    * the multiply may wrap Java's two's-complement long, but wrap is
+    * arithmetic mod 2^64 and 2^32 divides 2^64, so
+    * `pmod(wrapped, 2^32) == (id*K + seed) mod 2^32` exactly — whereas
+    * signed `%` went negative past id ~3.46e9 (or for negative ids) and a
+    * negative u passed `u < rate` in every stratum, rate-0 included. */
   def stratifiedSample(
       df: DataFrame, idCol: Column, strataCol: Column,
       rates: Map[String, Double], seed: Long): DataFrame = {
-    val u = ((idCol * lit(2654435761L) + lit(seed)) % lit(4294967296L))
+    val u = pmod(idCol.cast("long") * lit(2654435761L) + lit(seed),
+        lit(4294967296L))
       .cast("double") / lit(4294967296.0)
     val rateMap = map(rates.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
@@ -134,16 +142,22 @@ object Curation {
       .agg(max(struct(col("shared"), col("test_id"))).as("b"))
       .select(col("train_id"), col("b.shared").as("shared"),
         col("b.test_id").as("best_test_id"))
+    // Coalesced BEFORE the ratio so clean docs (no shared shingles) and
+    // short docs (< k tokens, n_sh = 0) get overlap_frac 0.0, not NULL —
+    // the "clean docs survive with overlap 0" contract.
+    val nShC = coalesce(col("n_sh"), lit(0L))
+    val sharedC = coalesce(col("shared"), lit(0L))
+    val frac = when(nShC > 0,
+      sharedC.cast("double") / nShC.cast("double")).otherwise(lit(0.0))
     train.select(col(idCol).as("train_id"))
       .join(nSh, Seq("train_id"), "left")
       .join(best, Seq("train_id"), "left")
       .select(
         col("train_id"),
-        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
-        coalesce(col("shared"), lit(0L)).as("shared"),
+        nShC.as("n_sh"),
+        sharedC.as("shared"),
         col("best_test_id"),
-        (col("shared").cast("double") / col("n_sh").cast("double")).as("overlap_frac"),
-        coalesce(col("shared").cast("double") / col("n_sh").cast("double")
-          >= threshold, lit(false)).as("contaminated"))
+        frac.as("overlap_frac"),
+        (frac >= threshold).as("contaminated"))
   }
 }

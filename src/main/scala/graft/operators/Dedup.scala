@@ -348,7 +348,10 @@ object Dedup {
     val dupStarts = spans.join(crossDocSpans, Seq("sk"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
-    val toks = split(trim(col(textCol)), "\\s+")
+    // Built from the RENAMED column: the frame below aliases textCol to
+    // "text", so resolving against textCol would fail for any textCol
+    // other than the literal name "text".
+    val toks = split(trim(col("text")), "\\s+")
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .join(dupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"),

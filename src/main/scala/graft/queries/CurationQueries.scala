@@ -46,7 +46,7 @@ object CurationQueries {
              |)
              |SELECT doc_id, lang, n_tokens,
              |  CAST(floor(cum_before / 2048) AS BIGINT) AS pack_id,
-             |  cum_before % 2048 AS offset_in_pack
+             |  CAST(cum_before % 2048 AS BIGINT) AS offset_in_pack
              |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ---- stratified sampling: per-lang rates, reproducible hash u ----
@@ -61,7 +61,10 @@ object CurationQueries {
       oracle = Some(
         """WITH s AS (
           |  SELECT doc_id, lang,
-          |    ((doc_id * 2654435761 + 7) % 4294967296) / 4294967296.0 AS u
+          |    -- HUGEINT widening + sign-fixed mod == Spark's pmod on the
+          |    -- wrapped long product (2^32 | 2^64), overflow-safe for any id
+          |    CAST(((CAST(doc_id AS HUGEINT) * 2654435761 + 7) % 4294967296
+          |      + 4294967296) % 4294967296 AS BIGINT) / 4294967296.0 AS u
           |  FROM documents
           |)
           |SELECT doc_id, lang, u FROM s
@@ -333,9 +336,12 @@ object CurationQueries {
              |  coalesce(nsh.n_sh, 0) AS n_sh,
              |  coalesce(best.shared, 0) AS shared,
              |  best.best_test_id AS best_test_id,
-             |  CAST(best.shared AS DOUBLE) / CAST(nsh.n_sh AS DOUBLE) AS overlap_frac,
-             |  coalesce(CAST(best.shared AS DOUBLE) / CAST(nsh.n_sh AS DOUBLE) >= 0.5,
-             |    false) AS contaminated
+             |  CASE WHEN coalesce(nsh.n_sh, 0) > 0
+             |    THEN CAST(coalesce(best.shared, 0) AS DOUBLE) / CAST(nsh.n_sh AS DOUBLE)
+             |    ELSE 0.0 END AS overlap_frac,
+             |  CASE WHEN coalesce(nsh.n_sh, 0) > 0
+             |    THEN CAST(coalesce(best.shared, 0) AS DOUBLE) / CAST(nsh.n_sh AS DOUBLE)
+             |    ELSE 0.0 END >= 0.5 AS contaminated
              |FROM documents d
              |LEFT JOIN nsh ON d.doc_id = nsh.train_id
              |LEFT JOIN best ON d.doc_id = best.train_id

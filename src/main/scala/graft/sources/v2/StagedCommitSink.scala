@@ -31,6 +31,20 @@ import scala.jdk.CollectionConverters._
   *
   * Usage: `df.write.format(classOf[StagedCommitSink].getName)
   *   .option("path", dir).save()`.
+  *
+  * Filesystem contract: staging and promotion use java.nio local-path
+  * moves, so executors and the driver MUST share one filesystem — true in
+  * local mode and on a shared mount (NFS/FUSE-mounted object store). On a
+  * real cluster with executor-local disks, the same protocol runs over
+  * `org.apache.hadoop.fs.FileSystem` (task stages to
+  * `hdfs://.../_staging/`, driver renames within the store) — the commit
+  * sequence below is unchanged, only the path API differs.
+  *
+  * Re-writing an existing destination is overwrite-by-replacement: job
+  * commit first removes the previous `_SUCCESS` (readers keyed on it stop
+  * seeing the old output), then any previously committed part files, then
+  * promotes the new staged set and stamps a fresh manifest — so a second
+  * save never leaves stale parts alongside the new manifest.
   */
 class StagedCommitSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true // schema := df schema
@@ -93,6 +107,14 @@ class StagedWrite(path: String, schema: StructType) extends Write with BatchWrit
     val destDir = Paths.get(path)
     Files.createDirectories(destDir)
     val staged = messages.map(_.asInstanceOf[StagedFile])
+    // Overwrite-by-replacement: drop the old manifest FIRST (readers keyed
+    // on _SUCCESS stop trusting the directory), then stale parts from any
+    // prior commit — otherwise a smaller re-write leaves the previous
+    // run's extra part files under the new manifest.
+    Files.deleteIfExists(destDir.resolve("_SUCCESS"))
+    Files.list(destDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .foreach(Files.delete)
     staged.foreach { m =>
       Files.move(destDir.resolve("_staging").resolve(m.name),
         destDir.resolve(m.name), StandardCopyOption.ATOMIC_MOVE)

@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators for the events stream (SURVEY.md §7.6):
   * the streaming duals of the batch EventQueries. Each transform takes a
@@ -139,56 +139,71 @@ object StreamingOps {
   /** Gap-session state machine on the Spark 4 arbitrary-state API with
     * EVENT-TIME TIMERS: the same sessionization semantics as [[sessionize]]
     * but expressed as a [[StatefulProcessor]] — state in a named
-    * ValueState slot, idle-session eviction via `registerTimer`, emission
+    * ListState slot, idle-session eviction via `registerTimer`, emission
     * in `handleExpiredTimer` when the watermark crosses session end + gap.
-    * Exactly one live timer per key (re-armed on every update), so timer
-    * state is O(keys) alongside the RocksDB value state. This is the
-    * timer-based replacement for GroupStateTimeout in the legacy API.
-    */
+    *
+    * A session is NEVER emitted from `handleInputRows`, even when a gap
+    * is crossed inside one micro-batch: until the watermark passes
+    * `end + gap`, a still-admissible late event can land inside that gap
+    * and must extend or even bridge sessions. So the state is the full
+    * list of not-yet-final sessions per key, input rows interval-merge
+    * into it (an event joins a session within `gap` of it; two sessions
+    * a bridging event connects coalesce into one), and finalization
+    * happens only in the timer callback — the point where `watermark >
+    * end + gap` guarantees no admissible event can reach the session.
+    * Exactly one live timer per key (re-armed at the earliest pending
+    * close horizon), so timer state is O(keys) alongside the RocksDB
+    * list state; the list length is bounded by the number of distinct
+    * in-flight sessions inside the watermark delay, typically 1-2. */
   class SessionTimerProcessor(gapMs: Long)
       extends StatefulProcessor[Long, Event, Session] {
-    @transient private var sess: ValueState[SessionState] = _
+    @transient private var sess: ListState[SessionState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      sess = getHandle.getValueState[SessionState]("sess",
+      sess = getHandle.getListState[SessionState]("sess",
         Encoders.product[SessionState], TTLConfig.NONE)
 
     private def toSession(key: Long, s: SessionState): Session =
       Session(key, new java.sql.Timestamp(s.start),
         new java.sql.Timestamp(s.end), s.n, s.total)
 
+    /** Coalesce sessions sorted by start: neighbors within `gapMs` merge
+      * (sums accumulate in event-time order — same order as the batch
+      * sessionization's running sum). */
+    private def coalesceSessions(xs: Seq[SessionState]): List[SessionState] =
+      xs.sortBy(s => (s.start, s.end)).foldLeft(List.empty[SessionState]) {
+        case (h :: t, s) if s.start - h.end <= gapMs =>
+          SessionState(h.start, math.max(h.end, s.end),
+            h.n + s.n, h.total + s.total) :: t
+        case (acc, s) => s :: acc
+      }.reverse
+
+    private def armTimer(pending: Seq[SessionState]): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (pending.nonEmpty)
+        getHandle.registerTimer(pending.map(_.end).min + gapMs)
+    }
+
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var closed = List.empty[Session]
-      var cur = if (sess.exists()) Option(sess.get()) else None
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.end <= gapMs =>
-            cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
-          case Some(s) =>
-            closed ::= toSession(key, s) // gap crossed within one batch
-            cur = Some(SessionState(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
-      }
-      cur.foreach { s =>
-        sess.update(s)
-        // re-arm: exactly one live timer per key, at session end + gap
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(s.end + gapMs)
-      }
-      closed.reverseIterator
+      val singletons = rows.map(e =>
+        SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)).toSeq
+      val merged = coalesceSessions(sess.get().toSeq ++ singletons)
+      sess.clear()
+      merged.foreach(sess.appendValue)
+      armTimer(merged)
+      Iterator.empty
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] =
-      if (sess.exists()) {
-        val s = sess.get()
-        sess.clear()
-        Iterator(toSession(key, s))
-      } else Iterator.empty
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      val horizon = math.max(timerValues.getCurrentWatermarkInMs(),
+        expiredTimerInfo.getExpiryTimeInMs())
+      val (done, live) = sess.get().toSeq.partition(_.end + gapMs <= horizon)
+      sess.clear()
+      live.foreach(sess.appendValue)
+      armTimer(live)
+      done.sortBy(_.start).iterator.map(toSession(key, _))
+    }
   }
 
   /** Per-user gap sessions via [[SessionTimerProcessor]] (event-time
