@@ -50,16 +50,56 @@ object Curation {
     * `pmod(wrapped, 2^32) == (id*K + seed) mod 2^32` exactly — whereas
     * signed `%` went negative past id ~3.46e9 (or for negative ids) and a
     * negative u passed `u < rate` in every stratum, rate-0 included. */
+  /** Unit-uniform deterministic hash `u(id) ∈ [0,1)` — the auditable
+    * replacement for per-partition RNG sampling (see [[stratifiedSample]]). */
+  def hashU(idCol: Column, seed: Long): Column =
+    pmod(idCol.cast("long") * lit(2654435761L) + lit(seed),
+      lit(4294967296L)).cast("double") / lit(4294967296.0)
+
   def stratifiedSample(
       df: DataFrame, idCol: Column, strataCol: Column,
       rates: Map[String, Double], seed: Long): DataFrame = {
-    val u = pmod(idCol.cast("long") * lit(2654435761L) + lit(seed),
-        lit(4294967296L))
-      .cast("double") / lit(4294967296.0)
     val rateMap = map(rates.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    df.withColumn("u", u)
+    df.withColumn("u", hashU(idCol, seed))
       .where(col("u") < coalesce(element_at(rateMap, strataCol), lit(0.0)))
+  }
+
+  /** Domain-mixture resampling — reshape a corpus toward TARGET domain
+    * proportions (the "data mixing" step of a training pipeline: e.g. cap
+    * web crawl at 60%, upweight code to 20%). For each domain d with n_d
+    * rows out of N total, the kept fraction is
+    * `rate_d = min(1, share_d · totalFraction · N / n_d)` — so the output
+    * approximates `totalFraction · N` rows distributed per `targetShares`
+    * (domains too small to fill their share saturate at rate 1, i.e. no
+    * upsampling-with-replacement). Row selection is the same deterministic
+    * [[hashU]] predicate as [[stratifiedSample]] — reproducible across
+    * runs, partitionings, and engines. Domains absent from `targetShares`
+    * get share 0 (dropped).
+    *
+    * Scale: per-domain counts come from a groupBy (output = #domains
+    * rows), the grand total from a 1-row aggregate cross-joined in, and
+    * the rate table joins back BROADCAST — no global window, no driver
+    * collect; the big side streams through one hash-filter. */
+  def mixtureSample(
+      df: DataFrame, idCol: Column, domainCol: Column,
+      targetShares: Map[String, Double], totalFraction: Double,
+      seed: Long): DataFrame = {
+    val shareMap = map(targetShares.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val counts = df.groupBy(domainCol.as("dom"))
+      .agg(count(lit(1)).as("n_dom"))
+    val total = counts.agg(sum(col("n_dom")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("share", coalesce(element_at(shareMap, col("dom")), lit(0.0)))
+      .withColumn("rate", least(lit(1.0),
+        col("share") * lit(totalFraction) * col("n_total").cast("double")
+          / col("n_dom").cast("double")))
+      .select(col("dom"), col("n_dom"), col("rate"))
+    df.join(broadcast(rates), domainCol === col("dom"))
+      .withColumn("u", hashU(idCol, seed))
+      .where(col("u") < col("rate"))
+      .drop("dom")
   }
 
   /** PII scrubbing patterns — conservative regexes that parse identically
@@ -108,6 +148,47 @@ object Curation {
       iter += 1
     }
     labels.withColumnRenamed("lab", "cluster_id")
+  }
+
+  /** Model-based quality scoring with a hashed linear classifier — the
+    * fasttext-style quality filter of training pipelines (score a document
+    * by a linear model over hashed bag-of-words features), expressed as
+    * pure dataflow: explode tokens, feature-hash each token, look the
+    * weight up ARITHMETICALLY (weight table = a function of the hash, so
+    * no join), and average per document.
+    *
+    * The feature hash is the md5-derived 60-bit value (cross-engine:
+    * DuckDB computes the identical integer), the "learned" weight for
+    * bucket b is the integer `(b mod dim) − dim/2` ∈ [−dim/2, dim/2] —
+    * a deterministic stand-in for trained weights, stored nowhere. Real
+    * deployments swap `weightOf` for a broadcast-joined weight table of
+    * `dim` rows; the dataflow (explode → hash → sum/count per doc) is
+    * unchanged. Integer weight sums are order-free, so the score —
+    * `Σ w / ((dim/2) · n_tokens)` ∈ [−1, 1] — is oracle-exact.
+    *
+    * Scale: one explode (rows × tokens) and one doc-keyed partial+final
+    * hash aggregate; no shuffle wider than the doc id. */
+  def qualityClassifierScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 2001): DataFrame = {
+    val half = dim / 2
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val w = pmod(h, lit(dim.toLong)) - lit(half.toLong)
+    val scored = tok
+      .select(col("doc_id"), w.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("w_sum"))
+      .withColumn("score", col("w_sum").cast("double")
+        / (lit(half.toDouble) * col("n_tokens").cast("double")))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("w_sum"), lit(0L)).as("w_sum"),
+        coalesce(col("score"), lit(0.0)).as("score"),
+        (coalesce(col("score"), lit(0.0)) > 0).as("keep"))
   }
 
   /** Train/test decontamination: for every train document, the test

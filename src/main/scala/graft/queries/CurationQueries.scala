@@ -73,6 +73,79 @@ object CurationQueries {
           |  ELSE 0.0 END
           |ORDER BY doc_id""".stripMargin)),
 
+    // ---- domain-mixture resampling: reshape corpus toward target domain
+    // shares (training-data mixing). src5's rate saturates at 1.0 (least
+    // branch); sources outside the share map drop out. ----
+    QueryDef("sample_mixture",
+      (s, d) => Curation.mixtureSample(
+        Tables.documents(s, d), col("doc_id"), col("source"),
+        targetShares = Map("src0" -> 0.3, "src1" -> 0.25, "src2" -> 0.2,
+          "src3" -> 0.15, "src4" -> 0.1, "src5" -> 0.6),
+        totalFraction = 0.1, seed = 11L)
+        .select(col("doc_id"), col("source"), col("n_dom"), col("rate"), col("u"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        """WITH counts AS (
+          |  SELECT source AS dom, count(*) AS n_dom FROM documents GROUP BY 1
+          |), tot AS (
+          |  SELECT CAST(sum(n_dom) AS BIGINT) AS n_total FROM counts
+          |), rates AS (
+          |  -- every literal cast to DOUBLE: DuckDB otherwise folds the
+          |  -- DECIMAL product 0.3*0.1 exactly, while Spark multiplies
+          |  -- binary doubles -- a 1-ulp rate difference the hash rejects
+          |  SELECT dom, n_dom,
+          |    least(CAST(1.0 AS DOUBLE),
+          |      CASE dom WHEN 'src0' THEN CAST(0.3 AS DOUBLE)
+          |        WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+          |        WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+          |        WHEN 'src3' THEN CAST(0.15 AS DOUBLE)
+          |        WHEN 'src4' THEN CAST(0.1 AS DOUBLE)
+          |        WHEN 'src5' THEN CAST(0.6 AS DOUBLE)
+          |        ELSE CAST(0.0 AS DOUBLE) END
+          |      * CAST(0.1 AS DOUBLE)
+          |      * CAST(n_total AS DOUBLE) / CAST(n_dom AS DOUBLE)) AS rate
+          |  FROM counts CROSS JOIN tot
+          |)
+          |SELECT d.doc_id, d.source, r.n_dom, r.rate,
+          |  CAST(((CAST(d.doc_id AS HUGEINT) * 2654435761 + 11) % 4294967296
+          |    + 4294967296) % 4294967296 AS BIGINT) / 4294967296.0 AS u
+          |FROM documents d JOIN rates r ON d.source = r.dom
+          |WHERE CAST(((CAST(d.doc_id AS HUGEINT) * 2654435761 + 11) % 4294967296
+          |    + 4294967296) % 4294967296 AS BIGINT) / 4294967296.0 < r.rate
+          |ORDER BY d.doc_id""".stripMargin),
+      bench = false),
+
+    // ---- hashed-linear-model quality scoring (fasttext-filter shape):
+    // md5 60-bit feature hash, arithmetic weight lookup, integer weight
+    // sums (order-free => oracle-exact score). ----
+    QueryDef("quality_classifier",
+      (s, d) => Curation.qualityClassifierScore(
+        Tables.documents(s, d), "doc_id", "text", dim = 2001)
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        raw"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents
+             |), w AS (
+             |  SELECT doc_id,
+             |    (('0x' || substring(md5(tok), 1, 15))::BIGINT % 2001) - 1000 AS w
+             |  FROM tok
+             |), s AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |    CAST(sum(w) AS BIGINT) AS w_sum
+             |  FROM w GROUP BY 1
+             |)
+             |SELECT d.doc_id,
+             |  coalesce(s.n_tokens, 0) AS n_tokens,
+             |  coalesce(s.w_sum, 0) AS w_sum,
+             |  coalesce(CAST(s.w_sum AS DOUBLE) / (1000.0 * CAST(s.n_tokens AS DOUBLE)),
+             |    0.0) AS score,
+             |  coalesce(CAST(s.w_sum AS DOUBLE) / (1000.0 * CAST(s.n_tokens AS DOUBLE)),
+             |    0.0) > 0 AS keep
+             |FROM documents d LEFT JOIN s USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+      bench = false),
+
     // ---- PII scrubbing. The fixture corpus carries no PII, so each doc
     // is augmented with deterministic synthetic contact info derived from
     // its id; the scrub chain (URL -> email -> phone) and the pre-scrub

@@ -51,6 +51,43 @@ class CurationSpec extends SparkSpec {
     out(3) shouldBe "clean text stays"
   }
 
+  test("mixtureSample: rates from target shares, saturation at 1, determinism") {
+    val docs = Tables.documents(spark, sf)
+    val shares = Map("src0" -> 0.3, "src1" -> 0.25, "src2" -> 0.2,
+      "src3" -> 0.15, "src4" -> 0.1, "src5" -> 0.6)
+    val out = Curation.mixtureSample(docs, col("doc_id"), col("source"),
+      shares, totalFraction = 0.1, seed = 11L)
+    // only mapped domains survive
+    out.select("source").distinct().as[String].collect().toSet
+      .subsetOf(shares.keySet) shouldBe true
+    // rate_d = min(1, share*frac*N/n_d); 20 equal sources => share*2
+    val rates = out.select("source", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    rates("src0") shouldBe 0.6 +- 1e-12
+    rates("src5") shouldBe 1.0 // saturated: share 0.6 * 2 = 1.2 -> least(1,_)
+    // saturation means src5 keeps everything
+    out.where(col("source") === "src5").count() shouldBe
+      docs.where(col("source") === "src5").count()
+    // deterministic across repartitioning
+    val again = Curation.mixtureSample(docs.repartition(7), col("doc_id"),
+      col("source"), shares, totalFraction = 0.1, seed = 11L)
+    again.select("doc_id").as[Long].collect().sorted.toSeq shouldBe
+      out.select("doc_id").as[Long].collect().sorted.toSeq
+  }
+
+  test("qualityClassifierScore: bounded score, keep = score>0, all docs present") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.qualityClassifierScore(docs, "doc_id", "text")
+    out.count() shouldBe docs.count() // left join keeps every doc
+    out.where(col("score") > 1.0 || col("score") < -1.0).count() shouldBe 0L
+    out.where(col("keep") =!= (col("score") > 0)).count() shouldBe 0L
+    // same token multiset => same score regardless of row order
+    val a = out.where(col("doc_id") === 0).select("score").as[Double].head()
+    val b = Curation.qualityClassifierScore(docs.repartition(13), "doc_id", "text")
+      .where(col("doc_id") === 0).select("score").as[Double].head()
+    a shouldBe b
+  }
+
   test("connectedComponents labels chain + isolated node correctly") {
     // graph: 1-2, 2-3, 3-4 (one component), 10-11, and isolated 20
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
