@@ -157,6 +157,90 @@ object EM {
     FitResult(model, lnp, iters)
   }
 
+  /** Fixed-point EM: the same one-aggregation-per-iteration dataflow as
+    * [[fit]], but every per-point sufficient-statistic contribution is
+    * integerized to `scale` decimals BEFORE the sum (exact BIGINT
+    * accumulation, see [[graft.util.Det]]), and every parameter update is
+    * a ratio/product of those exact integers — so the ENTIRE multi-
+    * iteration fit is bit-identical across engines and partitionings,
+    * which makes the iterative algorithm DuckDB-oracle-hashable
+    * (chained-CTE oracle: one pair of CTEs per iteration). Runs a fixed
+    * `iters` iterations from explicit `init` parameters (data-derived
+    * init would reintroduce order-dependent float moments).
+    *
+    * The quantization perturbs each gamma by ≤ 5e-7 — far below the
+    * statistical noise of the fit — while buying exact reproducibility;
+    * the native-double [[fit]] remains the throughput path. */
+  def fitFixedPoint(
+      df: DataFrame, xCol: String, init: GmmModel,
+      iters: Int, scale: Int = 6): GmmModel = {
+    val f = math.pow(10.0, scale.toDouble)
+    val data = df.select(col(xCol).cast("double").as("x"))
+      .where(col("x").isNotNull)
+    data.cache()
+    try {
+      val nD = data.count().toDouble
+      var model = init
+      var t = 0
+      while (t < iters) {
+        val row = fixedIterationAggregate(data, model, scale)
+        val k = model.k
+        val weights = new Array[Double](k)
+        val means = new Array[Double](k)
+        val vars = new Array[Double](k)
+        var j = 0
+        while (j < k) {
+          val a = row.getLong(3 * j)
+          val b = row.getLong(3 * j + 1)
+          val c = row.getLong(3 * j + 2)
+          if (a > 0) {
+            weights(j) = a.toDouble / f / nD
+            means(j) = b.toDouble / a.toDouble
+            vars(j) = math.max(
+              c.toDouble / a.toDouble - means(j) * means(j), VarFloor)
+          } else {
+            weights(j) = model.weights(j)
+            means(j) = model.means(j)
+            vars(j) = model.variances(j)
+          }
+          j += 1
+        }
+        model = GmmModel(weights, means, vars)
+        t += 1
+      }
+      model
+    } finally data.unpersist()
+  }
+
+  /** One fixed-point iteration: Row of 3k longs
+    * [toFixed-sums of gamma_j, gamma_j*x, gamma_j*x^2]. Params ride a
+    * broadcast relation (codegen-stable, see [[iterationAggregate]]). */
+  private def fixedIterationAggregate(data: DataFrame, m: GmmModel, scale: Int): Row = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    import graft.util.Det
+    val x = col("x")
+    val k = m.k
+    val schema = StructType((0 until k).flatMap(j => Seq(
+      StructField(s"w$j", DoubleType, nullable = false),
+      StructField(s"mu$j", DoubleType, nullable = false),
+      StructField(s"s2$j", DoubleType, nullable = false))))
+    val paramsRow = Row.fromSeq(
+      (0 until k).flatMap(j => Seq(m.weights(j), m.means(j), m.variances(j))))
+    val params = data.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(paramsRow), schema)
+    val joined = data.crossJoin(broadcast(params))
+    val weighted = (0 until k).map(j =>
+      col(s"w$j") * Gaussian.pdf(x, col(s"mu$j"), col(s"s2$j")))
+    val mix = weighted.reduce(_ + _)
+    val gammas = weighted.map(wj =>
+      when(mix > lit(0.0), wj / mix).otherwise(lit(1.0 / k)))
+    val aggs: Seq[Column] = gammas.flatMap(g => Seq(
+      sum(Det.toFixed(g, scale)),
+      sum(Det.toFixed(g * x, scale)),
+      sum(Det.toFixed(g * x * x, scale))))
+    joined.agg(aggs.head, aggs.tail: _*).head()
+  }
+
   /** Builds and runs the ONE aggregation for an EM iteration.
     * Returns a single Row: [A_k, B_k, C_k per k] ++ [D, loglik].
     *

@@ -29,6 +29,76 @@ object GmmQueries {
     (0 until M.k).map(j => s"${M.weights(j)} * ${pdfSql(M.means(j), M.variances(j))}")
       .mkString(" + ")
 
+  /** Chained-CTE DuckDB oracle for [[EM.fitFixedPoint]]: one (s_t, p_t)
+    * CTE pair per iteration — s_t computes the exact BIGINT sufficient-
+    * statistic sums under params p_{t-1}, p_t derives the next parameters
+    * with the same IEEE operations in the same order as the Scala driver
+    * loop. Every SQL literal is CAST to DOUBLE (DuckDB otherwise folds
+    * DECIMAL arithmetic exactly where Spark multiplies binary doubles). */
+  private def emFixedOracleSql(init: GmmModel, iters: Int, scale: Int): String = {
+    val k = init.k
+    val f = "1" + ("0" * scale) + ".0"
+    def dbl(v: Double) = s"CAST($v AS DOUBLE)"
+    val twoPi = dbl(2.0 * math.Pi)
+    val onek = dbl(1.0 / k)
+    val p0 = (0 until k).map(j =>
+      s"${dbl(init.weights(j))} AS w$j, ${dbl(init.means(j))} AS mu$j, " +
+        s"${dbl(init.variances(j))} AS s2$j").mkString(", ")
+    // graft.gmm.Gaussian.pdf column overload, same association order
+    def pdf(j: Int) =
+      s"EXP(-POW(x - mu$j, 2) / (2.0 * s2$j)) / SQRT($twoPi * s2$j)"
+    def tofix(e: String) = s"CAST(ROUND(($e) * $f, 0) AS BIGINT)"
+    def iterPair(t: Int): String = {
+      val prev = s"p${t - 1}"
+      val wpCols = (0 until k).map(j => s"w$j * (${pdf(j)}) AS wp$j").mkString(",\n      ")
+      val mix = (0 until k).map(j => s"wp$j").mkString(" + ")
+      val gCols = (0 until k).map(j =>
+        s"CASE WHEN mix > 0 THEN wp$j / mix ELSE $onek END AS g$j").mkString(",\n      ")
+      val sumCols = (0 until k).map(j =>
+        s"SUM(${tofix(s"g$j")}) AS a$j, SUM(${tofix(s"g$j * x")}) AS b$j, " +
+          s"SUM(${tofix(s"g$j * x * x")}) AS c$j").mkString(",\n    ")
+      def aD(j: Int) = s"CAST(a$j AS DOUBLE)"
+      def bD(j: Int) = s"CAST(b$j AS DOUBLE)"
+      def cD(j: Int) = s"CAST(c$j AS DOUBLE)"
+      val pCols = (0 until k).map { j =>
+        val mu = s"${bD(j)} / ${aD(j)}"
+        s"""CASE WHEN a$j > 0 THEN ${aD(j)} / $f / n ELSE w$j END AS w$j,
+           |    CASE WHEN a$j > 0 THEN $mu ELSE mu$j END AS mu$j,
+           |    CASE WHEN a$j > 0 THEN GREATEST(${cD(j)} / ${aD(j)} - ($mu) * ($mu), ${dbl(1e-9)}) ELSE s2$j END AS s2$j""".stripMargin
+      }.mkString(",\n    ")
+      s"""s$t AS (
+         |  SELECT $sumCols
+         |  FROM (
+         |    SELECT x, $gCols
+         |    FROM (
+         |      SELECT x, ${(0 until k).map(j => s"wp$j").mkString(", ")}, ($mix) AS mix
+         |      FROM (
+         |        SELECT x, $wpCols
+         |        FROM pts CROSS JOIN $prev
+         |      )
+         |    )
+         |  )
+         |), p$t AS (
+         |  SELECT $pCols
+         |  FROM s$t CROSS JOIN $prev CROSS JOIN cnt
+         |)""".stripMargin
+    }
+    val chain = (1 to iters).map(iterPair).mkString(",\n")
+    val finalSel = (0 until k).map(j =>
+      s"SELECT $j AS k, w$j AS weight, mu$j AS mean, s2$j AS variance FROM p$iters")
+      .mkString("\nUNION ALL ")
+    s"""WITH pts AS (
+       |  SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL
+       |), cnt AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM pts
+       |), p0 AS (
+       |  SELECT $p0
+       |),
+       |$chain
+       |$finalSel
+       |ORDER BY k""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("stats_mean_var",
@@ -164,6 +234,16 @@ object GmmQueries {
            |$selects
            |ORDER BY k""".stripMargin
       }),
+
+    // Fixed-point EM: 5 full iterations from the fixed init, sufficient
+    // statistics integerized per point each iteration -> the ITERATIVE
+    // fit is oracle-exact (chained-CTE oracle, one CTE pair/iteration).
+    QueryDef("em_gmm_fixed",
+      (s, d) => EM.fitFixedPoint(Tables.events(s, d), "value", M,
+          iters = 5, scale = 6)
+        .toDF(s),
+      oracle = Some(emFixedOracleSql(M, iters = 5, scale = 6)),
+      bench = false),
 
     // Full EM fits — iterative, hence no SQL oracle (driver records a
     // rows-only check); golden + property tests cover them (EMSpec).

@@ -69,6 +69,25 @@ class EMSpec extends SparkSpec {
     m.weights.sum shouldBe 1.0 +- 1e-9
   }
 
+  test("fixed-point EM: bit-identical across partitionings, close to native fit") {
+    val init = GmmModel(Array(0.5, 0.3, 0.2), Array(20.0, 60.0, 150.0),
+      Array(400.0, 900.0, 2500.0))
+    val ev = Tables.events(spark, sf)
+    val a = EM.fitFixedPoint(ev, "value", init, iters = 3)
+    val b = EM.fitFixedPoint(ev.repartition(17), "value", init, iters = 3)
+    // exact integer sums -> bit-identical params regardless of partitioning
+    a.weights.toSeq shouldBe b.weights.toSeq
+    a.means.toSeq shouldBe b.means.toSeq
+    a.variances.toSeq shouldBe b.variances.toSeq
+    // quantization error is bounded by the scale: a 100x finer
+    // quantization moves the fitted params only marginally
+    val fine = EM.fitFixedPoint(ev, "value", init, iters = 3, scale = 8)
+    (0 until 3).foreach { j =>
+      a.means(j) shouldBe fine.means(j) +- math.max(math.abs(fine.means(j)) * 1e-4, 1e-4)
+      a.weights(j) shouldBe fine.weights(j) +- 1e-4
+    }
+  }
+
   test("typed suffstats aggregator: exact and partitioning-independent") {
     import org.apache.spark.sql.{DataFrame, Encoders}
     import org.apache.spark.sql.functions.col
