@@ -65,6 +65,54 @@ object Curation {
       .where(col("u") < coalesce(element_at(rateMap, strataCol), lit(0.0)))
   }
 
+  /** Exact-k uniform sample: the k rows with the smallest [[hashU]]
+    * values (ties broken by id). Unlike rate-based sampling the output
+    * size is exactly min(k, n); unlike `RDD.takeSample` it is
+    * deterministic and engine-portable. Plans as TakeOrderedAndProject —
+    * per-partition top-k then a k-row driver merge, never a full sort —
+    * so it scales to arbitrarily large inputs with k-bounded memory. */
+  def exactKSample(df: DataFrame, idCol: Column, k: Int, seed: Long): DataFrame =
+    df.withColumn("u", hashU(idCol, seed))
+      .orderBy(col("u"), idCol)
+      .limit(k)
+
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES): each
+    * row draws key `u^(1/w)` from its deterministic uniform u and weight
+    * w > 0; the k largest keys are the sample — inclusion probability
+    * proportional to weight, single pass, top-k-bounded memory.
+    *
+    * The key is presentation-rounded ([[graft.util.Det.fixed]], 9
+    * decimals) so the cross-engine 1-ulp `pow` wobble cannot reorder
+    * rows; id breaks exact key ties deterministically. Zero/negative
+    * weights are excluded (they can never be sampled). */
+  def weightedSample(
+      df: DataFrame, idCol: Column, weightCol: Column, k: Int,
+      seed: Long): DataFrame = {
+    val key = graft.util.Det.fixed(
+      pow(hashU(idCol, seed), lit(1.0) / weightCol.cast("double")), 9)
+    df.where(weightCol.cast("double") > 0)
+      .withColumn("skey", key)
+      .orderBy(col("skey").desc, idCol)
+      .limit(k)
+  }
+
+  /** Deterministic train/validation/test assignment: named splits with
+    * fractions (summing to ≤ 1; any remainder falls to `restName`),
+    * assigned by cumulative-boundary lookup on [[hashU]] — the standard
+    * "split by hash, never by position" rule that keeps membership stable
+    * under reordering, repartitioning, and incremental appends. */
+  def assignSplits(
+      df: DataFrame, idCol: Column, splits: Seq[(String, Double)],
+      seed: Long, restName: String = "rest"): DataFrame = {
+    val u = hashU(idCol, seed)
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assign = splits.zip(bounds).foldLeft(Option.empty[Column]) {
+      case (None, ((name, _), b)) => Some(when(u < lit(b), lit(name)))
+      case (Some(c), ((name, _), b)) => Some(c.when(u < lit(b), lit(name)))
+    }.get.otherwise(lit(restName))
+    df.withColumn("u", u).withColumn("split", assign)
+  }
+
   /** Domain-mixture resampling — reshape a corpus toward TARGET domain
     * proportions (the "data mixing" step of a training pipeline: e.g. cap
     * web crawl at 60%, upweight code to 20%). For each domain d with n_d

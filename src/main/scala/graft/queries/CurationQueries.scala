@@ -22,7 +22,66 @@ object CurationQueries {
        |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** DuckDB SQL for [[Curation.hashU]] (HUGEINT-widened, sign-fixed mod —
+    * matches Spark's pmod on the wrapped long product). */
+  private def uSql(id: String, seed: Long): String =
+    s"CAST(((CAST($id AS HUGEINT) * 2654435761 + $seed) % 4294967296" +
+      s" + 4294967296) % 4294967296 AS BIGINT) / 4294967296.0"
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact-k uniform sample: k smallest hash-u (TakeOrdered, no
+    // full sort; deterministic across engines/partitionings) ----
+    QueryDef("sample_exact_k",
+      (s, d) => Curation.exactKSample(Tables.documents(s, d), col("doc_id"),
+          k = 50, seed = 3L)
+        .select(col("doc_id"), col("lang"), col("u"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        s"""SELECT doc_id, lang, u FROM (
+           |  SELECT doc_id, lang, ${uSql("doc_id", 3L)} AS u
+           |  FROM documents ORDER BY u, doc_id LIMIT 50
+           |) ORDER BY doc_id""".stripMargin),
+      bench = false),
+
+    // ---- weighted sample without replacement (Efraimidis-Spirakis):
+    // key u^(1/w) rounded to 9 decimals (pow ulp guard), top-k by key ----
+    QueryDef("sample_weighted",
+      (s, d) => Curation.weightedSample(Tables.documents(s, d),
+          col("doc_id"), col("n_chars"), k = 50, seed = 5L)
+        .select(col("doc_id"), col("n_chars"), col("skey"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        s"""SELECT doc_id, n_chars, skey FROM (
+           |  SELECT doc_id, n_chars,
+           |    ${graft.util.Det.fixedSql(
+                  s"POW(${uSql("doc_id", 5L)}, CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE))", 9)} AS skey
+           |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+           |  ORDER BY skey DESC, doc_id LIMIT 50
+           |) ORDER BY doc_id""".stripMargin),
+      bench = false),
+
+    // ---- hash-based train/val/test split assignment (stable under
+    // reordering/appends; remainder falls to 'rest') ----
+    QueryDef("split_assign", {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05)
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        Curation.assignSplits(Tables.documents(s, d), col("doc_id"),
+            splits, seed = 13L)
+          .select(col("doc_id"), col("u"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05)
+        val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+        val cases = splits.zip(bounds).map { case ((name, _), b) =>
+          s"WHEN u < CAST($b AS DOUBLE) THEN '$name'"
+        }.mkString(" ")
+        s"""SELECT doc_id, u, CASE $cases ELSE 'rest' END AS split FROM (
+           |  SELECT doc_id, ${uSql("doc_id", 13L)} AS u FROM documents
+           |) ORDER BY doc_id""".stripMargin
+      },
+      bench = false),
 
     // ---- sequence packing: fixed-token-budget packs per lang shard ----
     QueryDef("pack_sequences",

@@ -88,6 +88,43 @@ class CurationSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("exactKSample: exact size, deterministic, partitioning-independent") {
+    val docs = Tables.documents(spark, sf)
+    val a = Curation.exactKSample(docs, col("doc_id"), 40, 3L)
+    a.count() shouldBe 40L
+    val b = Curation.exactKSample(docs.repartition(9), col("doc_id"), 40, 3L)
+    a.select("doc_id").as[Long].collect().sorted.toSeq shouldBe
+      b.select("doc_id").as[Long].collect().sorted.toSeq
+    // plans as top-k, not a global sort
+    a.queryExecution.executedPlan.toString should include ("TakeOrderedAndProject")
+  }
+
+  test("weightedSample: k rows, zero weights excluded, heavier docs favored") {
+    val docs = Tables.documents(spark, sf)
+    val k = 100
+    val got = Curation.weightedSample(docs, col("doc_id"), col("n_chars"), k, 5L)
+    got.count() shouldBe k.toLong
+    // weight-proportional inclusion: sampled docs skew longer than corpus
+    val sampleMean = got.agg(avg(col("n_chars"))).head().getDouble(0)
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    sampleMean should be > corpusMean
+  }
+
+  test("assignSplits: fractions approximately honored, stable under append") {
+    val docs = Tables.documents(spark, sf)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05)
+    val out = Curation.assignSplits(docs, col("doc_id"), splits, 13L)
+    val n = docs.count().toDouble
+    val byName = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    byName("train") / n shouldBe 0.8 +- 0.1
+    byName.keySet.subsetOf(Set("train", "val", "test", "rest")) shouldBe true
+    // membership is per-id: a subset of the corpus gets identical labels
+    val sub = Curation.assignSplits(docs.where(col("doc_id") < 100),
+      col("doc_id"), splits, 13L).select("doc_id", "split")
+    val full = out.select("doc_id", "split").where(col("doc_id") < 100)
+    sub.except(full).count() shouldBe 0L
+  }
+
   test("connectedComponents labels chain + isolated node correctly") {
     // graph: 1-2, 2-3, 3-4 (one component), 10-11, and isolated 20
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
