@@ -220,23 +220,24 @@ object Curation {
       docs: DataFrame, idCol: String, textCol: String,
       dim: Int = 2001): DataFrame = {
     val half = dim / 2
+    // explode_outer + count(tok): `split` yields >= 1 element for any
+    // non-null text and a NULL-text doc survives as one NULL token row,
+    // so every doc reaches the aggregate — no join back to the corpus
+    // (the aggregated side is O(docs): it would not broadcast at scale).
     val tok = docs.select(col(idCol).as("doc_id"),
-      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      explode_outer(split(trim(col(textCol)), "\\s+")).as("tok"))
     val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
     val w = pmod(h, lit(dim.toLong)) - lit(half.toLong)
-    val scored = tok
+    tok
       .select(col("doc_id"), w.as("w"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("w_sum"))
-      .withColumn("score", col("w_sum").cast("double")
-        / (lit(half.toDouble) * col("n_tokens").cast("double")))
-    docs.select(col(idCol).as("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("w_sum"), lit(0L)).as("w_sum"),
-        coalesce(col("score"), lit(0.0)).as("score"),
-        (coalesce(col("score"), lit(0.0)) > 0).as("keep"))
+      .agg(count(col("w")).as("n_tokens"),
+        coalesce(sum(col("w")), lit(0L)).as("w_sum"))
+      .withColumn("score", when(col("n_tokens") > 0,
+        col("w_sum").cast("double")
+          / (lit(half.toDouble) * col("n_tokens").cast("double")))
+        .otherwise(lit(0.0)))
+      .withColumn("keep", col("score") > 0)
   }
 
   /** Train/test decontamination: for every train document, the test
