@@ -91,4 +91,87 @@ object TextAnalysis {
     }
     array_max(array(scored: _*)).getField("lang")
   }
+
+  /** Full BPE TRAINING loop as relational dataflow: learn `merges` merge
+    * rules over the corpus. Classic trainer compression — work on DISTINCT
+    * words weighted by frequency, pieces start as single characters; each
+    * round counts adjacent-piece pairs corpus-wide (overlapping pairs
+    * count, as in the standard algorithm), picks the most frequent pair
+    * (ties broken lexicographically via struct max — deterministic), and
+    * applies it with GREEDY LEFT-TO-RIGHT semantics ("aaa" + rule (a,a)
+    * → ["aa","a"]).
+    *
+    * The greedy application — inherently sequential per word — is
+    * expressed purely with word-partitioned window functions: a running
+    * count of candidate positions (`crn`), maximal consecutive candidate
+    * runs keyed by `pos - crn` (constant within a run, strictly increasing
+    * across gaps), and merge-parity `(crn - min(crn) over run) % 2 = 0`
+    * (every other candidate of a run merges, the standard greedy
+    * resolution of self-overlapping pairs). Consumed right-halves drop via
+    * `lag(merged)`; positions re-densify with `row_number`.
+    *
+    * Scale: state is (distinct words × pieces), shrinking every round;
+    * all windows partition by word (bounded), pair counting is one
+    * partial+final aggregate, and each round's winning pair is the only
+    * driver-side datum (one row, like the EM parameters). The driver loop
+    * checkpoints per round to truncate lineage — the same fixpoint shape
+    * as connectedComponents and EM.fitLoop.
+    *
+    * Returns the learned merge table (iter, lhs, rhs, cnt), iter 1-based;
+    * stops early if no adjacent pairs remain. */
+  def bpeTrainMerges(docs: org.apache.spark.sql.DataFrame, textCol: Column,
+      merges: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(trim(textCol), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var pieces = words
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
+      .withColumn("piece", col("word").substr(col("pos") + 1, lit(1)))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+    var t = 1
+    var exhausted = false
+    while (t <= merges && !exhausted) {
+      val paired = pieces.withColumn("nxt", lead(col("piece"), 1).over(wOrd))
+      val bRow = paired.where(col("nxt").isNotNull)
+        .groupBy(col("piece").as("l"), col("nxt").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .agg(max(struct(col("cnt"), col("l"), col("r"))).as("b"))
+        .select(col("b.cnt"), col("b.l"), col("b.r"))
+        .head()
+      if (bRow.isNullAt(0)) exhausted = true
+      else {
+        val (cnt, bl, br) = (bRow.getLong(0), bRow.getString(1), bRow.getString(2))
+        learned += ((t, bl, br, cnt))
+        val marked = paired
+          .withColumn("cand", col("nxt").isNotNull &&
+            col("piece") === lit(bl) && col("nxt") === lit(br))
+          .withColumn("crn",
+            sum(when(col("cand"), 1).otherwise(0)).over(wOrd))
+          .withColumn("runkey", when(col("cand"), col("pos") - col("crn")))
+        val wRun = Window.partitionBy(col("word"), col("runkey"))
+        val mg = marked.withColumn("merged",
+          col("cand") && pmod(
+            col("crn") - min(when(col("cand"), col("crn"))).over(wRun),
+            lit(2)) === 0)
+        pieces = mg
+          .withColumn("consumed",
+            coalesce(lag(col("merged"), 1).over(wOrd), lit(false)))
+          .where(!col("consumed"))
+          .select(col("word"), col("freq"),
+            (row_number().over(wOrd) - 1).cast("int").as("pos"),
+            when(col("merged"), concat(col("piece"), col("nxt")))
+              .otherwise(col("piece")).as("piece"))
+          .localCheckpoint()
+        t += 1
+      }
+    }
+    learned.toSeq.toDF("iter", "lhs", "rhs", "cnt")
+  }
 }

@@ -12,6 +12,72 @@ import org.apache.spark.sql.functions._
   */
 object DocQueries {
 
+  /** Chained-CTE DuckDB oracle for [[TextAnalysis.bpeTrainMerges]]: one
+    * CTE block per merge round — pair counts → struct-max best pair →
+    * candidate marking + greedy run parity → rebuild. Mirrors the Spark
+    * window formulation operation-for-operation; everything is integer
+    * counts and string concatenation, so the match is exact by
+    * construction. */
+  private def bpeTrainOracleSql(merges: Int): String = {
+    def iter(t: Int): String = {
+      val prev = s"p${t - 1}"
+      s"""pr$t AS (
+         |  SELECT word, freq, pos, piece,
+         |    lead(piece) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM $prev
+         |), bb$t AS (
+         |  SELECT max(struct_pack(cnt := cnt, l := l, r := r)) AS b FROM (
+         |    SELECT piece AS l, nxt AS r, sum(freq) AS cnt
+         |    FROM pr$t WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  )
+         |), mk$t AS (
+         |  SELECT word, freq, pos, piece, nxt, cand,
+         |    SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY word ORDER BY pos) AS crn
+         |  FROM (
+         |    SELECT pr.word, pr.freq, pr.pos, pr.piece, pr.nxt,
+         |      (pr.nxt IS NOT NULL AND pr.piece = struct_extract(b.b, 'l')
+         |        AND pr.nxt = struct_extract(b.b, 'r')) AS cand
+         |    FROM pr$t pr CROSS JOIN bb$t b
+         |  )
+         |), mg$t AS (
+         |  SELECT word, freq, pos, piece, nxt,
+         |    (cand AND (crn - MIN(CASE WHEN cand THEN crn END)
+         |      OVER (PARTITION BY word, (CASE WHEN cand THEN pos - crn END))
+         |      ) % 2 = 0) AS merged
+         |  FROM mk$t
+         |), p$t AS (
+         |  SELECT word, freq,
+         |    row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN merged THEN piece || nxt ELSE piece END AS piece
+         |  FROM (
+         |    SELECT *, coalesce(lag(merged)
+         |      OVER (PARTITION BY word ORDER BY pos), false) AS consumed
+         |    FROM mg$t
+         |  ) WHERE NOT consumed
+         |)""".stripMargin
+    }
+    val chain = (1 to merges).map(iter).mkString(",\n")
+    val out = (1 to merges).map(t =>
+      s"SELECT $t AS iter, struct_extract(b, 'l') AS lhs, " +
+        s"struct_extract(b, 'r') AS rhs, " +
+        s"CAST(struct_extract(b, 'cnt') AS BIGINT) AS cnt FROM bb$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |    FROM documents
+       |  ) WHERE len(word) > 0 GROUP BY 1
+       |), p0 AS (
+       |  SELECT word, freq, pos,
+       |    substring(word, CAST(pos + 1 AS INT), 1) AS piece
+       |  FROM (SELECT word, freq, unnest(range(0, len(word))) AS pos FROM w)
+       |),
+       |$chain
+       |$out
+       |ORDER BY iter""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- tokenization stats ----
@@ -148,6 +214,17 @@ object DocQueries {
              |)
              |SELECT pair, count(*) AS n FROM pairs
              |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+      bench = false),
+
+    // ---- full BPE TRAINING loop: 8 merge rounds over distinct-word
+    // frequencies, greedy left-to-right application via word-partitioned
+    // windows — the ITERATIVE trainer, oracle-exact through a chained-CTE
+    // DuckDB twin (one CTE block per round; pure integer counts + string
+    // ops, so no float drift anywhere). ----
+    QueryDef("tokens_bpe_train",
+      (s, d) => TextAnalysis.bpeTrainMerges(
+        Tables.documents(s, d), col("text"), merges = 8),
+      oracle = Some(bpeTrainOracleSql(8)),
       bench = false),
 
     // ---- content fingerprint ----

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 /** Real-behavior checks for the text kernels on genuine snippets (the
@@ -47,6 +47,26 @@ class TextAnalysisSpec extends SparkSpec {
     r(1L) shouldBe r(2L)
     r(2L) shouldBe r(3L)
     r(4L) should not be r(1L)
+  }
+
+  test("bpeTrainMerges: greedy self-overlap, frequency weighting, determinism") {
+    import spark.implicits._
+    // "aaaa" x3 dominates round 1: pair (a,a) counts 3 per word occurrence
+    // (overlapping), 9 total; greedy merge gives aa|aa, so round 2's top
+    // pair is (aa,aa) with count 3 — proving every-other-candidate parity
+    val docs = Seq("aaaa aaaa aaaa bc", "de").toDF("text")
+    val got = TextAnalysis.bpeTrainMerges(docs, col("text"), merges = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    got.head shouldBe ((1, "a", "a", 9L))
+    got(1) shouldBe ((2, "aa", "aa", 3L))
+
+    // deterministic across partitionings on the real corpus
+    val corpus = Tables.documents(spark, sf)
+    val m1 = TextAnalysis.bpeTrainMerges(corpus, col("text"), merges = 3)
+      .collect().toSeq
+    val m2 = TextAnalysis.bpeTrainMerges(corpus.repartition(11), col("text"), merges = 3)
+      .collect().toSeq
+    m1 shouldBe m2
   }
 
   test("jaccard is symmetric and within [0,1] on shingle sets") {
