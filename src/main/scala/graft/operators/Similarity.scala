@@ -36,6 +36,44 @@ object Similarity {
       .select(col("qid"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
   }
 
+  /** Embedding covariance matrix (upper triangle) — the preprocessing
+    * pass of PCA/whitening over an embedding column: for every dimension
+    * pair i ≤ j, population covariance
+    * `cov_ij = E[x_i·x_j] − E[x_i]·E[x_j]`.
+    *
+    * Dataflow: double posexplode into (i, j, x_i, x_j) pairs, then ONE
+    * partial+final hash aggregate keyed on (i, j). The d² row expansion
+    * never materializes — Generate pipelines into the partial aggregate
+    * inside one codegen stage, and each task emits at most d(d+1)/2
+    * groups, so shuffle volume is O(d²·partitions) regardless of row
+    * count. (The d² multiply per row is the inherent FLOP cost of a Gram
+    * matrix; a specialized BLAS kernel would change the constant, not the
+    * dataflow.)
+    *
+    * Sums are integerized per pair ([[Det.toFixed]], exact BIGINT
+    * accumulation), so the matrix is bit-identical across engines and
+    * partitionings — DuckDB-oracle-hashable. */
+  def covarianceUpperTriangle(
+      emb: DataFrame, vecCol: String, scale: Int = 7): DataFrame = {
+    val f = math.pow(10.0, scale.toDouble)
+    val v = col(vecCol).cast("array<double>")
+    val xi = emb.select(posexplode(v).as(Seq("i", "xi")), v.as("v"))
+    val pairs = xi
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .where(col("j") >= col("i"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Det.toFixed(col("xi") * col("xj"), scale)).as("sxy"),
+        sum(Det.toFixed(col("xi"), scale)).as("sx"),
+        sum(Det.toFixed(col("xj"), scale)).as("sy"))
+      .withColumn("cov",
+        (col("sxy").cast("double") / lit(f) / col("n").cast("double"))
+          - (col("sx").cast("double") / lit(f) / col("n").cast("double"))
+          * (col("sy").cast("double") / lit(f) / col("n").cast("double")))
+      .select(col("i"), col("j"), col("n"), col("cov"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
     * shipped in the plan, no side channel. `private[graft]` so the oracle
     * SQL generator can embed the same constants. */

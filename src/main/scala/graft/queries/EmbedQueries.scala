@@ -52,6 +52,38 @@ object EmbedQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- embedding covariance matrix (PCA/whitening prep): upper
+    // triangle of the 64x64 population covariance, integerized sums ->
+    // bit-identical across engines/partitionings ----
+    QueryDef("embed_covariance",
+      (s, d) => Similarity.covarianceUpperTriangle(
+        Tables.embeddings(s, d), "embedding", scale = 7)
+        .orderBy(col("i"), col("j")),
+      oracle = Some(
+        s"""WITH xi AS (
+           |  SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+           |  FROM embeddings
+           |), pairs AS (
+           |  SELECT i, j,
+           |    CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS xi,
+           |    CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS xj
+           |  FROM (SELECT vec_id, embedding, i,
+           |          unnest(range(0, len(embedding))) AS j FROM xi)
+           |  WHERE j >= i
+           |), st AS (
+           |  SELECT i, j, count(*) AS n,
+           |    SUM(${graft.util.Det.toFixedSql("xi * xj", 7)}) AS sxy,
+           |    SUM(${graft.util.Det.toFixedSql("xi", 7)}) AS sx,
+           |    SUM(${graft.util.Det.toFixedSql("xj", 7)}) AS sy
+           |  FROM pairs GROUP BY 1, 2
+           |)
+           |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+           |  (CAST(sxy AS DOUBLE) / 10000000 / CAST(n AS DOUBLE))
+           |  - (CAST(sx AS DOUBLE) / 10000000 / CAST(n AS DOUBLE))
+           |  * (CAST(sy AS DOUBLE) / 10000000 / CAST(n AS DOUBLE)) AS cov
+           |FROM st ORDER BY i, j""".stripMargin),
+      bench = false),
+
     // ---- vector norm statistics per label ----
     QueryDef("embed_norm_stats",
       (s, d) => Tables.embeddings(s, d)

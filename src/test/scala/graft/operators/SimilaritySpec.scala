@@ -104,4 +104,27 @@ class SimilaritySpec extends SparkSpec {
       approx.size.toDouble / exact.size should be >= 0.5
     }
   }
+
+  test("covarianceUpperTriangle: diag = variances, matches direct computation, partition-stable") {
+    val emb = Tables.embeddings(spark, sf)
+    val cov = Similarity.covarianceUpperTriangle(emb, "embedding")
+    val d = 64
+    cov.count() shouldBe (d * (d + 1) / 2).toLong
+    // diagonal entries are population variances: non-negative
+    cov.where(col("i") === col("j") && col("cov") < -1e-9).count() shouldBe 0L
+    // spot-check (0,1) against a direct two-column computation
+    val xy = emb.select(
+      col("embedding").getItem(0).cast("double").as("x"),
+      col("embedding").getItem(1).cast("double").as("y"))
+    val r = xy.agg(avg(col("x") * col("y")).as("exy"),
+      avg(col("x")).as("ex"), avg(col("y")).as("ey")).head()
+    val want = r.getDouble(0) - r.getDouble(1) * r.getDouble(2)
+    val got = cov.where(col("i") === 0 && col("j") === 1)
+      .select("cov").head().getDouble(0)
+    got shouldBe want +- 1e-6
+    // integerized sums: bit-identical under repartitioning
+    val again = Similarity.covarianceUpperTriangle(emb.repartition(13), "embedding")
+      .orderBy("i", "j").select("cov").as[Double].collect().toSeq
+    cov.orderBy("i", "j").select("cov").as[Double].collect().toSeq shouldBe again
+  }
 }

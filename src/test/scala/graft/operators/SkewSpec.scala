@@ -55,7 +55,10 @@ class SkewSpec extends SparkSpec {
           lit(pad).as("pad"))
       val right = spark.range(0, 50000).select(col("id").as("k"), lit(1).as("tag"))
       val joined = left.join(right, Seq("k"))
-      joined.count() shouldBe 50000L
+      // collect() drives THIS dataset's own QueryExecution — count() would
+      // execute a separate agg-on-top plan and leave joined.queryExecution
+      // un-finalized (isFinalPlan=false, no skew markers yet)
+      joined.collect().length shouldBe 50000
       val finalPlan = joined.queryExecution.executedPlan.toString
       finalPlan should include("skew=true")
     } finally saved.foreach {
