@@ -120,7 +120,30 @@ object TextAnalysis {
     * Returns the learned merge table (iter, lhs, rhs, cnt), iter 1-based;
     * stops early if no adjacent pairs remain. */
   def bpeTrainMerges(docs: org.apache.spark.sql.DataFrame, textCol: Column,
-      merges: Int): org.apache.spark.sql.DataFrame = {
+      merges: Int): org.apache.spark.sql.DataFrame =
+    bpeTrain(docs, textCol, merges)._1
+
+  /** BPE ENCODE statistics: per document, whitespace word count and total
+    * piece count under the vocabulary learned by `merges` rounds of
+    * [[bpeTrainMerges]] on the SAME corpus — the tokenizer-apply step
+    * (token budgeting, compression-ratio audits). The learned
+    * pieces-per-word table is vocabulary-sized; Catalyst/AQE picks the
+    * join strategy back to the exploded corpus (broadcast while the vocab
+    * fits, shuffle join beyond). Pure integer counts — oracle-exact. */
+  def bpeEncodeStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: Column, merges: Int): org.apache.spark.sql.DataFrame = {
+    val pieces = bpeTrain(docs, textCol, merges)._2
+    val wp = pieces.groupBy(col("word")).agg(count(lit(1)).as("n_pieces_w"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(textCol), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(wp, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces_w")).as("n_pieces"))
+  }
+
+  private def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: Column,
+      merges: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
@@ -172,6 +195,6 @@ object TextAnalysis {
         t += 1
       }
     }
-    learned.toSeq.toDF("iter", "lhs", "rhs", "cnt")
+    (learned.toSeq.toDF("iter", "lhs", "rhs", "cnt"), pieces)
   }
 }

@@ -19,8 +19,39 @@ object DocQueries {
     * counts and string concatenation, so the match is exact by
     * construction. */
   private def bpeTrainOracleSql(merges: Int): String = {
-    def iter(t: Int): String = {
-      val prev = s"p${t - 1}"
+    val chain = (1 to merges).map(bpeIterSql).mkString(",\n")
+    val out = (1 to merges).map(t =>
+      s"SELECT $t AS iter, struct_extract(b, 'l') AS lhs, " +
+        s"struct_extract(b, 'r') AS rhs, " +
+        s"CAST(struct_extract(b, 'cnt') AS BIGINT) AS cnt FROM bb$t")
+      .mkString("\nUNION ALL ")
+    s"""${bpeChainSql(chain)}
+       |$out
+       |ORDER BY iter""".stripMargin
+  }
+
+  /** Encode-step oracle: per-doc word + piece counts under the learned
+    * vocabulary (pieces state after the final merge round). */
+  private def bpeEncodeOracleSql(merges: Int): String = {
+    val chain = (1 to merges).map(bpeIterSql).mkString(",\n")
+    s"""${bpeChainSql(chain)},
+       |wp AS (
+       |  SELECT word, count(*) AS n_pieces_w FROM p$merges GROUP BY 1
+       |), dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents
+       |)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces
+       |FROM (
+       |  SELECT d.doc_id, wp.n_pieces_w
+       |  FROM dw d JOIN wp USING (word) WHERE len(d.word) > 0
+       |)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private def bpeIterSql(t: Int): String = {
+    val prev = s"p${t - 1}"
       s"""pr$t AS (
          |  SELECT word, freq, pos, piece,
          |    lead(piece) OVER (PARTITION BY word ORDER BY pos) AS nxt
@@ -56,13 +87,11 @@ object DocQueries {
          |    FROM mg$t
          |  ) WHERE NOT consumed
          |)""".stripMargin
-    }
-    val chain = (1 to merges).map(iter).mkString(",\n")
-    val out = (1 to merges).map(t =>
-      s"SELECT $t AS iter, struct_extract(b, 'l') AS lhs, " +
-        s"struct_extract(b, 'r') AS rhs, " +
-        s"CAST(struct_extract(b, 'cnt') AS BIGINT) AS cnt FROM bb$t")
-      .mkString("\nUNION ALL ")
+  }
+
+  /** Shared WITH-prefix of the BPE oracles: word frequencies, char-level
+    * initial pieces, and the per-round merge chain. */
+  private def bpeChainSql(chain: String): String =
     s"""WITH w AS (
        |  SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
@@ -73,10 +102,7 @@ object DocQueries {
        |    substring(word, CAST(pos + 1 AS INT), 1) AS piece
        |  FROM (SELECT word, freq, unnest(range(0, len(word))) AS pos FROM w)
        |),
-       |$chain
-       |$out
-       |ORDER BY iter""".stripMargin
-  }
+       |$chain""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -225,6 +251,16 @@ object DocQueries {
       (s, d) => TextAnalysis.bpeTrainMerges(
         Tables.documents(s, d), col("text"), merges = 8),
       oracle = Some(bpeTrainOracleSql(8)),
+      bench = false),
+
+    // ---- BPE ENCODE step: per-doc word/piece counts under the vocab
+    // learned above (tokenizer apply; token budgeting / compression
+    // audits). Same chained-CTE machinery, integer-exact. ----
+    QueryDef("tokens_bpe_encode",
+      (s, d) => TextAnalysis.bpeEncodeStats(
+        Tables.documents(s, d), "doc_id", col("text"), merges = 8)
+        .orderBy(col("doc_id")),
+      oracle = Some(bpeEncodeOracleSql(8)),
       bench = false),
 
     // ---- content fingerprint ----

@@ -69,6 +69,26 @@ class TextAnalysisSpec extends SparkSpec {
     m1 shouldBe m2
   }
 
+  test("bpeEncodeStats: piece counts bounded by chars and words, merges compress") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+    val F = org.apache.spark.sql.functions // ScalaTest shadows size/length
+    val chars = docs.select(col("doc_id"),
+      F.size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words"),
+      F.length(regexp_replace(F.trim(col("text")), "\\s+", "")).cast("long").as("n_chars"))
+    val enc0 = TextAnalysis.bpeEncodeStats(docs, "doc_id", col("text"), merges = 0)
+    // zero merges: every char is a piece
+    enc0.join(chars, "doc_id").where(col("n_pieces") =!= col("n_chars"))
+      .count() shouldBe 0L
+    val enc4 = TextAnalysis.bpeEncodeStats(docs, "doc_id", col("text"), merges = 4)
+    // merges only shrink piece counts, never below one piece per word
+    enc4.join(enc0.select(col("doc_id"), col("n_pieces").as("p0")), "doc_id")
+      .where(col("n_pieces") > col("p0")).count() shouldBe 0L
+    enc4.where(col("n_pieces") < col("n_words")).count() shouldBe 0L
+    enc4.agg(sum("n_pieces")).head().getLong(0) should be <
+      enc0.agg(sum("n_pieces")).head().getLong(0)
+  }
+
   test("jaccard is symmetric and within [0,1] on shingle sets") {
     val a = TextAnalysis.wordShingles(lit("the quick brown fox jumps over the dog"), 3)
     val b = TextAnalysis.wordShingles(lit("the quick red fox jumps over the dog"), 3)
