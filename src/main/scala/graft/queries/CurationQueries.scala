@@ -281,6 +281,38 @@ object CurationQueries {
            |  node = cluster_id AS is_representative
            |FROM lab ORDER BY vec_id""".stripMargin)),
 
+    // ---- data-quality profiling (Deequ-style audit): per-column nulls,
+    // exact distinct counts, completeness, uniqueness — ONE scan via the
+    // multi-distinct Expand plan. A derived NULLIF column exercises the
+    // null/completeness path on the null-free fixture. ----
+    QueryDef("profile_columns",
+      (s, d) => graft.operators.Profile.profile(
+        Tables.documents(s, d)
+          .withColumn("lang_non_en", nullif(col("lang"), lit("en"))),
+        Seq("doc_id", "lang", "source", "lang_non_en"))
+        .orderBy(col("column_name")),
+      oracle = Some {
+        // CAST(sum(...) AS BIGINT): DuckDB promotes SUM(int) to HUGEINT,
+        // which the driver's hash treats as a different value repr
+        def row(c: String) =
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(count(*) - CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS completeness,
+             |  count(DISTINCT $c) = count(*)
+             |    - CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS is_unique
+             |FROM t""".stripMargin
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, source, nullif(lang, 'en') AS lang_non_en
+           |  FROM documents
+           |)
+           |${Seq("doc_id", "lang", "source", "lang_non_en").map(row)
+                .mkString("\nUNION ALL ")}
+           |ORDER BY column_name""".stripMargin
+      },
+      bench = false),
+
     // ---- token-count histogram (bucket width 20) ----
     QueryDef("tokens_hist",
       (s, d) => Tables.documents(s, d)

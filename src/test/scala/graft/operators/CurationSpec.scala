@@ -134,4 +134,23 @@ class CurationSpec extends SparkSpec {
     got shouldBe Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L)
   }
+
+  test("Profile.profile: one-scan multi-distinct, exact metrics, uniqueness flag") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("lang_non_en", nullif(col("lang"), lit("en")))
+    val prof = Profile.profile(docs, Seq("doc_id", "lang", "lang_non_en"))
+    val byCol = prof.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val n = docs.count()
+    byCol("doc_id") shouldBe ((n, 0L, n, 1.0, true))
+    val (nr, nulls, dist, comp, uniq) = byCol("lang_non_en")
+    nr shouldBe n
+    nulls shouldBe docs.where(col("lang") === "en").count()
+    dist shouldBe 4L
+    comp shouldBe (n - nulls).toDouble / n
+    uniq shouldBe false
+    // single scan: the multi-distinct plan goes through ONE Expand, not
+    // one aggregate job per column
+    prof.queryExecution.executedPlan.toString should include ("Expand")
+  }
 }
