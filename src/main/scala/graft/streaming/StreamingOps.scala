@@ -102,6 +102,28 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming INGEST CURATION: the batch curation gate composed as one
+    * streaming-safe transform — per-row quality scoring (stateless column
+    * expressions), a score threshold, then content-fingerprint dedup
+    * bounded by the watermark horizon. Docs stream in as (doc_id, ts,
+    * text); survivors carry their score and fingerprint. The only state
+    * is the dedup key set inside the watermark — the same pipeline a
+    * 100 TB/day ingest runs ahead of the batch curation stages, and the
+    * SAME function applied to a static frame is the batch reference
+    * (parity asserted in StreamingSpec). */
+  def streamingCurate(
+      docs: DataFrame, minScore: Double = 0.5,
+      lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("quality_score",
+        graft.operators.TextAnalysis.qualityFeatures(col("text"))
+          .getField("quality_score"))
+      .where(col("quality_score") >= minScore)
+      .withColumn("fingerprint",
+        graft.operators.TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Spark 4 arbitrary-state operator (`transformWithState`): per-user

@@ -125,6 +125,41 @@ class StreamingSpec extends SparkSpec {
     spark.table("cdedup").select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L)
   }
 
+  test("streamingCurate: quality gate + content dedup, batch parity") {
+    import StreamingSpec.Doc
+    val docs = Seq(
+      Doc(1, ts(1), "a clean well formed sentence about data processing engines"),
+      Doc(2, ts(2), "another clean sentence with reasonable words and length"),
+      Doc(3, ts(3), "!!!! ???? ,,,, ;;;; ::: garbage punctuation soup #### $$$$"),
+      Doc(4, ts(4), "A Clean  Well Formed sentence ABOUT data processing engines"), // dup of 1
+      Doc(5, ts(5), "x"))
+    val in = MemoryStream[Doc]
+    val q = StreamingOps.streamingCurate(in.toDF(), minScore = 0.5)
+      .writeStream.format("memory").queryName("curate").outputMode("append").start()
+    try {
+      in.addData(docs.take(3): _*); q.processAllAvailable()
+      in.addData(docs.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    // stream keeps the FIRST arrival per fingerprint: exactly docs 1, 2
+    spark.table("curate").select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 2L) // garbage, dup-of-1, and too-short are gone
+    // batch parity on the surviving CONTENT set: the batch dual is the
+    // same gate + plain dropDuplicates (dropDuplicatesWithinWatermark is
+    // streaming-only, and batch keeps an arbitrary representative — so
+    // compare fingerprints, not doc ids)
+    val batchFps = docs.toDF()
+      .withColumn("quality_score",
+        graft.operators.TextAnalysis.qualityFeatures(col("text"))
+          .getField("quality_score"))
+      .where(col("quality_score") >= 0.5)
+      .withColumn("fingerprint",
+        graft.operators.TextAnalysis.fingerprint(col("text")))
+      .dropDuplicates("fingerprint")
+      .select("fingerprint").as[String].collect().toSet
+    spark.table("curate").select("fingerprint").as[String].collect().toSet shouldBe
+      batchFps
+  }
+
   test("streamingDedup: duplicate event_ids within the watermark are dropped") {
     val in = MemoryStream[Event]
     val q = StreamingOps.streamingDedup(in.toDF(), "1 hour")
