@@ -74,6 +74,109 @@ object Similarity {
       .select(col("i"), col("j"), col("n"), col("cov"))
   }
 
+  /** Dominant eigenvector of the embedding covariance matrix (the top
+    * principal component — PCA pruning / whitening direction) by POWER
+    * ITERATION, entirely as dataflow.
+    *
+    * The heavy stage is the covariance pass ([[covarianceUpperTriangle]],
+    * one scan of the corpus); each subsequent iteration touches only the
+    * d×d matrix (d = embedding dim, here 64), so iterating is O(d²) —
+    * negligible at any corpus scale. `v` is a d-row relation broadcast
+    * into the matrix join; nothing iterates over the corpus.
+    *
+    * Determinism (the PageRank recipe, [[graft.operators.Graph]]):
+    * per-term products `cov·v` are integerized ([[Det.toFixed]]) and
+    * summed exactly in BIGINT, the norm is a sqrt (correctly rounded per
+    * IEEE-754) of an exact sum of integerized squares, and the normalized
+    * vector is re-rounded to a fixed grid each iteration — so the whole
+    * iterative fit is bit-identical across engines and partitionings,
+    * and has a chained-CTE DuckDB oracle. No transcendentals beyond sqrt.
+    *
+    * Returns (i, v, eigval): the unit eigenvector estimate after `iters`
+    * rounds (started from the all-ones vector) and the Rayleigh-quotient
+    * eigenvalue estimate ‖Cv‖ from the final round. */
+  def powerIterationTopEigen(
+      emb: DataFrame, vecCol: String, iters: Int = 4,
+      covScale: Int = 7, itScale: Int = 9): DataFrame = {
+    val f = math.pow(10.0, itScale.toDouble)
+    val upper = covarianceUpperTriangle(emb, vecCol, covScale)
+      .select(col("i"), col("j"), col("cov"))
+    // mirror the triangle; localCheckpoint: every iteration reuses it
+    val cm = upper.unionAll(
+        upper.where(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .localCheckpoint()
+    var v = cm.select(col("i").as("j")).distinct()
+      .select(col("j"), lit(1.0).as("v"))
+    var norm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = cm.join(broadcast(v), Seq("j"))
+        .groupBy(col("i"))
+        .agg((sum(Det.toFixed(col("cov") * col("v"), itScale))
+          .cast("double") / lit(f)).as("w"))
+      norm = w
+        .agg((sum(Det.toFixed(col("w") * col("w"), itScale))
+          .cast("double") / lit(f)).as("ss"))
+        .select(sqrt(col("ss")).as("norm"))
+      v = w.crossJoin(broadcast(norm))
+        .select(col("i").as("j"), Det.fixed(col("w") / col("norm"), itScale).as("v"))
+        .localCheckpoint()
+    }
+    v.crossJoin(broadcast(norm))
+      .select(col("j").as("i"), col("v"), Det.fixed(col("norm"), 6).as("eigval"))
+  }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): cluster
+    * the corpus with a coarse quantizer, then inside each cluster drop
+    * every vector that has a smaller-id neighbor above the cosine
+    * threshold — keeping exactly one representative per near-duplicate
+    * group that is a chain under the id order.
+    *
+    * Scale shape: cell assignment is row-local (argmax over broadcast
+    * centroid literals — no shuffle); the pairwise stage is a self-join
+    * keyed on the CELL, so cost is Σ|cell|² not |corpus|² — the
+    * clustering IS the blocking structure, which is the whole point of
+    * SemDeDup. Size `nCells` so cells fit comfortably in a task
+    * (corpus/nCells rows each); skewed cells would be salted or
+    * sub-clustered at 100 TB.
+    *
+    * Centroids are a deterministic Knuth-hash sample of the corpus (same
+    * trick as [[ivfTopK]] — SQL-expressible, so buckets, pairs and drops
+    * all reproduce in the DuckDB oracle).
+    *
+    * Returns one row per vector: (vec_id, cell, dup_of, kept) where
+    * dup_of = smallest same-cell id above threshold (NULL if none). */
+  def semanticDedup(
+      corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = 16, seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    val centroids = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(((col(idCol) * lit(2654435761L) + lit(seed)) % lit(4294967296L)).asc,
+        col(idCol))
+      .limit(nCells)
+      .orderBy(col(idCol))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+    val bestCell = array_max(array(centroids.map { case (i, c) =>
+      struct(cosineSim(col(vecCol), typedlit(c)).as("cos"), lit(-i).as("negCell"))
+    }: _*))
+    val cells = corpus
+      .select(col(idCol), col(vecCol), (-bestCell.getField("negCell")).as("cell"))
+      .localCheckpoint() // both sides of the self-join reuse the assignment
+    val l = cells.select(col("cell"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = cells.select(col("cell"), col(idCol).as("b"), col(vecCol).as("vb"))
+    val dups = l.join(r, Seq("cell"))
+      .where(col("a") < col("b") &&
+        Det.fixed(cosineSim(col("va"), col("vb")), roundTo) >= threshold)
+      .groupBy(col("b"))
+      .agg(min(col("a")).as("dup_of"))
+    cells.select(col(idCol), col("cell"))
+      .join(dups, col(idCol) === col("b"), "left")
+      .select(col(idCol), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays —
     * shipped in the plan, no side channel. `private[graft]` so the oracle
     * SQL generator can embed the same constants. */

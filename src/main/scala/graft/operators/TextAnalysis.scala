@@ -142,6 +142,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("n_pieces_w")).as("n_pieces"))
   }
 
+  /** Full BPE TOKENIZATION: per document, the complete piece sequence
+    * (space-joined, document order) under the vocabulary learned by
+    * `merges` rounds of [[bpeTrainMerges]] on the SAME corpus — the
+    * tokenizer-apply step that actually materializes training sequences,
+    * not just their counts ([[bpeEncodeStats]]).
+    *
+    * Dataflow: tokenization is per-WORD, so the corpus-scale work is one
+    * join from the exploded (doc, word-position, word) stream to the
+    * vocabulary-sized word→pieces table (broadcast while it fits), then a
+    * per-doc reassembly aggregate. Order inside the aggregate is made
+    * deterministic by sorting collected (pos, piece) structs — no
+    * reliance on collect_list order. */
+  def bpeTokenize(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: Column, merges: Int): org.apache.spark.sql.DataFrame = {
+    val pieces = bpeTrain(docs, textCol, merges)._2
+    val wp = pieces.groupBy(col("word")).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("piece")))),
+        _.getField("piece"))).as("wpieces"),
+      count(lit(1)).as("n_pieces_w"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(trim(textCol), "\\s+")).as(Seq("wpos", "word")))
+      .where(length(col("word")) > 0)
+      .join(wp, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("wpos"), col("wpieces")))),
+          _.getField("wpieces"))).as("pieces_text"),
+        sum(col("n_pieces_w")).as("n_pieces"))
+  }
+
   private def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: Column,
       merges: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window

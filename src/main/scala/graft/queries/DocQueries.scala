@@ -50,6 +50,29 @@ object DocQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokenize-step oracle: per-doc space-joined piece sequence in
+    * document order (words by position, pieces by position within word —
+    * DuckDB's parallel unnest zips the word list with its ordinals). */
+  private def bpeTokenizeOracleSql(merges: Int): String = {
+    val chain = (1 to merges).map(bpeIterSql).mkString(",\n")
+    s"""${bpeChainSql(chain)},
+       |wp AS (
+       |  SELECT word, string_agg(piece, ' ' ORDER BY pos) AS wpieces,
+       |    count(*) AS n_pieces_w
+       |  FROM p$merges GROUP BY 1
+       |), dw AS (
+       |  SELECT doc_id, unnest(l) AS word,
+       |    unnest(range(1, len(l) + 1)) AS wpos
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+       |        FROM documents)
+       |)
+       |SELECT doc_id,
+       |  string_agg(wpieces, ' ' ORDER BY wpos) AS pieces_text,
+       |  CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces
+       |FROM dw JOIN wp USING (word) WHERE len(word) > 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private def bpeIterSql(t: Int): String = {
     val prev = s"p${t - 1}"
       s"""pr$t AS (
@@ -261,6 +284,19 @@ object DocQueries {
         Tables.documents(s, d), "doc_id", col("text"), merges = 8)
         .orderBy(col("doc_id")),
       oracle = Some(bpeEncodeOracleSql(8)),
+      bench = false),
+
+    // ---- full BPE TOKENIZATION: the materialized per-doc piece
+    // sequence under the learned vocab — what a training pipeline
+    // actually writes out. Corpus-scale work is one join of the exploded
+    // word stream to the vocabulary-sized word→pieces table; per-doc
+    // reassembly is a sorted-struct aggregate (no collect_list order
+    // dependence). ----
+    QueryDef("tokens_bpe_tokenize",
+      (s, d) => TextAnalysis.bpeTokenize(
+        Tables.documents(s, d), "doc_id", col("text"), merges = 8)
+        .orderBy(col("doc_id")),
+      oracle = Some(bpeTokenizeOracleSql(8)),
       bench = false),
 
     // ---- content fingerprint ----

@@ -50,6 +50,61 @@ object EmbedQueries {
     """SUM(CASE WHEN list_sum(list_transform(list_zip(e.embedding, p.coeffs),
       |        x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN p.bitval ELSE 0 END)""".stripMargin
 
+  /** Chained-CTE DuckDB oracle for [[Similarity.powerIterationTopEigen]]:
+    * the embed_covariance CTEs (same integerized sums), the mirrored
+    * matrix, then one (w, norm, v) CTE block per iteration — every float
+    * op is either exact (BIGINT sums of integerized terms), correctly
+    * rounded IEEE (product, division, sqrt of equal inputs), or a
+    * cross-engine-safe scale-0 round, so the match is exact by
+    * construction. */
+  private def pcaPowerOracleSql(iters: Int, covScale: Int = 7,
+      itScale: Int = 9): String = {
+    val fi = "1" + ("0" * itScale)
+    val fc = "1" + ("0" * covScale)
+    val chain = (1 to iters).map { t =>
+      s"""w$t AS (
+         |  SELECT cm.i, CAST(SUM(${Det.toFixedSql("cm.cov * v.v", itScale)}) AS DOUBLE) / $fi AS w
+         |  FROM cm JOIN v${t - 1} v ON v.j = cm.j GROUP BY 1
+         |), n$t AS (
+         |  SELECT sqrt(CAST(SUM(${Det.toFixedSql("w * w", itScale)}) AS DOUBLE) / $fi) AS norm FROM w$t
+         |), v$t AS (
+         |  SELECT i AS j, ${Det.fixedSql("w / norm", itScale)} AS v FROM w$t CROSS JOIN n$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xi AS (
+       |  SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT i, j,
+       |    CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS xi,
+       |    CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS xj
+       |  FROM (SELECT vec_id, embedding, i,
+       |          unnest(range(0, len(embedding))) AS j FROM xi)
+       |  WHERE j >= i
+       |), st AS (
+       |  SELECT i, j, count(*) AS n,
+       |    SUM(${Det.toFixedSql("xi * xj", covScale)}) AS sxy,
+       |    SUM(${Det.toFixedSql("xi", covScale)}) AS sx,
+       |    SUM(${Det.toFixedSql("xj", covScale)}) AS sy
+       |  FROM pairs GROUP BY 1, 2
+       |), c AS (
+       |  SELECT i, j,
+       |    (CAST(sxy AS DOUBLE) / $fc / CAST(n AS DOUBLE))
+       |    - (CAST(sx AS DOUBLE) / $fc / CAST(n AS DOUBLE))
+       |    * (CAST(sy AS DOUBLE) / $fc / CAST(n AS DOUBLE)) AS cov
+       |  FROM st
+       |), cm AS (
+       |  SELECT i, j, cov FROM c
+       |  UNION ALL SELECT j AS i, i AS j, cov FROM c WHERE i <> j
+       |), v0 AS (
+       |  SELECT DISTINCT i AS j, CAST(1.0 AS DOUBLE) AS v FROM cm
+       |),
+       |$chain
+       |SELECT CAST(v$iters.j AS INT) AS i, v$iters.v AS v,
+       |  ${Det.fixedSql(s"n$iters.norm", 6)} AS eigval
+       |FROM v$iters CROSS JOIN n$iters ORDER BY i""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- embedding covariance matrix (PCA/whitening prep): upper
@@ -82,6 +137,53 @@ object EmbedQueries {
            |  - (CAST(sx AS DOUBLE) / 10000000 / CAST(n AS DOUBLE))
            |  * (CAST(sy AS DOUBLE) / 10000000 / CAST(n AS DOUBLE)) AS cov
            |FROM st ORDER BY i, j""".stripMargin),
+      bench = false),
+
+    // ---- top principal component by power iteration: the covariance
+    // pass is the only corpus-scale stage; the d x d iteration is
+    // integerized per round (the PageRank recipe), so the ITERATIVE
+    // spectral fit is bit-identical to a chained-CTE DuckDB twin. ----
+    QueryDef("embed_pca_power",
+      (s, d) => Similarity.powerIterationTopEigen(
+        Tables.embeddings(s, d), "embedding", iters = 4)
+        .orderBy(col("i")),
+      oracle = Some(pcaPowerOracleSql(iters = 4)),
+      bench = false),
+
+    // ---- SemDeDup-style semantic dedup: coarse-quantizer cells as the
+    // blocking structure, within-cell smaller-id near-dup drop. Cells,
+    // pairs and drops all reproduce from the hash-sampled centroids in
+    // SQL — full hash-match on a clustering-based dedup. ----
+    QueryDef("dedup_semantic",
+      (s, d) => Similarity.semanticDedup(
+        Tables.embeddings(s, d), threshold = 0.35)
+        .orderBy(col("vec_id")),
+      oracle = Some(
+        s"""WITH cent AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+           |  FROM (
+           |    SELECT vec_id, embedding FROM embeddings
+           |    ORDER BY (vec_id * 2654435761 + 42) % 4294967296, vec_id
+           |    LIMIT 16
+           |  )
+           |),
+           |cells AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSqlOf("e.embedding", "c.embedding")} DESC, c.cell) AS r
+           |    FROM embeddings e CROSS JOIN cent c
+           |  ) WHERE r = 1
+           |),
+           |dups AS (
+           |  SELECT r.vec_id AS b, min(l.vec_id) AS dup_of
+           |  FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+           |  WHERE ${Det.fixedSql(cosSqlOf("l.embedding", "r.embedding"), 6)} >= 0.35
+           |  GROUP BY 1
+           |)
+           |SELECT c.vec_id, c.cell, d.dup_of, d.dup_of IS NULL AS kept
+           |FROM cells c LEFT JOIN dups d ON d.b = c.vec_id
+           |ORDER BY c.vec_id""".stripMargin),
       bench = false),
 
     // ---- vector norm statistics per label ----

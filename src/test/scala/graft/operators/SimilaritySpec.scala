@@ -127,4 +127,74 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("i", "j").select("cov").as[Double].collect().toSeq
     cov.orderBy("i", "j").select("cov").as[Double].collect().toSeq shouldBe again
   }
+
+  test("powerIterationTopEigen: unit vector, dominant Rayleigh quotient, monotone, partition-stable") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.powerIterationTopEigen(emb, "embedding", iters = 4)
+      .orderBy("i").collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    out.length shouldBe 64
+    val v = out.map(_._2)
+    math.sqrt(v.map(x => x * x).sum) shouldBe 1.0 +- 1e-6
+    val eig = out.head._3
+    eig should be > 0.0
+    // Rayleigh dominance: v'Cv must beat a few arbitrary unit directions
+    val cov = Similarity.covarianceUpperTriangle(emb, "embedding")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(3))).toMap
+    def rayleigh(x: Array[Double]): Double = {
+      var s = 0.0
+      for (i <- 0 until 64; j <- 0 until 64) {
+        val c = if (i <= j) cov((i, j)) else cov((j, i))
+        s += x(i) * c * x(j)
+      }
+      s / x.map(t => t * t).sum
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val x = Array.fill(64)(rnd.nextGaussian())
+      rayleigh(v) should be >= rayleigh(x)
+    }
+    // more iterations estimate at least as much mass (monotone ‖Cv‖)
+    val eig2 = Similarity.powerIterationTopEigen(emb, "embedding", iters = 2)
+      .select("eigval").head().getDouble(0)
+    eig should be >= eig2 - 1e-9
+    // integerized iterations: bit-identical under repartitioning
+    val again = Similarity.powerIterationTopEigen(emb.repartition(13), "embedding", iters = 4)
+      .orderBy("i").collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    again.toSeq shouldBe out.toSeq
+  }
+
+  test("semanticDedup: drop rule matches brute-force within-cell recompute; kept set is dup-free") {
+    val emb = Tables.embeddings(spark, sf)
+    val thr = 0.3
+    val out = Similarity.semanticDedup(emb, threshold = thr)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    rows.length shouldBe emb.count().toInt
+    rows.foreach { case (_, _, dupOf, kept) => kept shouldBe dupOf.isEmpty }
+    // recompute: same-cell pairs above threshold, min smaller id
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val ids = rows.map(_._1).sorted
+    val expect = ids.map { b =>
+      val smaller = ids.filter(a => a < b && cellOf(a) == cellOf(b) &&
+        cos(vecs(a), vecs(b)) >= thr)
+      b -> (if (smaller.isEmpty) None else Some(smaller.min))
+    }.toMap
+    rows.foreach { case (id, _, dupOf, _) =>
+      withClue(s"vec $id") { dupOf shouldBe expect(id) }
+    }
+    // no same-cell near-dup pair survives with both sides kept
+    val kept = rows.filter(_._4).map(_._1)
+    for (a <- kept; b <- kept if a < b && cellOf(a) == cellOf(b))
+      cos(vecs(a), vecs(b)) should be < thr
+  }
 }

@@ -89,6 +89,30 @@ class TextAnalysisSpec extends SparkSpec {
       enc0.agg(sum("n_pieces")).head().getLong(0)
   }
 
+  test("bpeTokenize: pieces reconstruct the text, counts agree with encode stats") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+    val F = org.apache.spark.sql.functions
+    val tok = TextAnalysis.bpeTokenize(docs, "doc_id", col("text"), merges = 4)
+    // lossless: pieces with separators removed == original non-whitespace chars
+    tok.join(docs, "doc_id")
+      .where(regexp_replace(col("pieces_text"), "\\s+", "") =!=
+        regexp_replace(F.trim(col("text")), "\\s+", ""))
+      .count() shouldBe 0L
+    // n_pieces is exactly the number of emitted pieces, and matches
+    // the count-only encode twin
+    tok.where(F.size(split(col("pieces_text"), " ")) =!= col("n_pieces"))
+      .count() shouldBe 0L
+    val enc = TextAnalysis.bpeEncodeStats(docs, "doc_id", col("text"), merges = 4)
+      .select(col("doc_id"), col("n_pieces").as("enc_pieces"))
+    tok.join(enc, "doc_id").where(col("n_pieces") =!= col("enc_pieces"))
+      .count() shouldBe 0L
+    // deterministic across partitionings
+    val t2 = TextAnalysis.bpeTokenize(docs.repartition(11), "doc_id", col("text"), merges = 4)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    tok.orderBy("doc_id").as[(Long, String, Long)].collect().toSeq shouldBe t2
+  }
+
   test("jaccard is symmetric and within [0,1] on shingle sets") {
     val a = TextAnalysis.wordShingles(lit("the quick brown fox jumps over the dog"), 3)
     val b = TextAnalysis.wordShingles(lit("the quick red fox jumps over the dog"), 3)
