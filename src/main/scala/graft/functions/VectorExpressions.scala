@@ -32,6 +32,24 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Cosine between a float-array column and a DOUBLE-array argument
+    * (computed centroids live on a fixed decimal grid that float can't
+    * represent — k-means/PCA literals must stay double). Accumulation
+    * order identical to [[CosineSim]]. */
+  case class CosineSimFD(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim_fd"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VectorOps.cosineFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorOps.cosineFD($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -156,6 +174,8 @@ object VectorExpressions {
   // Column-level API
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def cosineSimFD(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimFD(GraftBridge.expression(a), GraftBridge.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
   def l2Norm(a: Column): Column =

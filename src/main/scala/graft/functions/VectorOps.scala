@@ -42,6 +42,22 @@ object VectorOps {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Cosine of a float vector against a double vector (computed
+    * centroids on a decimal grid) — same accumulation order as
+    * [[cosineFloat]], matching DuckDB's CAST-to-DOUBLE list arithmetic. */
+  def cosineFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
   /** Distinct word k-shingles of a document, first-occurrence order —
     * semantics of `array_distinct(transform(...))` over whitespace tokens
     * (matching Spark's `split(trim(text), "\s+")` tokenization), as one

@@ -126,6 +126,27 @@ object Similarity {
       .select(col("j").as("i"), col("v"), Det.fixed(col("norm"), 6).as("eigval"))
   }
 
+  /** PCA APPLY: every vector's score on the dominant component learned by
+    * [[powerIterationTopEigen]] — the projection pass that whitening /
+    * dimensionality-pruning pipelines materialize. Corpus-scale work is
+    * one explode + broadcast join against the d-row eigenvector relation
+    * + one hash aggregate; per-term products are integerized so the
+    * per-vector dot products are bit-identical cross-engine. */
+  def pcaProject(
+      emb: DataFrame, vecCol: String, idCol: String = "vec_id",
+      iters: Int = 4, scale: Int = 9): DataFrame = {
+    val f = math.pow(10.0, scale.toDouble)
+    val v = powerIterationTopEigen(emb, vecCol, iters)
+      .select(col("i").as("j"), col("v"))
+    emb
+      .select(col(idCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
+      .join(broadcast(v), Seq("j"))
+      .groupBy(col(idCol))
+      .agg((sum(Det.toFixed(col("x") * col("v"), scale))
+        .cast("double") / lit(f)).as("score"))
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): cluster
     * the corpus with a coarse quantizer, then inside each cluster drop
     * every vector that has a smaller-id neighbor above the cosine

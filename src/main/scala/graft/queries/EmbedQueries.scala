@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorExpressions._
-import graft.operators.Similarity
+import graft.operators.{Similarity, VecKMeans}
 import graft.util.Det
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,34 @@ object EmbedQueries {
   private def pcaPowerOracleSql(iters: Int, covScale: Int = 7,
       itScale: Int = 9): String = {
     val fi = "1" + ("0" * itScale)
+    s"""${pcaChainSql(iters, covScale, itScale)}
+       |SELECT CAST(v$iters.j AS INT) AS i, v$iters.v AS v,
+       |  ${Det.fixedSql(s"n$iters.norm", 6)} AS eigval
+       |FROM v$iters CROSS JOIN n$iters ORDER BY i""".stripMargin
+  }
+
+  /** Projection oracle: per-vector integerized dot with the learned
+    * eigenvector ([[Similarity.pcaProject]]). */
+  private def pcaProjectOracleSql(iters: Int, covScale: Int = 7,
+      itScale: Int = 9): String = {
+    val fi = "1" + ("0" * itScale)
+    s"""${pcaChainSql(iters, covScale, itScale)},
+       |ex AS (
+       |  SELECT vec_id, unnest(range(0, len(embedding))) AS j,
+       |    unnest(list_transform(embedding, t -> CAST(t AS DOUBLE))) AS x
+       |  FROM embeddings
+       |)
+       |SELECT ex.vec_id,
+       |  CAST(SUM(${Det.toFixedSql("ex.x * v.v", itScale)}) AS DOUBLE) / $fi AS score
+       |FROM ex JOIN v$iters v ON v.j = ex.j
+       |GROUP BY 1 ORDER BY ex.vec_id""".stripMargin
+  }
+
+  /** Shared WITH-prefix of the PCA oracles: the embed_covariance CTEs,
+    * the mirrored matrix, and one (w, norm, v) block per power-iteration
+    * round. */
+  private def pcaChainSql(iters: Int, covScale: Int, itScale: Int): String = {
+    val fi = "1" + ("0" * itScale)
     val fc = "1" + ("0" * covScale)
     val chain = (1 to iters).map { t =>
       s"""w$t AS (
@@ -99,10 +127,53 @@ object EmbedQueries {
        |), v0 AS (
        |  SELECT DISTINCT i AS j, CAST(1.0 AS DOUBLE) AS v FROM cm
        |),
+       |$chain""".stripMargin
+  }
+
+  /** Chained-CTE oracle for [[VecKMeans.fitFixedPoint]]: Knuth-hash
+    * sampled init, then per round an argmax-cosine assignment CTE and an
+    * integerized (cell, dim) update CTE — counts and BIGINT sums exact,
+    * the mean a deterministic ratio, re-rounded to the decimal grid
+    * exactly as the Spark side does. */
+  private def kmeansOracleSql(k: Int, iters: Int, seed: Long,
+      scale: Int = 7): String = {
+    val fc = "1" + ("0" * scale)
+    val chain = (1 to iters).map { t =>
+      s"""asg$t AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSqlOf("e.embedding", "c.cv")} DESC, c.cell) AS r
+         |    FROM embeddings e CROSS JOIN cent${t - 1} c
+         |  ) WHERE r = 1
+         |), m$t AS (
+         |  SELECT cell, pos, n,
+         |    ${Det.fixedSql(s"CAST(sx AS DOUBLE) / $fc / CAST(n AS DOUBLE)", scale)} AS m
+         |  FROM (
+         |    SELECT cell, pos, count(*) AS n,
+         |      SUM(${Det.toFixedSql("x", scale)}) AS sx
+         |    FROM (
+         |      SELECT cell, unnest(range(0, len(embedding))) AS pos,
+         |        unnest(list_transform(embedding, t -> CAST(t AS DOUBLE))) AS x
+         |      FROM asg$t
+         |    ) GROUP BY 1, 2
+         |  )
+         |), cent$t AS (
+         |  SELECT cell, list(m ORDER BY pos) AS cv FROM m$t GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |    list_transform(embedding, t -> CAST(t AS DOUBLE)) AS cv
+       |  FROM (
+       |    SELECT vec_id, embedding FROM embeddings
+       |    ORDER BY (vec_id * 2654435761 + $seed) % 4294967296, vec_id
+       |    LIMIT $k
+       |  )
+       |),
        |$chain
-       |SELECT CAST(v$iters.j AS INT) AS i, v$iters.v AS v,
-       |  ${Det.fixedSql(s"n$iters.norm", 6)} AS eigval
-       |FROM v$iters CROSS JOIN n$iters ORDER BY i""".stripMargin
+       |SELECT cell, CAST(pos AS INT) AS pos, n, m
+       |FROM m$iters ORDER BY cell, pos""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -148,6 +219,28 @@ object EmbedQueries {
         Tables.embeddings(s, d), "embedding", iters = 4)
         .orderBy(col("i")),
       oracle = Some(pcaPowerOracleSql(iters = 4)),
+      bench = false),
+
+    // ---- PCA APPLY: per-vector score on the learned component — the
+    // projection a whitening/pruning pipeline materializes. One explode
+    // + broadcast join + integerized-dot aggregate over the corpus. ----
+    QueryDef("embed_pca_project",
+      (s, d) => Similarity.pcaProject(
+        Tables.embeddings(s, d), "embedding", iters = 4)
+        .orderBy(col("vec_id")),
+      oracle = Some(pcaProjectOracleSql(iters = 4)),
+      bench = false),
+
+    // ---- ORACLE-EXACT spherical k-means (Lloyd's): row-local argmax
+    // assignment over centroid literals, ONE (cell, dim) hash aggregate
+    // per round (k*d rows to the driver, like the EM suffstats pass),
+    // integerized sums -> 3 full rounds bit-identical to the chained-CTE
+    // DuckDB twin. ----
+    QueryDef("embed_kmeans",
+      (s, d) => VecKMeans.fitFixedPoint(
+        Tables.embeddings(s, d), "embedding", k = 8, iters = 3, seed = 42L)
+        .orderBy(col("cell"), col("pos")),
+      oracle = Some(kmeansOracleSql(k = 8, iters = 3, seed = 42L)),
       bench = false),
 
     // ---- SemDeDup-style semantic dedup: coarse-quantizer cells as the

@@ -163,6 +163,40 @@ class SimilaritySpec extends SparkSpec {
     again.toSeq shouldBe out.toSeq
   }
 
+  test("pcaProject: scores match a driver-side dot with the learned eigenvector") {
+    val emb = Tables.embeddings(spark, sf)
+    val v = Similarity.powerIterationTopEigen(emb, "embedding", iters = 4)
+      .orderBy("i").collect().map(_.getDouble(1))
+    val scores = Similarity.pcaProject(emb, "embedding", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    scores.size shouldBe vecs.length
+    vecs.foreach { case (id, x) =>
+      val want = x.indices.map(j =>
+        math.round(x(j).toDouble * v(j) * 1e9)).sum / 1e9
+      withClue(s"vec $id") { scores(id) shouldBe want +- 1e-12 }
+    }
+    // projection onto the dominant direction captures more mass than
+    // onto an arbitrary coordinate axis (variance comparison)
+    def variance(xs: Iterable[Double]): Double = {
+      val n = xs.size; val m = xs.sum / n
+      xs.map(t => (t - m) * (t - m)).sum / n
+    }
+    val axisVar = variance(vecs.map(_._2(0).toDouble))
+    variance(scores.values) should be > axisVar
+  }
+
+  test("cosineSimFD matches cosineSim when the double side is an exact float image") {
+    val emb = Tables.embeddings(spark, sf).limit(20)
+    val both = emb.select(
+      cosineSim(col("embedding"), col("embedding")).as("ff"),
+      graft.functions.VectorExpressions.cosineSimFD(
+        col("embedding"), col("embedding").cast("array<double>")).as("fd"))
+      .collect()
+    both.foreach(r => r.getDouble(1) shouldBe r.getDouble(0))
+  }
+
   test("semanticDedup: drop rule matches brute-force within-cell recompute; kept set is dup-free") {
     val emb = Tables.embeddings(spark, sf)
     val thr = 0.3
