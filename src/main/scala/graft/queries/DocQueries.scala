@@ -73,6 +73,34 @@ object DocQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokenize→pack composite oracle: the encode-step piece counts feed
+    * the quantized packing window (same shape as pack_sequences; BIGINT
+    * casts per the HUGEINT window-sum rule). */
+  private def bpePackOracleSql(merges: Int, budget: Int): String = {
+    val chain = (1 to merges).map(bpeIterSql).mkString(",\n")
+    s"""${bpeChainSql(chain)},
+       |wp AS (
+       |  SELECT word, count(*) AS n_pieces_w FROM p$merges GROUP BY 1
+       |), dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents
+       |), enc AS (
+       |  SELECT doc_id, CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces
+       |  FROM (SELECT d.doc_id, wp.n_pieces_w
+       |        FROM dw d JOIN wp USING (word) WHERE len(d.word) > 0)
+       |  GROUP BY doc_id
+       |), c AS (
+       |  SELECT e.doc_id, d.lang, e.n_pieces,
+       |    COALESCE(SUM(e.n_pieces) OVER (PARTITION BY d.lang ORDER BY e.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM enc e JOIN documents d USING (doc_id)
+       |)
+       |SELECT doc_id, lang, n_pieces,
+       |  CAST(floor(cum_before / $budget) AS BIGINT) AS pack_id,
+       |  CAST(cum_before % $budget AS BIGINT) AS offset_in_pack
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   private def bpeIterSql(t: Int): String = {
     val prev = s"p${t - 1}"
       s"""pr$t AS (
@@ -297,6 +325,27 @@ object DocQueries {
         Tables.documents(s, d), "doc_id", col("text"), merges = 8)
         .orderBy(col("doc_id")),
       oracle = Some(bpeTokenizeOracleSql(8)),
+      bench = false),
+
+    // ---- tokenize→pack END-TO-END: BPE piece counts flow into the
+    // quantized sequence-packing window — the composite a training-data
+    // writer runs (tokenize, then fill fixed context windows per shard).
+    // Piece counting is the corpus-scale join; packing parallelizes per
+    // lang shard. ----
+    QueryDef("tokens_pack_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val enc = graft.operators.TextAnalysis.bpeEncodeStats(
+            docs, "doc_id", col("text"), merges = 8)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        graft.operators.Curation.packSequences(
+            enc, tokenCol = col("n_pieces"), shardCol = col("lang"),
+            orderCol = col("doc_id"), budget = 2048)
+          .select(col("doc_id"), col("lang"), col("n_tokens").as("n_pieces"),
+            col("pack_id"), col("offset_in_pack"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(bpePackOracleSql(8, 2048)),
       bench = false),
 
     // ---- content fingerprint ----
