@@ -818,6 +818,160 @@ object DocQueries {
              |  CAST(top_bigram_count * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
              |    AS top_bigram_token_frac
              |FROM m ORDER BY doc_id""".stripMargin),
+      bench = false),
+
+    // ---- BM25 ranking: the retrieval scorer of a training-data search /
+    //      decontamination stack. Corpus stats (N, avgdl) are ONE tiny
+    //      aggregate broadcast to every row; document frequencies of the
+    //      query terms are a 3-row broadcast; the only shuffle keyed by
+    //      doc is the tf/dl aggregation. Per-(doc,term) scores are
+    //      integerized (ln ulp) then summed exactly, so the ranking and
+    //      the score hash are cross-engine-exact. ----
+    QueryDef("text_bm25_topk",
+      (s, d) => {
+        val terms = Seq("join", "hash", "scan")
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val tf = toks.where(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val k1 = lit(1.2)
+        val b = lit(0.75)
+        val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+        val idf = log(
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0))
+        val norm = col("tf").cast("double") * (k1 + lit(1.0)) /
+          (col("tf").cast("double") +
+            k1 * (lit(1.0) - b + b * col("dl").cast("double") / avgdl))
+        tf.join(broadcast(dfreq), Seq("tok"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(corpus))
+          .select(col("doc_id"), Det.toFixed(idf * norm, 9).as("s_int"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms_hit"), sum(col("s_int")).as("si"))
+          .select(col("doc_id"), col("n_terms_hit"),
+            (col("si").cast("double") / lit(1e9)).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(50)
+      },
+      oracle = Some {
+        val idfSql = "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))" +
+          " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))"
+        val normSql = "CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))" +
+          " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)" +
+          " + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        raw"""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents
+             |),
+             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+             |corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+             |tf AS (
+             |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+             |  WHERE tok IN ('join', 'hash', 'scan') GROUP BY doc_id, tok
+             |),
+             |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+             |scored AS (
+             |  SELECT tf.doc_id,
+             |    ${Det.toFixedSql(s"($idfSql) * ($normSql)", 9)} AS s_int
+             |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+             |)
+             |SELECT doc_id, COUNT(*) AS n_terms_hit,
+             |  CAST(SUM(s_int) AS DOUBLE) / 1000000000 AS bm25
+             |FROM scored GROUP BY doc_id
+             |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+      },
+      bench = false),
+
+    // ---- Bigram language model with additive smoothing, scored back over
+    //      the corpus — the perplexity-filter shape one step up from
+    //      text_unigram_surprisal. Context counts derive from the bigram
+    //      table (one extra tiny aggregate, no second corpus pass);
+    //      per-bigram logprobs are integerized then summed exactly. ----
+    QueryDef("text_bigram_lm",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        val bg = base.select(col("doc_id"),
+            explode(zip_with(
+              slice(col("toks"), lit(1), size(col("toks")) - 1),
+              slice(col("toks"), lit(2), size(col("toks")) - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        val vocab = base.select(explode(col("toks")).as("tok"))
+          .agg(count_distinct(col("tok")).as("v"))
+        val lp = log(
+          (col("c2").cast("double") + lit(0.5)) /
+            (col("c1").cast("double") + lit(0.5) * col("v").cast("double")))
+        bg.join(c2, Seq("w1", "w2"))
+          .join(broadcast(c1), Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"), Det.toFixed(lp, 9).as("lp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            ((col("slp").cast("double") / lit(1e9)) /
+              col("n_bigrams").cast("double")).as("avg_bigram_logprob"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        raw"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |),
+             |bg AS (
+             |  SELECT doc_id,
+             |    struct_extract(p, 'w1') AS w1, struct_extract(p, 'w2') AS w2
+             |  FROM (
+             |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+             |      i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+             |    FROM t)
+             |),
+             |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+             |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+             |vocab AS (
+             |  SELECT COUNT(DISTINCT tok) AS v FROM (
+             |    SELECT unnest(toks) AS tok FROM t)
+             |),
+             |scored AS (
+             |  SELECT bg.doc_id,
+             |    ${Det.toFixedSql(
+                    "ln((CAST(c2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+                      "(CAST(c1 AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(v AS DOUBLE)))", 9)} AS lp
+             |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+             |)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  (CAST(SUM(lp) AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+             |    / CAST(COUNT(*) AS DOUBLE) AS avg_bigram_logprob
+             |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      bench = false),
+
+    // ---- Inverted index build: term -> document frequency + a capped,
+    //      sorted posting list. The classic retrieval-index construction
+    //      pass: ONE shuffle keyed by term; collect_set keeps postings
+    //      deduplicated map-side, sort_array makes the list order
+    //      deterministic for the hash compare. ----
+    QueryDef("text_inverted_index",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(
+          count_distinct(col("doc_id")).as("df"),
+          slice(sort_array(collect_set(col("doc_id"))), 1, 100).as("postings"))
+        .orderBy(col("tok")),
+      oracle = Some(
+        raw"""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents
+             |)
+             |SELECT tok, COUNT(DISTINCT doc_id) AS df,
+             |  list_sort(list(DISTINCT doc_id))[1:100] AS postings
+             |FROM toks GROUP BY tok ORDER BY tok""".stripMargin),
       bench = false)
   )
 }

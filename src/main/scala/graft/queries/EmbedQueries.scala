@@ -580,6 +580,45 @@ object EmbedQueries {
            |JOIN embeddings ea ON ea.vec_id = cand.a
            |JOIN embeddings eb ON eb.vec_id = cand.b
            |WHERE ${Det.fixedSql(cosSqlOf("ea.embedding", "eb.embedding"), 6)} >= 0.4
-           |ORDER BY a, b""".stripMargin))
+           |ORDER BY a, b""".stripMargin)),
+
+    // ---- Hard-negative mining for contrastive training: for each query
+    //      vector, the top-3 most-similar vectors carrying a DIFFERENT
+    //      label — the pairs that teach a metric model the most. Same
+    //      broadcast + window shape as ann_cosine_topk (the 20-row query
+    //      side broadcasts; the corpus scan stays partition-parallel and
+    //      the rank window is keyed per query), plus a label filter that
+    //      prunes candidates before the kernel runs. ----
+    QueryDef("embed_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel"))
+        val scored = emb.join(broadcast(q),
+            col("qid") =!= col("vec_id") && col("qlabel") =!= col("label"))
+          .withColumn("cos", Det.fixed(cosineSim(col("qvec"), col("embedding")), 6))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("vec_id").as("neg_id"),
+            col("label").as("neg_label"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      oracle = Some(
+        s"""WITH scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS neg_id, c.label AS neg_label,
+           |    ${Det.fixedSql(cosSql, 6)} AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id AND c.label <> q.label
+           |), ranked AS (
+           |  SELECT qid, neg_id, neg_label, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neg_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT qid, rank, neg_id, neg_label, cos FROM ranked
+           |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+      bench = false)
   )
 }

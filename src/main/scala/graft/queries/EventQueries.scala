@@ -586,6 +586,94 @@ object EventQueries {
       oracle = Some(
         """SELECT event_type, count(*) AS exact_n, true AS within_eps
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      bench = false),
+
+    // ---- Last-touch marketing attribution: each purchase is credited to
+    //      the user's most recent preceding non-purchase event. ONE window
+    //      pass per user (last IGNORE NULLS over a preceding-rows frame —
+    //      the same partitioning the sessionize family uses), then a tiny
+    //      grouped rollup per channel. Purchases with no prior touch fall
+    //      into a 'none' channel rather than dropping. ----
+    QueryDef("events_attribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("channel",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select(coalesce(col("channel"), lit("none")).as("channel"), col("value"))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            Det.fixedSum(col("value"), 2).as("attributed_value"))
+          .orderBy(col("channel"))
+      },
+      oracle = Some(
+        s"""WITH touched AS (
+           |  SELECT event_type, value,
+           |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+           |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+           |  FROM events
+           |)
+           |SELECT COALESCE(channel, 'none') AS channel,
+           |  COUNT(*) AS n_purchases,
+           |  ${Det.fixedSumSql("value", 2)} AS attributed_value
+           |FROM touched WHERE event_type = 'purchase'
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = false),
+
+    // ---- Z-score outlier profiling per event type: mean and population
+    //      sd from EXACT integerized sums (Det fixed-point — bit-identical
+    //      across engines and partitionings), then a second conditional
+    //      count of |x - mean| > 3 sd. Both aggregates land in the same
+    //      grouped pass shape; the per-row flag is pure IEEE arithmetic on
+    //      identical inputs, so the boundary decision is cross-engine
+    //      deterministic. Scale 6 on the squares keeps the BIGINT sum far
+    //      from overflow at bench SF (see NOTES.md). ----
+    QueryDef("stats_zscore_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val stats = ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(Det.toFixed(col("value"), 9)).as("s1"),
+          sum(Det.toFixed(col("value") * col("value"), 6)).as("s2"))
+          .withColumn("mean", col("s1").cast("double") / lit(1e9) / col("n").cast("double"))
+          .withColumn("sd", sqrt(
+            col("s2").cast("double") / lit(1e6) / col("n").cast("double") -
+              col("mean") * col("mean")))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"), col("mean"), col("sd"))
+          .agg(count(when(abs(col("value") - col("mean")) > lit(3.0) * col("sd"), 1))
+            .as("n_outliers"))
+          .select(col("event_type"), col("n"),
+            Det.fixed(col("mean"), 6).as("mean"), Det.fixed(col("sd"), 6).as("sd"),
+            col("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some {
+        val meanSql = "CAST(s1 AS DOUBLE) / 1000000000 / CAST(n AS DOUBLE)"
+        s"""WITH stats AS (
+           |  SELECT event_type, COUNT(*) AS n,
+           |    CAST(SUM(${Det.toFixedSql("value", 9)}) AS BIGINT) AS s1,
+           |    CAST(SUM(${Det.toFixedSql("value * value", 6)}) AS BIGINT) AS s2
+           |  FROM events GROUP BY event_type
+           |), m AS (
+           |  SELECT event_type, n, ($meanSql) AS mean,
+           |    sqrt(CAST(s2 AS DOUBLE) / 1000000 / CAST(n AS DOUBLE)
+           |      - ($meanSql) * ($meanSql)) AS sd
+           |  FROM stats
+           |)
+           |SELECT e.event_type, m.n,
+           |  ${Det.fixedSql("m.mean", 6)} AS mean, ${Det.fixedSql("m.sd", 6)} AS sd,
+           |  COUNT(CASE WHEN abs(e.value - m.mean) > CAST(3.0 AS DOUBLE) * m.sd
+           |    THEN 1 END) AS n_outliers
+           |FROM events e JOIN m USING (event_type)
+           |GROUP BY e.event_type, m.n, m.mean, m.sd
+           |ORDER BY e.event_type""".stripMargin
+      },
       bench = false)
   )
 }

@@ -1663,6 +1663,83 @@ object TpchQueries {
            |  ${graft.operators.Layout.mortonKeySql("l_partkey", "l_suppkey")} AS zkey
            |FROM lineitem
            |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+      bench = false),
+
+    // ---- Blocked fuzzy join (record linkage): candidate pairs share a
+    //      blocking key (the noun of the two-word part name) and pass a
+    //      Levenshtein edit-distance gate. Blocking turns the quadratic
+    //      all-pairs compare into per-block equi-join fan-out — the
+    //      standard entity-resolution shape at scale (the block key would
+    //      be a q-gram or phonetic code on real data; skewed blocks get
+    //      the salted-join treatment, see join_salted_skew). Output is
+    //      aggregated to distinct name pairs so the result stays bounded
+    //      while still proving every candidate pair was scored. ----
+    QueryDef("join_fuzzy_blocked",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"),
+            split(col("p_name"), " ").getItem(1).as("block"))
+        val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+          col("block"))
+        val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+          col("block"))
+        a.join(b, Seq("block"))
+          .where(col("a_key") < col("b_key") &&
+            levenshtein(col("a_name"), col("b_name")) <= 3)
+          .groupBy(col("a_name"), col("b_name"))
+          .agg(count(lit(1)).as("n_pairs"),
+            max(levenshtein(col("a_name"), col("b_name"))).as("edit_dist"))
+          .orderBy(col("a_name"), col("b_name"))
+      },
+      oracle = Some(
+        """SELECT a.p_name AS a_name, b.p_name AS b_name,
+          |  COUNT(*) AS n_pairs,
+          |  MAX(levenshtein(a.p_name, b.p_name)) AS edit_dist
+          |FROM part a JOIN part b
+          |  ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+          | AND a.p_partkey < b.p_partkey
+          | AND levenshtein(a.p_name, b.p_name) <= 3
+          |GROUP BY a.p_name, b.p_name
+          |ORDER BY a_name, b_name""".stripMargin),
+      bench = false),
+
+    // ---- Pareto skyline (minimize price, maximize size): the quadratic
+    //      NOT EXISTS dominance test rewritten as two window passes over
+    //      per-price maxima — O(n log n) shuffle-sort instead of an O(n²)
+    //      theta join, the formulation that survives 100 TB. A part is on
+    //      the skyline iff it has the max size at its price AND is
+    //      strictly larger than every strictly-cheaper part's size. ----
+    QueryDef("sort_pareto_skyline",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val perPrice = p.groupBy(col("p_retailprice").as("price"))
+          .agg(max(col("p_size")).as("ms"))
+        val wc = Window.orderBy(col("price"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = perPrice
+          .withColumn("cheaper_ms", max(col("ms")).over(wc))
+        p.join(frontier, p("p_retailprice") === frontier("price"))
+          .where(col("p_size") === col("ms") &&
+            (col("cheaper_ms").isNull || col("p_size") > col("cheaper_ms")))
+          .select(col("p_partkey"), col("p_name"),
+            col("p_retailprice"), col("p_size"))
+          .orderBy(col("p_retailprice"), col("p_partkey"))
+      },
+      oracle = Some(
+        """WITH per_price AS (
+          |  SELECT p_retailprice AS price, MAX(p_size) AS ms
+          |  FROM part GROUP BY p_retailprice
+          |), frontier AS (
+          |  SELECT price, ms,
+          |    MAX(ms) OVER (ORDER BY price
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cheaper_ms
+          |  FROM per_price
+          |)
+          |SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+          |FROM part p JOIN frontier f ON p.p_retailprice = f.price
+          |WHERE p.p_size = f.ms
+          |  AND (f.cheaper_ms IS NULL OR p.p_size > f.cheaper_ms)
+          |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin),
       bench = false)
   )
 
