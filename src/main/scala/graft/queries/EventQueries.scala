@@ -674,6 +674,40 @@ object EventQueries {
            |GROUP BY e.event_type, m.n, m.mean, m.sd
            |ORDER BY e.event_type""".stripMargin
       },
+      bench = false),
+
+    // ---- Markov transition matrix over per-user event sequences: one
+    //      lead() window pass (the sessionize partitioning), then a tiny
+    //      grouped count and a per-source normalization — a ratio of
+    //      exact counts, so probabilities hash bit-identically. The
+    //      behavioral-model complement of events_funnel. ----
+    QueryDef("events_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wf = Window.partitionBy(col("from_type"))
+        Tables.events(s, d)
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .where(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      oracle = Some(
+        """WITH seq AS (
+          |  SELECT event_type AS from_type,
+          |    lead(event_type, 1) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS to_type
+          |  FROM events
+          |), cnt AS (
+          |  SELECT from_type, to_type, COUNT(*) AS n
+          |  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+          |)
+          |SELECT from_type, to_type, n,
+          |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+          |FROM cnt ORDER BY from_type, to_type""".stripMargin),
       bench = false)
   )
 }

@@ -1740,6 +1740,36 @@ object TpchQueries {
           |WHERE p.p_size = f.ms
           |  AND (f.cheaper_ms IS NULL OR p.p_size > f.cheaper_ms)
           |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin),
+      bench = false),
+
+    // ---- Frequent-itemset pairs (market-basket co-occurrence): distinct
+    //      part pairs within an order, counted by support. The self-join
+    //      is keyed on the basket id, so it shuffles once on l_orderkey
+    //      and fans out per-basket — the a-priori candidate-generation
+    //      shape. Support ranking + deterministic tie-break keeps the
+    //      top-20 hashable. ----
+    QueryDef("agg_frequent_pairs",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val a = items.select(col("ok"), col("pk").as("pa"))
+        val b = items.select(col("ok"), col("pk").as("pb"))
+        a.join(b, Seq("ok"))
+          .where(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("pa"), col("pb"))
+          .limit(20)
+      },
+      oracle = Some(
+        """WITH items AS (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+          |)
+          |SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS support
+          |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+          |GROUP BY a.pk, b.pk
+          |ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin),
       bench = false)
   )
 

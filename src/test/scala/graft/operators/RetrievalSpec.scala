@@ -104,6 +104,27 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("frequent pairs: canonical ordering, positive support, ranked") {
+    val rows = q("agg_frequent_pairs").collect()
+    rows.length should be > 0
+    rows.length should be <= 20
+    rows.foreach { r =>
+      r.getAs[Long]("pa") should be < r.getAs[Long]("pb")
+      r.getAs[Long]("support") should be > 0L
+    }
+    val sup = rows.map(_.getAs[Long]("support"))
+    sup.sliding(2).foreach { case Array(a, b) => a should be >= b; case _ => }
+  }
+
+  test("transition matrix: probabilities normalize per source state") {
+    val rows = q("events_transition_matrix").collect()
+    rows.length should be > 0
+    rows.groupBy(_.getAs[String]("from_type")).values.foreach { g =>
+      g.map(_.getAs[Double]("p")).sum shouldBe 1.0 +- 1e-9
+      g.foreach(_.getAs[Double]("p") should be > 0.0)
+    }
+  }
+
   test("hard negatives: labels differ from the query vector's label") {
     val labelOf = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "label").collect()
