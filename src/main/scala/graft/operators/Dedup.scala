@@ -359,4 +359,62 @@ object Dedup {
           !exists(coalesce(col("starts"), array().cast("array<int>")),
             p => i >= p && i < p + lit(k)))).as("clean_text"))
   }
+
+  /** Suffix-array span duplication: every MAXIMAL repeated token span of
+    * length >= minLen, found by sorting all word-level suffixes and
+    * comparing each with its sort-order neighbor (the suffix-array/LCP
+    * formulation of "deduplicating training data" span mining — any span
+    * occurring twice makes some adjacent suffix pair share a prefix of
+    * its length, so adjacent LCPs find every repeat; contrast with
+    * [[spanDuplication]], which is bound to one k-gram granularity).
+    *
+    * Distributed shape: the global suffix sort is partitioned by FIRST
+    * TOKEN — adjacent suffixes that straddle a first-token boundary share
+    * a 0-token prefix, so per-bucket windows are exact for any
+    * minLen >= 1 and no single-partition global window is needed. Rows =
+    * total tokens; each row carries its own suffix, so the working set is
+    * O(sum of doc_len²) — the inherent cost of uncompressed suffix
+    * mining; at 100 TB the suffix payload is capped (a repeated span
+    * longer than the cap still matches on the cap prefix) and hot
+    * first-token buckets (stopwords) get a second token in the partition
+    * key.
+    *
+    * Returns (span, span_len, n_pairs, n_cross_doc) per distinct maximal
+    * duplicated span. */
+  def suffixSpanDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val toksOf = split(trim(col(textCol)), "\\s+")
+    val suf = docs
+      .select(col(idCol).as("doc_id"), toksOf.as("toks"))
+      .select(col("doc_id"), explode(sequence(lit(1), size(col("toks")))).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos"),
+        slice(col("toks"), col("pos"), size(col("toks")) - col("pos") + 1).as("suf"),
+        element_at(col("toks"), col("pos")).as("bucket"))
+      .withColumn("sstr", array_join(col("suf"), " "))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("sstr"), col("doc_id"), col("pos"))
+    val adj = suf
+      .withColumn("psuf", lag(col("suf"), 1).over(w))
+      .withColumn("pdoc", lag(col("doc_id"), 1).over(w))
+      .where(col("psuf").isNotNull)
+    // LCP: index of the first mismatch in the zipped equality vector
+    // (zip_with pads the longer tail with nulls, which array_position
+    // skips, so a missing `false` means the shorter suffix is a full
+    // prefix of the longer).
+    val mism = array_position(
+      zip_with(col("suf"), col("psuf"), (x, y) => x === y), false)
+    adj
+      .withColumn("lcp", when(mism === 0,
+          least(size(col("suf")), size(col("psuf"))).cast("long"))
+        .otherwise(mism - 1))
+      .where(col("lcp") >= minLen)
+      .select(
+        array_join(slice(col("suf"), lit(1), col("lcp").cast("int")), " ").as("span"),
+        col("lcp").as("span_len"),
+        (col("doc_id") =!= col("pdoc")).as("cross_doc"))
+      .groupBy(col("span"), col("span_len"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("cross_doc"), 1)).as("n_cross_doc"))
+  }
 }

@@ -972,6 +972,54 @@ object DocQueries {
              |SELECT tok, COUNT(DISTINCT doc_id) AS df,
              |  list_sort(list(DISTINCT doc_id))[1:100] AS postings
              |FROM toks GROUP BY tok ORDER BY tok""".stripMargin),
+      bench = false),
+
+    // ---- Suffix-array span mining (Dedup.suffixSpanDuplicates): every
+    //      maximal repeated span >= 4 tokens via sorted-suffix adjacent
+    //      LCPs — the granularity-free upgrade of the k-gram span dedup
+    //      (NOTES.md round-4 candidate). First-token bucketing makes the
+    //      suffix-sort window distributed-exact (cross-bucket neighbors
+    //      share a 0-token prefix). Top-100 by span length. ----
+    QueryDef("dedup_span_suffix",
+      (s, d) => Dedup.suffixSpanDuplicates(
+          Tables.documents(s, d), "doc_id", "text", minLen = 4)
+        .orderBy(col("span_len").desc, col("span"))
+        .limit(100),
+      oracle = Some(
+        raw"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |),
+             |suf AS (
+             |  SELECT doc_id, i AS pos, toks[i:] AS suf,
+             |    array_to_string(toks[i:], ' ') AS sstr, toks[i] AS bucket
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(generate_series(1, len(toks))) AS i FROM t)
+             |),
+             |adj AS (
+             |  SELECT doc_id, pos, suf,
+             |    lag(suf) OVER (PARTITION BY bucket ORDER BY sstr, doc_id, pos) AS psuf,
+             |    lag(doc_id) OVER (PARTITION BY bucket ORDER BY sstr, doc_id, pos) AS pdoc
+             |  FROM suf
+             |),
+             |lcp AS (
+             |  SELECT doc_id, pdoc, suf,
+             |    CASE WHEN mism IS NULL OR mism = 0
+             |         THEN least(len(suf), len(psuf))
+             |         ELSE mism - 1 END AS lcp
+             |  FROM (
+             |    SELECT *, list_position(
+             |        list_transform(generate_series(1, least(len(suf), len(psuf))),
+             |          i -> suf[i] = psuf[i]), false) AS mism
+             |    FROM adj WHERE psuf IS NOT NULL)
+             |)
+             |SELECT array_to_string(suf[1:lcp], ' ') AS span,
+             |  CAST(lcp AS BIGINT) AS span_len,
+             |  COUNT(*) AS n_pairs,
+             |  COUNT(CASE WHEN doc_id <> pdoc THEN 1 END) AS n_cross_doc
+             |FROM lcp WHERE lcp >= 4
+             |GROUP BY span, span_len
+             |ORDER BY span_len DESC, span LIMIT 100""".stripMargin),
       bench = false)
   )
 }

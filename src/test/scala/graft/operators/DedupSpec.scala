@@ -140,4 +140,33 @@ class DedupSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("suffixSpanDuplicates finds planted repeats at their true length") {
+    // docs 0 and 1 are identical 17-token texts: the maximal repeated
+    // span is the full text (cross-doc); doc 5 extends the base, so base
+    // is also a prefix-repeat against it.
+    val spans = Dedup.suffixSpanDuplicates(corpus, "doc_id", "text", minLen = 4)
+      .collect()
+    spans.length should be > 0
+    val top = spans.maxBy(_.getAs[Long]("span_len"))
+    top.getAs[Long]("span_len") shouldBe base.split(" ").length.toLong
+    top.getAs[String]("span") shouldBe base
+    top.getAs[Long]("n_cross_doc") should be > 0L
+    // no reported span below the threshold, all spans genuinely repeat:
+    spans.foreach { r =>
+      r.getAs[Long]("span_len") should be >= 4L
+      val span = r.getAs[String]("span")
+      val hits = corpus.collect().map(_.getString(1))
+        .map(t => ("\\b" + java.util.regex.Pattern.quote(span) + "\\b").r
+          .findAllMatchIn(t).length).sum
+      hits should be >= 2
+    }
+  }
+
+  test("suffixSpanDuplicates: single unique doc yields no spans") {
+    val solo = Seq((0L, "totally singular words never repeated anywhere else ever"))
+      .toDF("doc_id", "text")
+    Dedup.suffixSpanDuplicates(solo, "doc_id", "text", minLen = 2)
+      .count() shouldBe 0L
+  }
 }
