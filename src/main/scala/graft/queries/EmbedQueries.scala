@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorExpressions._
-import graft.operators.{Similarity, VecKMeans}
+import graft.operators.{LogReg, Similarity, VecKMeans}
 import graft.util.Det
 import org.apache.spark.sql.functions._
 
@@ -619,6 +619,87 @@ object EmbedQueries {
            |)
            |SELECT qid, rank, neg_id, neg_label, cos FROM ranked
            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+      bench = false),
+
+    // ---- Oracle-exact logistic regression (LogReg.fitFixedPoint): a
+    //      5-iteration full-batch GD fit on the first 4 embedding dims
+    //      predicting label >= 5, weights AND train accuracy hashed
+    //      against a chained-CTE DuckDB oracle — the integerized-
+    //      iteration recipe of em_gmm_fixed/graph_pagerank applied to a
+    //      supervised trainer (exp() ulp wobble dies in per-point
+    //      gradient rounding; the >= 0.5 decision runs on bit-identical
+    //      probabilities). ----
+    QueryDef("fit_logreg_fixed",
+      (s, d) => {
+        val feats = (1 to 4).map(i => s"f$i")
+        val emb = Tables.embeddings(s, d).select(
+          ((1 to 4).map(i =>
+            element_at(col("embedding"), i).cast("double").as(s"f$i")) :+
+            when(col("label") >= 5, 1.0).otherwise(0.0).as("y")): _*)
+        val w = LogReg.fitFixedPoint(emb, feats, "y", iters = 5, lr = 0.5)
+        LogReg.score(emb, feats, w)
+          .agg(count(lit(1)).as("n"),
+            count(when(col("pred") === col("y"), 1)).as("n_correct"))
+          .select(lit(w(0)).as("b"), lit(w(1)).as("w1"), lit(w(2)).as("w2"),
+            lit(w(3)).as("w3"), lit(w(4)).as("w4"),
+            col("n"), col("n_correct"))
+      },
+      oracle = Some(logRegOracleSql(iters = 5)),
       bench = false)
   )
+
+  /** Chained-CTE oracle for [[graft.operators.LogReg.fitFixedPoint]]:
+    * one (g_t, w_t) CTE pair per GD iteration. Every float op is either
+    * an exact BIGINT sum of integerized per-point gradients, or IEEE
+    * arithmetic on identical inputs, mirroring the Scala update
+    * `w - lr * (g / 10^9 / n)` operation-for-operation. */
+  private def logRegOracleSql(iters: Int): String = {
+    val zSql = "(w.b + e.x1 * w.w1 + e.x2 * w.w2 + e.x3 * w.w3 + e.x4 * w.w4)"
+    val pSql = s"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-$zSql))"
+    def gradCte(t: Int) =
+      s"""g$t AS (
+         |  SELECT
+         |    SUM(${Det.toFixedSql("p - y", 9)}) AS gb,
+         |    SUM(${Det.toFixedSql("(p - y) * x1", 9)}) AS g1,
+         |    SUM(${Det.toFixedSql("(p - y) * x2", 9)}) AS g2,
+         |    SUM(${Det.toFixedSql("(p - y) * x3", 9)}) AS g3,
+         |    SUM(${Det.toFixedSql("(p - y) * x4", 9)}) AS g4
+         |  FROM (SELECT e.*, $pSql AS p FROM e CROSS JOIN w${t - 1} w)
+         |)""".stripMargin
+    def upd(gc: String) =
+      s"CAST(0.5 AS DOUBLE) * (CAST($gc AS DOUBLE) / 1000000000 / nn.c)"
+    def wCte(t: Int) =
+      s"""w$t AS (
+         |  SELECT w.b - ${upd("g.gb")} AS b, w.w1 - ${upd("g.g1")} AS w1,
+         |    w.w2 - ${upd("g.g2")} AS w2, w.w3 - ${upd("g.g3")} AS w3,
+         |    w.w4 - ${upd("g.g4")} AS w4
+         |  FROM w${t - 1} w CROSS JOIN g$t g CROSS JOIN nn
+         |)""".stripMargin
+    val chain = (1 to iters).map(t => s"${gradCte(t)},\n${wCte(t)}").mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+       |    CAST(embedding[2] AS DOUBLE) AS x2,
+       |    CAST(embedding[3] AS DOUBLE) AS x3,
+       |    CAST(embedding[4] AS DOUBLE) AS x4,
+       |    CASE WHEN label >= 5 THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM embeddings
+       |),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM e),
+       |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+       |  CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+       |  CAST(0.0 AS DOUBLE) AS w4),
+       |$chain,
+       |scored AS (
+       |  SELECT e.y,
+       |    CASE WHEN $pSql >= CAST(0.5 AS DOUBLE) THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS pred
+       |  FROM e CROSS JOIN w$iters w
+       |)
+       |SELECT w.b, w.w1, w.w2, w.w3, w.w4, s.n, s.n_correct
+       |FROM w$iters w CROSS JOIN (
+       |  SELECT COUNT(*) AS n,
+       |    COUNT(CASE WHEN pred = y THEN 1 END) AS n_correct
+       |  FROM scored) s""".stripMargin
+  }
 }
