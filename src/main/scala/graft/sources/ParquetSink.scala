@@ -34,4 +34,23 @@ object ParquetSink {
     (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
       .parquet(path)
   }
+
+  /** Bucketed (hash-clustered) table write — the co-located-join layout:
+    * rows are hash-partitioned into `buckets` files per partition by
+    * `bucketCols` and sorted within each bucket, recorded in the catalog
+    * so a later equi-join of two tables bucketed the same way plans
+    * WITHOUT a shuffle on either side (and without re-sorting when
+    * `sortCols` cover the join key). This is the 100 TB answer to the
+    * fact-fact join: pay the shuffle once at ingest, never again per
+    * query. Requires saveAsTable (bucket metadata lives in the catalog,
+    * not the files). */
+  def writeBucketed(
+      df: DataFrame, table: String,
+      bucketCols: Seq[String], buckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*))
+      .saveAsTable(table)
+  }
 }

@@ -6,6 +6,36 @@ import java.nio.file.Files
 
 class ParquetSinkSpec extends SparkSpec {
 
+  test("bucketed tables join without any exchange (co-located SMJ)") {
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val ord = Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      ParquetSink.writeBucketed(li, "li_bucketed",
+        Seq("l_orderkey"), buckets = 4, sortCols = Seq("l_orderkey"))
+      ParquetSink.writeBucketed(ord, "ord_bucketed",
+        Seq("o_orderkey"), buckets = 4, sortCols = Seq("o_orderkey"))
+
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val n = joined.collect().length // materialize -> AQE final plan
+      val plan = joined.queryExecution.executedPlan.toString
+
+      n shouldBe li.join(ord, col("l_orderkey") === col("o_orderkey")).count().toInt
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
   test("partitioned + sorted write round-trips and prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val orders = Tables.orders(spark, sf)
