@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.operators.{Curation, Similarity, TextAnalysis}
 import graft.util.Det
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation queries (training-data pipeline mandate): sequence
@@ -510,6 +511,203 @@ object CurationQueries {
              |LEFT JOIN nsh ON d.doc_id = nsh.train_id
              |LEFT JOIN best ON d.doc_id = best.train_id
              |WHERE d.source <> 'src0'
-             |ORDER BY train_id""".stripMargin))
+             |ORDER BY train_id""".stripMargin)),
+
+    // ---- DSIR-style importance weights (data selection for LMs): score
+    //      each doc by the mean unigram log-ratio of a target domain
+    //      (lang='en' here) vs the whole corpus, add-1 smoothed. The
+    //      per-token log-ratio depends only on the token, so it is
+    //      precomputed on the (tiny) vocabulary and broadcast; per-doc
+    //      weights are exact BIGINT sums of integerized ratios — fully
+    //      deterministic at any partitioning. Top-100 selection. ----
+    QueryDef("curation_dsir_weights",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val corpus = tok.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
+        val target = tok.filter(col("lang") === "en")
+          .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+        val totals = corpus.agg(
+          sum(col("cc")).as("tot_c"),
+          count(lit(1)).as("vocab")).crossJoin(
+          target.agg(sum(col("ct")).as("tot_t")))
+        val ratio = corpus
+          .join(target, Seq("tok"), "left")
+          .crossJoin(broadcast(totals))
+          .select(col("tok"),
+            Det.toFixed(
+              log((coalesce(col("ct"), lit(0L)) + 1) / (col("tot_t") + col("vocab")))
+                - log((col("cc") + 1) / (col("tot_c") + col("vocab"))), 9).as("lr"))
+        tok.join(broadcast(ratio), "tok")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("slr"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("slr").cast("double") / (col("n_tokens") * lit(1e9))).as("dsir_weight"))
+          .orderBy(col("dsir_weight").desc, col("doc_id"))
+          .limit(100)
+      },
+      oracle = Some(
+        raw"""WITH tok AS (
+             |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents
+             |),
+             |corpus AS (SELECT tok, count(*) AS cc FROM tok GROUP BY 1),
+             |target AS (SELECT tok, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+             |totals AS (
+             |  SELECT (SELECT sum(cc) FROM corpus) AS tot_c,
+             |         (SELECT count(*) FROM corpus) AS vocab,
+             |         (SELECT sum(ct) FROM target) AS tot_t
+             |),
+             |ratio AS (
+             |  SELECT c.tok,
+             |    CAST(ROUND((ln((coalesce(t.ct, 0) + 1) / (tt.tot_t + tt.vocab))
+             |      - ln((c.cc + 1) / (tt.tot_c + tt.vocab))) * 1000000000, 0) AS BIGINT) AS lr
+             |  FROM corpus c LEFT JOIN target t ON c.tok = t.tok CROSS JOIN totals tt
+             |)
+             |SELECT k.doc_id, count(*) AS n_tokens,
+             |  CAST(sum(r.lr) AS DOUBLE) / (count(*) * 1000000000) AS dsir_weight
+             |FROM tok k JOIN ratio r ON k.tok = r.tok
+             |GROUP BY 1
+             |ORDER BY dsir_weight DESC, doc_id LIMIT 100""".stripMargin),
+      bench = false),
+
+    // ---- two-sample Kolmogorov-Smirnov drift statistic (distribution
+    //      shift between pipeline snapshots/domains): click-vs-error
+    //      `value` distributions. Grouping to the distinct-value grid
+    //      first shrinks the window input from O(rows) to O(|grid|);
+    //      ECDF diffs are ratios of exact integer counts, so the max is
+    //      bit-identical with no rounding at all. ----
+    QueryDef("stats_ks_drift",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+        val grid = ev.groupBy(col("value")).agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c2"))
+        val w = Window.orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid
+          .select(col("value"), sum(col("c1")).over(w).as("k1"),
+            sum(col("c2")).over(w).as("k2"))
+          .crossJoin(broadcast(grid.agg(
+            sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))))
+          .groupBy(col("n1"), col("n2"))
+          .agg(max(abs(col("k1") / col("n1") - col("k2") / col("n2"))).as("ks_d"))
+          .select(col("n1"), col("n2"), col("ks_d"))
+      },
+      oracle = Some(
+        raw"""WITH g AS (
+             |  SELECT value,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
+             |  FROM events WHERE event_type IN ('click', 'error') GROUP BY value
+             |),
+             |c AS (
+             |  SELECT value,
+             |    SUM(c1) OVER (ORDER BY value) AS k1,
+             |    SUM(c2) OVER (ORDER BY value) AS k2
+             |  FROM g
+             |),
+             |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM g)
+             |SELECT n.n1, n.n2,
+             |  MAX(ABS(CAST(k1 AS DOUBLE) / n.n1 - CAST(k2 AS DOUBLE) / n.n2)) AS ks_d
+             |FROM c, n GROUP BY n.n1, n.n2""".stripMargin),
+      bench = false),
+
+    // ---- population-stability-index drift over equi-width bins
+    //      (doc-length distributions, 'en' vs 'de'): the classic
+    //      model-monitoring score Σ (p1-p2)·ln(p1/p2) with +0.5 bin
+    //      smoothing. Global min/max is one scalar broadcast; binning is
+    //      pure IEEE arithmetic on integers so bin ids agree everywhere;
+    //      per-bin PSI terms are integerized before the final sum. ----
+    QueryDef("stats_psi_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("lang").isin("en", "de"))
+        val rng = docs.agg(min(col("n_chars")).as("lo"),
+          (max(col("n_chars")) + 1).as("hi"))
+        val binned = docs.crossJoin(broadcast(rng))
+          .select(col("lang"),
+            floor((col("n_chars") - col("lo")) * 10 / (col("hi") - col("lo")))
+              .cast("long").as("bin"))
+        val counts = binned.groupBy(col("bin")).agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L)).as("c2"))
+        val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("p1", (col("c1") + 0.5) / (col("n1") + 5.0))
+          .withColumn("p2", (col("c2") + 0.5) / (col("n2") + 5.0))
+          .select(col("bin"), col("c1"), col("c2"),
+            Det.fixed((col("p1") - col("p2")) * log(col("p1") / col("p2")), 6)
+              .as("psi_term"))
+          .orderBy(col("bin"))
+      },
+      oracle = Some(
+        raw"""WITH d AS (SELECT lang, n_chars FROM documents WHERE lang IN ('en', 'de')),
+             |rng AS (SELECT min(n_chars) AS lo, max(n_chars) + 1 AS hi FROM d),
+             |b AS (
+             |  SELECT lang,
+             |    CAST(floor((n_chars - rng.lo) * 10 / (rng.hi - rng.lo)) AS BIGINT) AS bin
+             |  FROM d, rng
+             |),
+             |counts AS (
+             |  SELECT bin,
+             |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
+             |    SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c2
+             |  FROM b GROUP BY bin
+             |),
+             |tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM counts)
+             |SELECT bin, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+             |  (ROUND(((c1 + CAST(0.5 AS DOUBLE)) / (n1 + CAST(5.0 AS DOUBLE))
+             |        - (c2 + CAST(0.5 AS DOUBLE)) / (n2 + CAST(5.0 AS DOUBLE)))
+             |    * ln(((c1 + CAST(0.5 AS DOUBLE)) / (n1 + CAST(5.0 AS DOUBLE)))
+             |       / ((c2 + CAST(0.5 AS DOUBLE)) / (n2 + CAST(5.0 AS DOUBLE))))
+             |    * 1000000, 0) / 1000000) AS psi_term
+             |FROM counts, tot ORDER BY bin""".stripMargin),
+      bench = false),
+
+    // ---- chi-square independence test (lang × source association —
+    //      catalog-level QA: is a source lang-skewed?). Contingency
+    //      cells, margins and expectations are integer-derived IEEE
+    //      doubles; per-cell terms integerized before the exact sum, so
+    //      the statistic is partitioning-independent. ----
+    QueryDef("stats_chisq_independence",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cells = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+        val rowT = cells.groupBy(col("lang")).agg(sum(col("n")).as("rl"))
+        val colT = cells.groupBy(col("source")).agg(sum(col("n")).as("cs"))
+        val tot = cells.agg(sum(col("n")).as("nn"),
+          countDistinct(col("lang")).as("nl"),
+          countDistinct(col("source")).as("ns"))
+        cells.join(broadcast(rowT), "lang").join(broadcast(colT), "source")
+          .crossJoin(broadcast(tot))
+          .withColumn("e", col("rl") * col("cs") / col("nn"))
+          .agg(
+            count(lit(1)).as("n_cells"),
+            max((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+            (sum(Det.toFixed(pow(col("n") - col("e"), 2) / col("e"), 9))
+              .cast("double") / 1e9).as("chi2"))
+      },
+      oracle = Some(
+        raw"""WITH cells AS (
+             |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+             |),
+             |rt AS (SELECT lang, sum(n) AS rl FROM cells GROUP BY 1),
+             |ct AS (SELECT source, sum(n) AS cs FROM cells GROUP BY 1),
+             |tot AS (
+             |  SELECT sum(n) AS nn, count(DISTINCT lang) AS nl,
+             |    count(DISTINCT source) AS ns
+             |  FROM (SELECT c0.lang, c0.source, c0.n FROM cells c0)
+             |)
+             |SELECT count(*) AS n_cells,
+             |  CAST(max((tot.nl - 1) * (tot.ns - 1)) AS BIGINT) AS dof,
+             |  CAST(sum(CAST(ROUND(pow(cells.n - rt.rl * ct.cs / CAST(tot.nn AS DOUBLE), 2)
+             |    / (rt.rl * ct.cs / CAST(tot.nn AS DOUBLE)) * 1000000000, 0) AS BIGINT)) AS DOUBLE)
+             |    / 1000000000 AS chi2
+             |FROM cells, rt, ct, tot
+             |WHERE cells.lang = rt.lang AND cells.source = ct.source""".stripMargin),
+      bench = false)
   )
 }

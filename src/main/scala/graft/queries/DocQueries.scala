@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.operators.{Dedup, TextAnalysis}
 import graft.util.Det
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-corpus curation queries over `documents` (SURVEY.md §7.6 +
@@ -1020,6 +1021,146 @@ object DocQueries {
              |FROM lcp WHERE lcp >= 4
              |GROUP BY span, span_len
              |ORDER BY span_len DESC, span LIMIT 100""".stripMargin),
+      bench = false),
+
+    // ---- context-window chunking (training-data pipeline: split long
+    //      docs into overlapping token windows for a fixed context
+    //      length). Starts at 0, stride 48, window 64 (16-token overlap);
+    //      tail chunks may be short. One Generate per doc — the chunk
+    //      payload never materializes outside the stage; embarrassingly
+    //      parallel at any scale. ----
+    QueryDef("chunk_documents",
+      (s, d) => {
+        val C = 64
+        val S = 48
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        val chunk = slice(col("t"), col("start") + 1, lit(C))
+        t.select(col("doc_id"), col("t"),
+            posexplode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(S))))
+          .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "start")
+          .select(
+            col("doc_id"),
+            col("chunk_id").cast("long").as("chunk_id"),
+            col("start").cast("long").as("start_tok"),
+            size(chunk).cast("long").as("n_tokens"),
+            md5(concat_ws(" ", chunk).cast("binary")).as("chunk_fp"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      oracle = Some(
+        raw"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents
+             |),
+             |st AS (
+             |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 48)) AS g
+             |  FROM t
+             |)
+             |SELECT doc_id, CAST(g // 48 AS BIGINT) AS chunk_id,
+             |  CAST(g AS BIGINT) AS start_tok,
+             |  CAST(len(list_slice(t, g + 1, g + 64)) AS BIGINT) AS n_tokens,
+             |  md5(array_to_string(list_slice(t, g + 1, g + 64), ' ')) AS chunk_fp
+             |FROM st
+             |ORDER BY doc_id, chunk_id""".stripMargin),
+      bench = false),
+
+    // ---- TF-IDF top terms per document (smooth idf = ln((N+1)/(df+1))+1,
+    //      sklearn-style). Vocabulary aggregate + corpus count broadcast
+    //      to the term-frequency table; ranking by integerized score then
+    //      term keeps the top-3 cut engine-deterministic (log ulp wobble
+    //      dies in the 1e-9 rounding). ----
+    QueryDef("text_tfidf_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(broadcast(dfT), "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(Det.toFixed(col("score"), 9).desc, col("term"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+            col("tf"), col("df"), Det.fixed(col("score"), 6).as("tfidf"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      oracle = Some(
+        raw"""WITH tf AS (
+             |  SELECT doc_id, t AS term, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+             |        FROM documents)
+             |  GROUP BY 1, 2
+             |),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+             |    tf.tf * (ln((n.n_docs + 1) / (dft.df + 1)) + 1) AS score
+             |  FROM tf, dft, n WHERE tf.term = dft.term
+             |),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY CAST(ROUND(score * 1000000000, 0) AS BIGINT) DESC, term) AS rnk
+             |  FROM scored
+             |)
+             |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df,
+             |  (ROUND(score * 1000000, 0) / 1000000) AS tfidf
+             |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+      bench = false),
+
+    // ---- pointwise mutual information of token co-occurrence (collocation
+    //      mining / vocab-graph edges): document-frequency PMI over distinct
+    //      tokens per doc, pairs a < b with support >= 5. The per-doc
+    //      distinct-token self-join is the O(v²)-per-doc step — at corpus
+    //      scale restrict the vocabulary first (df floor) so the pair space
+    //      stays bounded; counts are exact integers, PMI integerized. ----
+    QueryDef("text_pmi_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+        val dfA = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val pairs = toks.as("x")
+          .join(toks.as("y"),
+            col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
+          .groupBy(col("x.tok").as("a"), col("y.tok").as("b"))
+          .agg(count(lit(1)).as("dfab"))
+          .filter(col("dfab") >= 5)
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        pairs
+          .join(broadcast(dfA.withColumnRenamed("tok", "a").withColumnRenamed("df", "dfa")), "a")
+          .join(broadcast(dfA.withColumnRenamed("tok", "b").withColumnRenamed("df", "dfb")), "b")
+          .crossJoin(broadcast(n))
+          .withColumn("pmi", log(col("dfab") * col("n_docs") / (col("dfa") * col("dfb"))))
+          .orderBy(Det.toFixed(col("pmi"), 9).desc, col("a"), col("b"))
+          .limit(20)
+          .select(col("a"), col("b"), col("dfab"), col("dfa"), col("dfb"),
+            Det.fixed(col("pmi"), 6).as("pmi"))
+      },
+      oracle = Some(
+        raw"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+             |  FROM documents
+             |),
+             |dfa AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+             |pairs AS (
+             |  SELECT x.tok AS a, y.tok AS b, count(*) AS dfab
+             |  FROM toks x, toks y
+             |  WHERE x.doc_id = y.doc_id AND x.tok < y.tok
+             |  GROUP BY 1, 2 HAVING count(*) >= 5
+             |),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT p.a, p.b, p.dfab, fa.df AS dfa, fb.df AS dfb,
+             |  (ROUND(ln(p.dfab * n.n_docs / (fa.df * fb.df)) * 1000000, 0) / 1000000) AS pmi
+             |FROM pairs p, dfa fa, dfa fb, n
+             |WHERE p.a = fa.tok AND p.b = fb.tok
+             |ORDER BY CAST(ROUND(ln(p.dfab * n.n_docs / (fa.df * fb.df)) * 1000000000, 0) AS BIGINT) DESC,
+             |  p.a, p.b LIMIT 20""".stripMargin),
       bench = false)
   )
 }

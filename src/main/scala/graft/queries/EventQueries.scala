@@ -708,6 +708,42 @@ object EventQueries {
           |SELECT from_type, to_type, n,
           |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
           |FROM cnt ORDER BY from_type, to_type""".stripMargin),
+      bench = false),
+
+    // ---- exponentially weighted moving average per user (recursive
+    //      smoothing — NOT expressible as a plain window frame). The
+    //      per-user series is collected, sorted by (ts, event_id) and
+    //      folded with `aggregate`; α = 1/8 is a binary-exact literal and
+    //      each step is re-integerized at 1e-9 so the fold is
+    //      bit-identical across engines and partitionings. State is one
+    //      user's events — bounded; the streaming dual is a
+    //      transformWithState value-state update. ----
+    QueryDef("events_ewma",
+      (s, d) => {
+        val sorted = array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("value"))))
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(transform(sorted, x => x.getField("value")).as("vals"))
+          .select(col("user_id"),
+            size(col("vals")).cast("long").as("n_events"),
+            aggregate(
+              slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+              element_at(col("vals"), 1),
+              (acc, x) => Det.fixed(acc * lit(0.875) + x * lit(0.125), 9))
+              .as("ewma"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(
+        raw"""WITH s AS (
+             |  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+             |  FROM events GROUP BY user_id
+             |)
+             |SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+             |  list_reduce(vals, (a, b) ->
+             |    ROUND((a * CAST(0.875 AS DOUBLE) + b * CAST(0.125 AS DOUBLE))
+             |      * 1000000000, 0) / 1000000000) AS ewma
+             |FROM s ORDER BY user_id""".stripMargin),
       bench = false)
   )
 }
