@@ -708,6 +708,114 @@ object CurationQueries {
              |    / 1000000000 AS chi2
              |FROM cells, rt, ct, tot
              |WHERE cells.lang = rt.lang AND cells.source = ct.source""".stripMargin),
+      bench = false),
+
+    // ---- Spearman rank correlation (monotone association, robust to
+    //      outliers — curation QA between two metrics). Ranks come from
+    //      the value-grid: per distinct value, min-rank = cum - cnt + 1,
+    //      and DOUBLED average ties-rank 2r̄ = 2·cum - cnt + 1 stays an
+    //      exact integer, so all six sufficient statistics are exact
+    //      BIGINT sums (Pearson on 2r̄ ≡ Pearson on r̄, affine-invariant).
+    //      The global rank windows run over the distinct-value grids, not
+    //      the rows. ----
+    QueryDef("stats_spearman",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        def grid(c: String) = {
+          val w = Window.orderBy(col(c))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+            .select(col(c), (sum(col("cnt")).over(w) * 2 - col("cnt") + 1).as(s"r$c"))
+        }
+        li.join(grid("x"), "x").join(grid("y"), "y")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+            sum(col("rx") * col("rx")).as("sxx"),
+            sum(col("ry") * col("ry")).as("syy"),
+            sum(col("rx") * col("ry")).as("sxy"))
+          .select(col("n"),
+            // widen to double BEFORE the n·Σ products: n·Σxy ≈ 5e19
+            // overflows BIGINT at sf0.01 already (ANSI mode would throw);
+            // the double arithmetic is identical IEEE in both engines.
+            ((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("n").cast("double") * col("sxx").cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))))
+              .as("rho"))
+      },
+      oracle = Some(
+        raw"""WITH v AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+             |r AS (
+             |  SELECT CAST(2 * rank() OVER (ORDER BY x)
+             |           + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+             |         CAST(2 * rank() OVER (ORDER BY y)
+             |           + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+             |  FROM v
+             |)
+             |SELECT count(*) AS n,
+             |  (CAST(count(*) AS DOUBLE) * CAST(sum(rx * ry) AS DOUBLE)
+             |     - CAST(sum(rx) AS DOUBLE) * CAST(sum(ry) AS DOUBLE))
+             |  / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(rx * rx) AS DOUBLE)
+             |       - CAST(sum(rx) AS DOUBLE) * CAST(sum(rx) AS DOUBLE))
+             |    * (CAST(count(*) AS DOUBLE) * CAST(sum(ry * ry) AS DOUBLE)
+             |       - CAST(sum(ry) AS DOUBLE) * CAST(sum(ry) AS DOUBLE))) AS rho
+             |FROM r""".stripMargin),
+      bench = false),
+
+    // ---- Mann-Whitney U rank-sum test (nonparametric two-sample drift:
+    //      did the click and error value distributions shift?). Rank sums
+    //      computed on the value grid (doubled ties-average ranks are
+    //      exact integers: 2r̄ = 2·cumtot - ctot + 1); U and the normal
+    //      approximation z are pure IEEE arithmetic on exact integers —
+    //      sqrt is correctly rounded, so no Det rounding is needed. ----
+    QueryDef("stats_mannwhitney_u",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+        val grid = ev.groupBy(col("value")).agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c2"))
+        val w = Window.orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = grid.select(col("c1"), col("c2"),
+          (sum(col("c1") + col("c2")).over(w) * 2 - (col("c1") + col("c2")) + 1)
+            .as("r2"))
+        ranked
+          .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+            sum(col("c1") * col("r2")).as("rs2"))
+          .select(col("n1"), col("n2"),
+            (col("rs2") / lit(2.0) - col("n1") * (col("n1") + 1) / lit(2.0)).as("u1"))
+          .withColumn("z",
+            (col("u1") - col("n1") * col("n2") / lit(2.0)) /
+              sqrt(col("n1") * col("n2") * (col("n1") + col("n2") + 1) / lit(12.0)))
+      },
+      oracle = Some(
+        raw"""WITH g AS (
+             |  SELECT value,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
+             |  FROM events WHERE event_type IN ('click', 'error') GROUP BY value
+             |),
+             |r AS (
+             |  SELECT c1, c2,
+             |    2 * SUM(c1 + c2) OVER (ORDER BY value) - (c1 + c2) + 1 AS r2
+             |  FROM g
+             |),
+             |t AS (
+             |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             |    CAST(SUM(c1 * r2) AS BIGINT) AS rs2
+             |  FROM r
+             |)
+             |SELECT n1, n2,
+             |  rs2 / CAST(2.0 AS DOUBLE) - n1 * (n1 + 1) / CAST(2.0 AS DOUBLE) AS u1,
+             |  (rs2 / CAST(2.0 AS DOUBLE) - n1 * (n1 + 1) / CAST(2.0 AS DOUBLE)
+             |     - n1 * n2 / CAST(2.0 AS DOUBLE))
+             |  / sqrt(n1 * n2 * (n1 + n2 + 1) / CAST(12.0 AS DOUBLE)) AS z
+             |FROM t""".stripMargin),
       bench = false)
   )
 }

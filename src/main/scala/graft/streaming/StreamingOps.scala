@@ -124,6 +124,43 @@ object StreamingOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming DRIFT MONITOR: per-event-time-window population-stability
+    * index of the `value` distribution against a fixed reference
+    * histogram (`refProbs`, the training-time bin shares). One stateful
+    * aggregation — the per-bin counts are conditional sums inside a
+    * single windowed agg, so state is bins·|open windows| counters, and
+    * the PSI arithmetic after it is stateless column math. Emits
+    * (window_start, n, psi) when the watermark closes a window; an alert
+    * threshold is a `where(col("psi") > x)` on the result. The SAME
+    * function on a static frame is the batch reference (parity in
+    * StreamingSpec). Bin edges are fixed [lo, hi) — a streaming global
+    * min/max cannot exist; at 100 TB these come from the reference
+    * profile, and out-of-range values clamp to the edge bins. */
+  def streamingDriftMonitor(
+      events: DataFrame, refProbs: Seq[Double], lo: Double, hi: Double,
+      windowLength: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    val bins = refProbs.length
+    require(bins >= 2, "need at least 2 reference bins")
+    val bin = least(greatest(
+      floor((col("value") - lit(lo)) * bins / lit(hi - lo)), lit(0.0)),
+      lit(bins - 1.0))
+    val counts = (0 until bins).map(i =>
+      sum(when(bin === i.toDouble, 1L).otherwise(0L)).as(s"c$i"))
+    val total = (0 until bins).map(i => col(s"c$i")).reduce(_ + _)
+    val psi = (0 until bins).map { i =>
+      val p1 = (col(s"c$i") + 0.5) / (col("n") + 0.5 * bins)
+      val p2 = lit(refProbs(i))
+      (p1 - p2) * log(p1 / p2)
+    }.reduce(_ + _)
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("n", total)
+      .select(col("window.start").as("window_start"), col("n"), psi.as("psi"))
+  }
+
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
   /** Spark 4 arbitrary-state operator (`transformWithState`): per-user

@@ -124,6 +124,46 @@ class DriftStatsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("stats_spearman: rho in [-1,1]; near zero on the independent fixture columns") {
+    val r = q("stats_spearman").head()
+    val rho = r.getAs[Double]("rho")
+    rho should (be >= -1.0 and be <= 1.0)
+    // the synthetic fixture draws quantity and price independently —
+    // a correct rank correlation must be near zero here (a bug that
+    // rank-correlates row order instead of values would inflate this)
+    math.abs(rho) should be < 0.1
+  }
+
+  test("stats_spearman: perfect monotone series gives rho = 1") {
+    import spark.implicits._
+    val df = Seq.tabulate(50)(i => (i.toDouble, math.exp(i * 0.1))).toDF("x", "y")
+    // same grid-rank formulation inline
+    def grid(c: String) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+        .rowsBetween(Long.MinValue, 0)
+      df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .select(col(c), (sum(col("cnt")).over(w) * 2 - col("cnt") + 1).as(s"r$c"))
+    }
+    val s = df.join(grid("x"), "x").join(grid("y"), "y")
+      .agg(count(lit(1)).as("n"), sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"), sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy")).head()
+    val (n, sx, sy, sxx, syy, sxy) = (s.getLong(0).toDouble, s.getLong(1).toDouble,
+      s.getLong(2).toDouble, s.getLong(3).toDouble, s.getLong(4).toDouble, s.getLong(5).toDouble)
+    val rho = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    rho shouldBe 1.0 +- 1e-12
+  }
+
+  test("stats_mannwhitney_u: U within [0, n1*n2] and consistent with rank-sum identity") {
+    val r = q("stats_mannwhitney_u").head()
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    val u1 = r.getAs[Double]("u1")
+    u1 should (be >= 0.0 and be <= (n1 * n2).toDouble)
+    // z has the sign of (U - n1 n2 / 2)
+    val z = r.getAs[Double]("z")
+    (z > 0) shouldBe (u1 > n1 * n2 / 2.0)
+  }
+
   test("events_ewma: single-event series returns that value") {
     import spark.implicits._
     // build a 1-event fold inline with the same expression shape

@@ -346,4 +346,37 @@ class StreamingSpec extends SparkSpec {
       got shouldBe want
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streamingDriftMonitor: append-mode stream output equals the batch transform") {
+    // reference = uniform over 4 bins on [0, 8); second window drifts high
+    val ref = Seq(0.25, 0.25, 0.25, 0.25)
+    val events = Seq(
+      Event(1, ts(1), 1, "view", 0.5), Event(2, ts(2), 1, "view", 2.5),
+      Event(3, ts(3), 2, "view", 4.5), Event(4, ts(4), 2, "view", 6.5),
+      Event(5, ts(61), 1, "view", 7.5), Event(6, ts(62), 2, "view", 7.9),
+      Event(7, ts(63), 1, "view", 7.0), Event(8, ts(64), 2, "view", 9.9)) // 9.9 clamps to top bin
+
+    val in = MemoryStream[Event]
+    val q = StreamingOps.streamingDriftMonitor(in.toDF(), ref, 0.0, 8.0, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("drift").outputMode("append").start()
+    try {
+      in.addData(events: _*); q.processAllAvailable()
+      in.addData(flushA); q.processAllAvailable()
+      in.addData(flushB); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("drift")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._2 > 2) // drop the flush-sentinel window
+      .toSet
+    val want = StreamingOps.streamingDriftMonitor(events.toDF(), ref, 0.0, 8.0, "1 hour", "10 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    got shouldBe want
+    want should have size 2
+    // the balanced first window scores (near) minimal PSI; the drifted
+    // second window scores strictly higher
+    val byStart = want.toSeq.sortBy(_._1.getTime).map(_._3)
+    byStart(1) should be > byStart(0)
+    byStart(0) should be < 0.2
+  }
 }
