@@ -413,6 +413,68 @@ object CurationQueries {
           |WHERE o_orderkey % 10 = 0 OR o_orderkey >= 10000000
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- snapshot DIFF audit (what changed between version t and t+1):
+    //      Snapshot.diff full-outer joins the two versions on the key and
+    //      classifies every row added/removed/changed/unchanged with the
+    //      changed column names; summarized here to per-status counts.
+    //      The "next" version is derived deterministically in-query
+    //      (10% deletes, price bumps on key%7, status flips on key%13,
+    //      new arrivals from key%17) so both engines diff identical
+    //      snapshots. ----
+    QueryDef("snapshot_diff",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+        val next = base
+          .filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(7)) === 0, col("o_totalprice") + 100.0)
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderstatus",
+            when(pmod(col("o_orderkey"), lit(13)) === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+          .unionByName(base.filter(pmod(col("o_orderkey"), lit(17)) === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+        graft.operators.Snapshot
+          .diff(base, next, "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+          .groupBy(col("diff_status"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(array_contains(col("changed_cols"), "o_totalprice"), 1L)
+              .otherwise(0L)).as("n_price_changed"),
+            sum(when(array_contains(col("changed_cols"), "o_orderstatus"), 1L)
+              .otherwise(0L)).as("n_status_changed"))
+          .orderBy(col("diff_status"))
+      },
+      oracle = Some(
+        """WITH nxt AS (
+          |  SELECT o_orderkey,
+          |    CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+          |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + CAST(100.0 AS DOUBLE)
+          |         ELSE o_totalprice END AS o_totalprice
+          |  FROM orders WHERE o_orderkey % 10 <> 0
+          |  UNION ALL
+          |  SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+          |  FROM orders WHERE o_orderkey % 17 = 0
+          |),
+          |d AS (
+          |  SELECT
+          |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+          |         WHEN b.o_orderkey IS NULL THEN 'removed'
+          |         WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+          |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice THEN 'changed'
+          |         ELSE 'unchanged' END AS diff_status,
+          |    (a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+          |      AND a.o_totalprice IS DISTINCT FROM b.o_totalprice) AS pc,
+          |    (a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+          |      AND a.o_orderstatus IS DISTINCT FROM b.o_orderstatus) AS sc
+          |  FROM orders a FULL OUTER JOIN nxt b ON a.o_orderkey = b.o_orderkey
+          |)
+          |SELECT diff_status, count(*) AS n_rows,
+          |  SUM(CASE WHEN pc THEN 1 ELSE 0 END) AS n_price_changed,
+          |  SUM(CASE WHEN sc THEN 1 ELSE 0 END) AS n_status_changed
+          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = false),
+
     // ---- correlated LATERAL subquery (top-2 orders per customer; the
     // decorrelation-into-window shape Catalyst plans for lateral joins) ----
     QueryDef("join_lateral",

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.util.Det
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -667,6 +667,38 @@ object TpchQueries {
           |  (ROUND((max(o_totalprice)) * 100, 0) / 100) AS max_price,
           |  (ROUND((min(o_totalprice)) * 100, 0) / 100) AS min_price
           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- top-k as a TRUE aggregate (bounded partial heaps — see
+    //      operators/TopK): the scale-correct alternative to the
+    //      row_number window for k ≪ group size. The exchange carries at
+    //      most k rows per (group, map-partition) instead of the whole
+    //      fact table; ordering is the total order (price, key) so the
+    //      result is engine-deterministic. Oracle = the window
+    //      formulation, proving the two shapes agree. ----
+    QueryDef("agg_topk_heap",
+      (s, d) => {
+        val tk = udaf(new graft.operators.TopKAggregator(3),
+          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(tk(col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(col("o_orderpriority"), posexplode(col("top")))
+          .select(col("o_orderpriority"),
+            (col("pos") + 1).cast("long").as("rnk"),
+            col("col._1").as("o_totalprice"),
+            col("col._2").as("o_orderkey"))
+          .orderBy(col("o_orderpriority"), col("rnk"))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk,
+          |  o_totalprice, o_orderkey
+          |FROM (
+          |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+          |    row_number() OVER (PARTITION BY o_orderpriority
+          |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
+          |  FROM orders)
+          |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin),
+      bench = false),
 
     // ---- set operations ----
     QueryDef("set_union",

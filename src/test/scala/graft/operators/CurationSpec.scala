@@ -153,4 +153,25 @@ class CurationSpec extends SparkSpec {
     // one aggregate job per column
     prof.queryExecution.executedPlan.toString should include ("Expand")
   }
+
+  test("Snapshot.diff classifies added/removed/changed/unchanged with null-safe compares") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, Some("c"), 30.0),
+      (4L, None: Option[String], 40.0)).toDF("k", "s", "v")
+    val next = Seq(
+      (1L, Some("a"), 10.0),              // unchanged
+      (2L, Some("B"), 20.0),              // s changed
+      (4L, Some("now"), 40.0),            // NULL -> value counts as change
+      (5L, Some("new"), 50.0))            // added; 3 removed
+      .toDF("k", "s", "v")
+    val d = graft.operators.Snapshot.diff(base, next, "k", Seq("s", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getSeq[String](2).toList)).toMap
+    d(1L) shouldBe ("unchanged", Nil)
+    d(2L) shouldBe ("changed", List("s"))
+    d(3L) shouldBe ("removed", Nil)
+    d(4L) shouldBe ("changed", List("s"))
+    d(5L) shouldBe ("added", Nil)
+  }
 }
