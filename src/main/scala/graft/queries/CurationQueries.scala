@@ -878,6 +878,62 @@ object CurationQueries {
              |     - n1 * n2 / CAST(2.0 AS DOUBLE))
              |  / sqrt(n1 * n2 * (n1 + n2 + 1) / CAST(12.0 AS DOUBLE)) AS z
              |FROM t""".stripMargin),
+      bench = false),
+
+    // ---- QQ decile drift (where in the distribution did the shift
+    //      happen — the diagnostic companion to the scalar KS/PSI
+    //      statistics). Discrete deciles off the value grid: the i-th
+    //      decile is the smallest value whose cumulative count reaches
+    //      ⌈i·n/10⌉, selected with the all-integer predicate
+    //      10·k ≥ i·n (no ceil, no floats) — engine-exact by
+    //      construction. ----
+    QueryDef("stats_qq_deciles",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+        val grid = ev.groupBy(col("value")).agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c2"))
+        val w = Window.orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = grid.select(col("value"),
+          sum(col("c1")).over(w).as("k1"), sum(col("c2")).over(w).as("k2"))
+        val tot = grid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        val deciles = (s.range(1, 10): org.apache.spark.sql.Dataset[java.lang.Long])
+          .toDF("dec")
+        cum.crossJoin(broadcast(tot)).crossJoin(broadcast(deciles))
+          .groupBy(col("dec"))
+          .agg(
+            min(when(col("k1") * 10 >= col("dec") * col("n1"), col("value")))
+              .as("q_click"),
+            min(when(col("k2") * 10 >= col("dec") * col("n2"), col("value")))
+              .as("q_error"))
+          .select(col("dec"), col("q_click"), col("q_error"),
+            (col("q_error") - col("q_click")).as("shift"))
+          .orderBy(col("dec"))
+      },
+      oracle = Some(
+        raw"""WITH g AS (
+             |  SELECT value,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
+             |  FROM events WHERE event_type IN ('click', 'error') GROUP BY value
+             |),
+             |c AS (
+             |  SELECT value,
+             |    SUM(c1) OVER (ORDER BY value) AS k1,
+             |    SUM(c2) OVER (ORDER BY value) AS k2
+             |  FROM g
+             |),
+             |t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM g),
+             |dec AS (SELECT unnest(generate_series(1, 9)) AS dec)
+             |SELECT dec,
+             |  MIN(CASE WHEN k1 * 10 >= dec * t.n1 THEN value END) AS q_click,
+             |  MIN(CASE WHEN k2 * 10 >= dec * t.n2 THEN value END) AS q_error,
+             |  MIN(CASE WHEN k2 * 10 >= dec * t.n2 THEN value END)
+             |    - MIN(CASE WHEN k1 * 10 >= dec * t.n1 THEN value END) AS shift
+             |FROM c, t, dec
+             |GROUP BY dec ORDER BY dec""".stripMargin),
       bench = false)
   )
 }

@@ -164,6 +164,20 @@ class DriftStatsSpec extends SparkSpec {
     (z > 0) shouldBe (u1 > n1 * n2 / 2.0)
   }
 
+  test("stats_qq_deciles: deciles are nondecreasing and bounded by the sample range") {
+    val rows = q("stats_qq_deciles").collect()
+    rows.length shouldBe 9
+    val qc = rows.map(_.getAs[Double]("q_click"))
+    val qe = rows.map(_.getAs[Double]("q_error"))
+    qc.sliding(2).foreach { case Array(a, b) => b should be >= a }
+    qe.sliding(2).foreach { case Array(a, b) => b should be >= a }
+    val env = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "error"))
+      .agg(min("value"), max("value")).head()
+    val (lo, hi) = (env.getDouble(0), env.getDouble(1))
+    (qc ++ qe).foreach { v => v should (be >= lo and be <= hi) }
+  }
+
   test("events_ewma: single-event series returns that value") {
     import spark.implicits._
     // build a 1-event fold inline with the same expression shape
