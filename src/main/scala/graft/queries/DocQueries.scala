@@ -1161,6 +1161,57 @@ object DocQueries {
              |WHERE p.a = fa.tok AND p.b = fb.tok
              |ORDER BY CAST(ROUND(ln(p.dfab * n.n_docs / (fa.df * fb.df)) * 1000000000, 0) AS BIGINT) DESC,
              |  p.a, p.b LIMIT 20""".stripMargin),
+      bench = false),
+
+    // ---- shingle CONTAINMENT (asymmetric near-dup: C(A→B) =
+    //      |sh(A)∩sh(B)| / |sh(A)| — catches quotes/subsets that Jaccard
+    //      misses when |A| ≪ |B|). Same shingle-join machinery as the
+    //      symmetric dedups; containment is a ratio of exact integer
+    //      counts so the threshold cut and ordering are engine-exact.
+    //      At corpus scale the shingle join runs behind LSH/band
+    //      candidate pruning like every other pairwise metric here. ----
+    QueryDef("dedup_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = docs.select(col("doc_id"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("s"))
+        val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.as("x")
+          .join(sh.as("y"),
+            col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(n.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "n_a"), "a")
+          .join(n.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "n_b"), "b")
+          .withColumn("containment", col("shared") / col("n_a"))
+          .filter(col("containment") >= 0.5)
+          .orderBy(col("containment").desc, col("a"), col("b"))
+          .limit(50)
+          .select(col("a"), col("b"), col("shared"), col("n_a"), col("n_b"),
+            col("containment"))
+      },
+      oracle = Some(
+        raw"""WITH sh AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+             |    ELSE list_transform(range(1, len(t) - 1),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |        FROM documents)
+             |),
+             |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |pairs AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+             |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id <> y.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT p.a, p.b, p.shared, na.n_sh AS n_a, nb.n_sh AS n_b,
+             |  CAST(p.shared AS DOUBLE) / na.n_sh AS containment
+             |FROM pairs p, n na, n nb
+             |WHERE p.a = na.doc_id AND p.b = nb.doc_id
+             |  AND CAST(p.shared AS DOUBLE) / na.n_sh >= 0.5
+             |ORDER BY containment DESC, p.a, p.b LIMIT 50""".stripMargin),
       bench = false)
   )
 }

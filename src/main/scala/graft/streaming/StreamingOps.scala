@@ -195,6 +195,46 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class UserEwma(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming dual of the batch `events_ewma` query: per-user
+    * exponentially weighted moving average in O(1) ValueState — the
+    * production path for unbounded series (the batch form collects the
+    * whole series per user). Each step re-rounds at 1e-9 with the same
+    * HALF_UP semantics as the batch `Det.fixed`, so a stream fed in
+    * event order reproduces the batch fold bit-for-bit (StreamingSpec).
+    * Rows inside a micro-batch are folded in (ts, event_id) order;
+    * cross-batch order is arrival order, as for any streaming
+    * accumulator. */
+  class EwmaProcessor(alpha: Double)
+      extends StatefulProcessor[Long, Event, UserEwma] {
+    @transient private var st: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("ewma",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+    private def fixed9(x: Double): Double =
+      scala.math.BigDecimal(x * 1e9)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble / 1e9
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserEwma] = {
+      var (n, s) = if (st.exists()) st.get() else (0L, 0.0)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        s = if (n == 0) e.value else fixed9(s * (1 - alpha) + e.value * alpha)
+        n += 1
+      }
+      st.update((n, s))
+      Iterator(UserEwma(key, n, s))
+    }
+  }
+
+  /** Per-user streaming EWMA via [[EwmaProcessor]] (Update mode). */
+  def streamingEwma(events: Dataset[Event], alpha: Double = 0.125): Dataset[UserEwma] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor(alpha),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Gap-session state machine on the Spark 4 arbitrary-state API with
     * EVENT-TIME TIMERS: the same sessionization semantics as [[sessionize]]
     * but expressed as a [[StatefulProcessor]] — state in a named

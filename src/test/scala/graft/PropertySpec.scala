@@ -215,4 +215,18 @@ object PropertySpec extends Properties("graft") {
         .as[(Double, Double)].collect().toSeq.flatMap(t => Seq(t._1, t._2))
       once == twice && (once - v).abs <= 0.5 * math.pow(10.0, -k) + 1e-9 * v.abs
     }
+
+  property("TopKAggregator == sort-based reference under any merge split") =
+    forAll(
+      Gen.listOfN(30, Gen.zip(Gen.choose(-50.0, 50.0), Gen.choose(0L, 9L))),
+      Gen.choose(1, 8), Gen.choose(0, 30)) { (xs, k, cut) =>
+      val agg = new graft.operators.TopKAggregator(k)
+      val (l, r) = xs.splitAt(cut min xs.size)
+      val lb = l.foldLeft(agg.zero)((b, a) => agg.reduce(b, a))
+      val rb = r.foldLeft(agg.zero)((b, a) => agg.reduce(b, a))
+      val got = agg.finish(agg.merge(lb, rb))
+      // reference: sort the multiset by (value, id) descending, take k
+      val want = xs.sortBy { case (v, id) => (-v, -id) }.take(k)
+      got == want
+    }
 }

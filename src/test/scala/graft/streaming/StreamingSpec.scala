@@ -347,6 +347,46 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingEwma: O(1)-state stream fold equals the batch collect+fold, across batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val b1 = Seq(
+        Event(1, ts(1), 1, "view", 3.7), Event(2, ts(2), 1, "view", 1.3),
+        Event(3, ts(3), 2, "view", 10.1))
+      val b2 = Seq(
+        Event(4, ts(4), 1, "view", 2.9), Event(5, ts(5), 2, "view", 0.7))
+      val in = MemoryStream[Event]
+      val q = StreamingOps.streamingEwma(in.toDS(), alpha = 0.125)
+        .writeStream.format("memory").queryName("ewmastate")
+        .outputMode("update").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("ewmastate")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("ewma"))).as("m"))
+        .select(col("user_id"), col("m.n_events"), col("m.ewma"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+      // batch reference: the events_ewma expression shape on the full set
+      val sorted = array_sort(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+      val want = (b1 ++ b2).toDF()
+        .groupBy(col("user_id"))
+        .agg(transform(sorted, x => x.getField("value")).as("vals"))
+        .select(col("user_id"),
+          org.apache.spark.sql.functions.size(col("vals")).cast("long").as("n"),
+          aggregate(
+            slice(col("vals"), lit(2),
+              greatest(org.apache.spark.sql.functions.size(col("vals")) - 1, lit(0))),
+            element_at(col("vals"), 1),
+            (acc, x) => graft.util.Det.fixed(acc * lit(0.875) + x * lit(0.125), 9)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      got shouldBe want
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingDriftMonitor: append-mode stream output equals the batch transform") {
     // reference = uniform over 4 bins on [0, 8); second window drifts high
     val ref = Seq(0.25, 0.25, 0.25, 0.25)
