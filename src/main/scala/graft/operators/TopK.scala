@@ -58,8 +58,13 @@ final class TopKAggregator(k: Int)
   override def finish(b: TopKBuf): Seq[(Double, Long)] =
     b.values.indices.reverse.map(i => (b.values(i), b.ids(i)))
 
-  private def gt(v1: Double, i1: Long, v2: Double, i2: Long): Boolean =
-    v1 > v2 || (v1 == v2 && i1 > i2)
+  /** Total order matching Spark's double ordering (NaN greatest,
+    * -0.0 < 0.0) — primitive > would make NaN incomparable and the
+    * result partitioning-dependent. */
+  private def gt(v1: Double, i1: Long, v2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(v1, v2)
+    c > 0 || (c == 0 && i1 > i2)
+  }
 
   override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.operators.{Curation, Similarity, TextAnalysis}
 import graft.util.Det
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,6 +29,32 @@ object CurationQueries {
   private def uSql(id: String, seed: Long): String =
     s"CAST(((CAST($id AS HUGEINT) * 2654435761 + $seed) % 4294967296" +
       s" + 4294967296) % 4294967296 AS BIGINT) / 4294967296.0"
+
+  /** Distinct-value grid of click-vs-error counts — the shared first
+    * stage of the two-sample statistics (KS, Mann-Whitney, QQ deciles):
+    * aggregating to the grid FIRST is what keeps their rank/ECDF windows
+    * O(|grid|) instead of O(rows). */
+  private def twoSampleGrid(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "error"))
+      .groupBy(col("value")).agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c2"))
+
+  /** Cumulative window over the [[twoSampleGrid]]. */
+  private def gridCumWindow =
+    Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** The DuckDB CTE text matching [[twoSampleGrid]]. */
+  private val twoSampleGridSql: String =
+    """g AS (
+      |  SELECT value,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
+      |  FROM events WHERE event_type IN ('click', 'error') GROUP BY value
+      |)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -432,8 +459,13 @@ object CurationQueries {
           .withColumn("o_orderstatus",
             when(pmod(col("o_orderkey"), lit(13)) === 0, lit("X"))
               .otherwise(col("o_orderstatus")))
+          // new-arrival keys offset by the ACTUAL max key + 1 — a fixed
+          // constant collides with genuine keys once the table outgrows
+          // it, silently fanning out the full-outer join
           .unionByName(base.filter(pmod(col("o_orderkey"), lit(17)) === 0)
-            .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+            .crossJoin(broadcast(base.agg(max(col("o_orderkey")).as("mk"))))
+            .withColumn("o_orderkey", col("o_orderkey") + col("mk") + 1)
+            .drop("mk"))
         graft.operators.Snapshot
           .diff(base, next, "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
           .groupBy(col("diff_status"))
@@ -453,7 +485,8 @@ object CurationQueries {
           |         ELSE o_totalprice END AS o_totalprice
           |  FROM orders WHERE o_orderkey % 10 <> 0
           |  UNION ALL
-          |  SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice
+          |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) + 1,
+          |    o_orderstatus, o_totalprice
           |  FROM orders WHERE o_orderkey % 17 = 0
           |),
           |d AS (
@@ -642,13 +675,8 @@ object CurationQueries {
     //      bit-identical with no rounding at all. ----
     QueryDef("stats_ks_drift",
       (s, d) => {
-        val ev = Tables.events(s, d)
-          .filter(col("event_type").isin("click", "error"))
-        val grid = ev.groupBy(col("value")).agg(
-          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
-          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c2"))
-        val w = Window.orderBy(col("value"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val grid = twoSampleGrid(s, d)
+        val w = gridCumWindow
         grid
           .select(col("value"), sum(col("c1")).over(w).as("k1"),
             sum(col("c2")).over(w).as("k2"))
@@ -659,12 +687,7 @@ object CurationQueries {
           .select(col("n1"), col("n2"), col("ks_d"))
       },
       oracle = Some(
-        raw"""WITH g AS (
-             |  SELECT value,
-             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
-             |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
-             |  FROM events WHERE event_type IN ('click', 'error') GROUP BY value
-             |),
+        raw"""WITH $twoSampleGridSql,
              |c AS (
              |  SELECT value,
              |    SUM(c1) OVER (ORDER BY value) AS k1,
@@ -692,9 +715,16 @@ object CurationQueries {
           .select(col("lang"),
             floor((col("n_chars") - col("lo")) * 10 / (col("hi") - col("lo")))
               .cast("long").as("bin"))
-        val counts = binned.groupBy(col("bin")).agg(
+        val observed = binned.groupBy(col("bin")).agg(
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
           sum(when(col("lang") === "de", 1L).otherwise(0L)).as("c2"))
+        // all 10 bins ALWAYS present: an interior bin empty in both
+        // groups still carries a nonzero smoothed term when n1 != n2,
+        // and consumers rely on the fixed 10-row shape.
+        val counts = (s.range(0, 10): org.apache.spark.sql.Dataset[java.lang.Long])
+          .toDF("bin").join(observed, Seq("bin"), "left")
+          .withColumn("c1", coalesce(col("c1"), lit(0L)))
+          .withColumn("c2", coalesce(col("c2"), lit(0L)))
         val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
         counts.crossJoin(broadcast(tot))
           .withColumn("p1", (col("c1") + 0.5) / (col("n1") + 5.0))
@@ -712,11 +742,16 @@ object CurationQueries {
              |    CAST(floor((n_chars - rng.lo) * 10 / (rng.hi - rng.lo)) AS BIGINT) AS bin
              |  FROM d, rng
              |),
-             |counts AS (
+             |observed AS (
              |  SELECT bin,
              |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
              |    SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c2
              |  FROM b GROUP BY bin
+             |),
+             |counts AS (
+             |  SELECT g.bin, coalesce(o.c1, 0) AS c1, coalesce(o.c2, 0) AS c2
+             |  FROM (SELECT unnest(generate_series(0, 9)) AS bin) g
+             |  LEFT JOIN observed o ON g.bin = o.bin
              |),
              |tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM counts)
              |SELECT bin, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
@@ -736,8 +771,15 @@ object CurationQueries {
     QueryDef("stats_chisq_independence",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val cells = docs.groupBy(col("lang"), col("source"))
+        val observed = docs.groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("n"))
+        // FULL L×S grid: a (lang, source) pair with zero documents still
+        // contributes (0-E)²/E = E to the statistic — groupBy alone
+        // would silently drop it (and dof would overstate the table).
+        val cells = docs.select(col("lang")).distinct()
+          .crossJoin(docs.select(col("source")).distinct())
+          .join(observed, Seq("lang", "source"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
         val rowT = cells.groupBy(col("lang")).agg(sum(col("n")).as("rl"))
         val colT = cells.groupBy(col("source")).agg(sum(col("n")).as("cs"))
         val tot = cells.agg(sum(col("n")).as("nn"),
@@ -753,8 +795,14 @@ object CurationQueries {
               .cast("double") / 1e9).as("chi2"))
       },
       oracle = Some(
-        raw"""WITH cells AS (
+        raw"""WITH observed AS (
              |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+             |),
+             |cells AS (
+             |  SELECT l.lang, s.source, coalesce(o.n, 0) AS n
+             |  FROM (SELECT DISTINCT lang FROM documents) l
+             |  CROSS JOIN (SELECT DISTINCT source FROM documents) s
+             |  LEFT JOIN observed o ON l.lang = o.lang AND s.source = o.source
              |),
              |rt AS (SELECT lang, sum(n) AS rl FROM cells GROUP BY 1),
              |ct AS (SELECT source, sum(n) AS cs FROM cells GROUP BY 1),
@@ -790,13 +838,18 @@ object CurationQueries {
           li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
             .select(col(c), (sum(col("cnt")).over(w) * 2 - col("cnt") + 1).as(s"r$c"))
         }
+        // rank products and their sums outgrow BIGINT at ~1.3M rows
+        // (Σr² ≤ 4n³); DECIMAL(38,0) sums stay exact to ~1e38 — the same
+        // headroom DuckDB gets from HUGEINT — so the statistic remains
+        // bit-identical at any realistic scale.
+        def dec(c: Column) = c.cast("decimal(38,0)")
         li.join(grid("x"), "x").join(grid("y"), "y")
           .agg(
             count(lit(1)).as("n"),
-            sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-            sum(col("rx") * col("rx")).as("sxx"),
-            sum(col("ry") * col("ry")).as("syy"),
-            sum(col("rx") * col("ry")).as("sxy"))
+            sum(dec(col("rx"))).as("sx"), sum(dec(col("ry"))).as("sy"),
+            sum(dec(col("rx")) * dec(col("rx"))).as("sxx"),
+            sum(dec(col("ry")) * dec(col("ry"))).as("syy"),
+            sum(dec(col("rx")) * dec(col("ry"))).as("sxy"))
           .select(col("n"),
             // widen to double BEFORE the n·Σ products: n·Σxy ≈ 5e19
             // overflows BIGINT at sf0.01 already (ANSI mode would throw);
@@ -819,11 +872,11 @@ object CurationQueries {
              |  FROM v
              |)
              |SELECT count(*) AS n,
-             |  (CAST(count(*) AS DOUBLE) * CAST(sum(rx * ry) AS DOUBLE)
+             |  (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(rx AS HUGEINT) * ry) AS DOUBLE)
              |     - CAST(sum(rx) AS DOUBLE) * CAST(sum(ry) AS DOUBLE))
-             |  / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(rx * rx) AS DOUBLE)
+             |  / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(rx AS HUGEINT) * rx) AS DOUBLE)
              |       - CAST(sum(rx) AS DOUBLE) * CAST(sum(rx) AS DOUBLE))
-             |    * (CAST(count(*) AS DOUBLE) * CAST(sum(ry * ry) AS DOUBLE)
+             |    * (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(ry AS HUGEINT) * ry) AS DOUBLE)
              |       - CAST(sum(ry) AS DOUBLE) * CAST(sum(ry) AS DOUBLE))) AS rho
              |FROM r""".stripMargin),
       bench = false),
@@ -836,13 +889,8 @@ object CurationQueries {
     //      sqrt is correctly rounded, so no Det rounding is needed. ----
     QueryDef("stats_mannwhitney_u",
       (s, d) => {
-        val ev = Tables.events(s, d)
-          .filter(col("event_type").isin("click", "error"))
-        val grid = ev.groupBy(col("value")).agg(
-          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
-          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c2"))
-        val w = Window.orderBy(col("value"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val grid = twoSampleGrid(s, d)
+        val w = gridCumWindow
         val ranked = grid.select(col("c1"), col("c2"),
           (sum(col("c1") + col("c2")).over(w) * 2 - (col("c1") + col("c2")) + 1)
             .as("r2"))
@@ -856,12 +904,7 @@ object CurationQueries {
               sqrt(col("n1") * col("n2") * (col("n1") + col("n2") + 1) / lit(12.0)))
       },
       oracle = Some(
-        raw"""WITH g AS (
-             |  SELECT value,
-             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
-             |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
-             |  FROM events WHERE event_type IN ('click', 'error') GROUP BY value
-             |),
+        raw"""WITH $twoSampleGridSql,
              |r AS (
              |  SELECT c1, c2,
              |    2 * SUM(c1 + c2) OVER (ORDER BY value) - (c1 + c2) + 1 AS r2
@@ -889,13 +932,8 @@ object CurationQueries {
     //      construction. ----
     QueryDef("stats_qq_deciles",
       (s, d) => {
-        val ev = Tables.events(s, d)
-          .filter(col("event_type").isin("click", "error"))
-        val grid = ev.groupBy(col("value")).agg(
-          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
-          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c2"))
-        val w = Window.orderBy(col("value"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val grid = twoSampleGrid(s, d)
+        val w = gridCumWindow
         val cum = grid.select(col("value"),
           sum(col("c1")).over(w).as("k1"), sum(col("c2")).over(w).as("k2"))
         val tot = grid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
@@ -913,12 +951,7 @@ object CurationQueries {
           .orderBy(col("dec"))
       },
       oracle = Some(
-        raw"""WITH g AS (
-             |  SELECT value,
-             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
-             |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
-             |  FROM events WHERE event_type IN ('click', 'error') GROUP BY value
-             |),
+        raw"""WITH $twoSampleGridSql,
              |c AS (
              |  SELECT value,
              |    SUM(c1) OVER (ORDER BY value) AS k1,

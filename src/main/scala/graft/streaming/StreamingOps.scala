@@ -142,6 +142,13 @@ object StreamingOps {
       lateness: String = "10 minutes"): DataFrame = {
     val bins = refProbs.length
     require(bins >= 2, "need at least 2 reference bins")
+    // a zero reference bin makes psi Infinity for every window (and a
+    // negative one makes it NaN, so alerts never fire) — the reference
+    // histogram must be smoothed by its producer, exactly like the
+    // +0.5-smoothed batch stats_psi_drift
+    require(refProbs.forall(_ > 0.0),
+      s"reference probabilities must all be > 0 (smooth the reference " +
+        s"histogram); got $refProbs")
     val bin = least(greatest(
       floor((col("value") - lit(lo)) * bins / lit(hi - lo)), lit(0.0)),
       lit(bins - 1.0))

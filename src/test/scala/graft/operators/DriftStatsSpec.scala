@@ -24,7 +24,6 @@ class DriftStatsSpec extends SparkSpec {
     val ev = Seq.tabulate(100)(i => (i.toLong, "click", i * 0.5)) ++
       Seq.tabulate(100)(i => (100L + i, "error", i * 0.5))
     val df = ev.toDF("event_id", "event_type", "value")
-    df.createOrReplaceTempView("ks_same")
     // Recompute the statistic inline on identical distributions.
     val grid = df.groupBy($"value").agg(
       sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
@@ -81,7 +80,6 @@ class DriftStatsSpec extends SparkSpec {
     // appear only at the tail (start + n == doc length, checked above).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("chunk_id").desc)
-    import org.apache.spark.sql.expressions.Window
     val rn = row_number().over(w)
     chunks.withColumn("from_end", rn)
       .filter(col("from_end") > 2 && col("n_tokens") < 64)

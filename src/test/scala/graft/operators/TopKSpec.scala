@@ -66,6 +66,19 @@ class TopKSpec extends SparkSpec {
     out shouldBe Seq((5.0, 3L), (5.0, 2L))
   }
 
+  test("NaN values rank greatest (Spark double order) regardless of arrival order") {
+    val agg = new TopKAggregator(2)
+    val orders = Seq(
+      Seq(Double.NaN -> 0L, 10.0 -> 1L, 20.0 -> 2L, 30.0 -> 3L),
+      Seq(20.0 -> 2L, 30.0 -> 3L, Double.NaN -> 0L, 10.0 -> 1L),
+      Seq(30.0 -> 3L, Double.NaN -> 0L, 20.0 -> 2L, 10.0 -> 1L))
+    val results = orders.map(xs =>
+      agg.finish(xs.foldLeft(agg.zero)((b, a) => agg.reduce(b, a)))
+        .map { case (v, id) => (if (v.isNaN) "NaN" else v.toString, id) })
+    results.distinct.size shouldBe 1
+    results.head shouldBe Seq(("NaN", 0L), ("30.0", 3L))
+  }
+
   test("raw reduce/merge: eviction and ordering invariants") {
     val agg = new TopKAggregator(3)
     val full = Seq(1.0 -> 1L, 5.0 -> 5L, 3.0 -> 3L, 4.0 -> 4L, 2.0 -> 2L)
