@@ -967,6 +967,121 @@ object CurationQueries {
              |    - MIN(CASE WHEN k1 * 10 >= dec * t.n1 THEN value END) AS shift
              |FROM c, t, dec
              |GROUP BY dec ORDER BY dec""".stripMargin),
+      bench = false),
+
+    // ---- one-way ANOVA F (did the mean shift across event types?).
+    //      Per-group sufficient statistics from integerized per-row
+    //      values (x at 1e6, x² at 1e6 — two independent fixed-point
+    //      estimators, exact BIGINT sums), between/within sums of squares
+    //      and F as pure IEEE arithmetic on those exact inputs. ----
+    QueryDef("stats_anova_f",
+      (s, d) => {
+        // per-group sufficient stats; DECIMAL(38,0) sums keep Σx and Σx²
+        // exact far past BIGINT range (mirrors DuckDB's HUGEINT sums)
+        val g = Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ng"),
+            (sum(Det.toFixed(col("value"), 6).cast("decimal(38,0)"))
+              .cast("double") / 1e6).as("sg"),
+            (sum(Det.toFixed(col("value") * col("value"), 6).cast("decimal(38,0)"))
+              .cast("double") / 1e6).as("qg"))
+        val tot = g.agg(sum(col("ng")).as("n"),
+          Det.fixedSum(col("sg"), 6).as("st"), count(lit(1)).as("k"))
+        // even a 5-row double sum is merge-order-dependent: integerize
+        // the per-group SSB/SSW terms before the final exact sum
+        g.crossJoin(broadcast(tot))
+          .select(col("n"), col("k"),
+            (col("ng") * pow(col("sg") / col("ng") - col("st") / col("n"), 2))
+              .as("bterm"),
+            (col("qg") - col("sg") * col("sg") / col("ng")).as("wterm"))
+          .groupBy(col("n"), col("k"))
+          .agg(
+            (sum(Det.toFixed(col("bterm"), 6)).cast("double") / 1e6).as("ssb"),
+            (sum(Det.toFixed(col("wterm"), 6)).cast("double") / 1e6).as("ssw"))
+          .select(col("n"), col("k"), col("ssb"), col("ssw"),
+            Det.fixed((col("ssb") / (col("k") - 1)) /
+              (col("ssw") / (col("n") - col("k"))), 6).as("f_stat"))
+      },
+      oracle = Some(
+        raw"""WITH gg AS (
+             |  SELECT event_type, count(*) AS ng,
+             |    CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             |      / 1000000 AS sg,
+             |    CAST(SUM(CAST(ROUND(value * value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             |      / 1000000 AS qg
+             |  FROM events GROUP BY 1
+             |),
+             |tot AS (
+             |  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(ROUND(sg * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             |      / 1000000 AS st,
+             |    count(*) AS k
+             |  FROM gg
+             |),
+             |terms AS (
+             |  SELECT tot.n, tot.k,
+             |    gg.ng * pow(gg.sg / gg.ng - tot.st / tot.n, 2) AS bterm,
+             |    gg.qg - gg.sg * gg.sg / gg.ng AS wterm
+             |  FROM gg, tot
+             |),
+             |ss AS (
+             |  SELECT n, k,
+             |    CAST(SUM(CAST(ROUND(bterm * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             |      / 1000000 AS ssb,
+             |    CAST(SUM(CAST(ROUND(wterm * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             |      / 1000000 AS ssw
+             |  FROM terms GROUP BY n, k
+             |)
+             |SELECT n, k, ssb, ssw,
+             |  (ROUND(((ssb / (k - 1)) / (ssw / (n - k))) * 1000000, 0) / 1000000)
+             |    AS f_stat
+             |FROM ss""".stripMargin),
+      bench = false),
+
+    // ---- CUSUM changepoint detection (WHEN did the level shift? — the
+    //      temporal companion to the two-sample drift statistics). Hourly
+    //      error-count series; the scaled cusum n·K_t − t·S is an exact
+    //      integer (K_t = running count, S = total, t = hour index), so
+    //      the argmax|·| pick is engine-exact with no floats anywhere
+    //      until the final presentation division. ----
+    QueryDef("events_changepoint",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .filter(col("event_type") === "error")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy(col("hour"))
+        val cum = hourly.select(col("hour"),
+          row_number().over(w).cast("long").as("t"),
+          sum(col("x")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("kt"))
+        val tot = hourly.agg(count(lit(1)).as("nh"), sum(col("x")).as("s"))
+        cum.crossJoin(broadcast(tot))
+          .select(col("hour"), col("t"), col("nh"),
+            (col("nh") * col("kt") - col("t") * col("s")).as("cn"))
+          .orderBy(abs(col("cn")).desc, col("hour"))
+          .limit(1)
+          .select(col("hour").as("changepoint_hour"), col("t").as("t_index"),
+            col("nh").as("n_hours"),
+            (col("cn").cast("double") / col("nh")).as("max_cusum"))
+      },
+      oracle = Some(
+        raw"""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS hour, count(*) AS x
+             |  FROM events WHERE event_type = 'error' GROUP BY 1
+             |),
+             |cum AS (
+             |  SELECT hour,
+             |    CAST(row_number() OVER (ORDER BY hour) AS BIGINT) AS t,
+             |    SUM(x) OVER (ORDER BY hour) AS kt
+             |  FROM hourly
+             |),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS nh,
+             |        CAST(SUM(x) AS BIGINT) AS s FROM hourly)
+             |SELECT hour AS changepoint_hour, t AS t_index, tot.nh AS n_hours,
+             |  CAST(tot.nh * kt - t * tot.s AS DOUBLE) / tot.nh AS max_cusum
+             |FROM cum, tot
+             |ORDER BY abs(tot.nh * kt - t * tot.s) DESC, hour LIMIT 1""".stripMargin),
       bench = false)
   )
 }

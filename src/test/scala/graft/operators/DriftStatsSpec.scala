@@ -176,6 +176,31 @@ class DriftStatsSpec extends SparkSpec {
     (qc ++ qe).foreach { v => v should (be >= lo and be <= hi) }
   }
 
+  test("stats_anova_f: F >= 0 and SSB/SSW partition the total sum of squares") {
+    val r = q("stats_anova_f").head()
+    val (ssb, ssw, f) = (r.getAs[Double]("ssb"), r.getAs[Double]("ssw"),
+      r.getAs[Double]("f_stat"))
+    f should be >= 0.0
+    ssb should be >= 0.0
+    ssw should be >= 0.0
+    // SSB + SSW == total SS (computed independently, tolerance for the
+    // two independent fixed-point estimators of x and x²)
+    val ev = graft.Tables.events(spark, sf)
+    val Row(n: Long, s: Double, q2: Double) = ev.agg(count(lit(1)),
+      sum(col("value")), sum(col("value") * col("value"))).head()
+    val sst = q2 - s * s / n
+    (ssb + ssw) shouldBe sst +- math.max(1e-3, sst * 1e-6)
+  }
+
+  test("events_changepoint: index within range, cusum zero at the boundary series") {
+    val r = q("events_changepoint").head()
+    val (t, nh) = (r.getAs[Long]("t_index"), r.getAs[Long]("n_hours"))
+    t should (be >= 1L and be <= nh)
+    // by construction n·K_t − t·S is 0 at t = n (K_n = S): the argmax
+    // can only sit at the end if the whole series is flat
+    if (nh > 1 && t == nh) r.getAs[Double]("max_cusum") shouldBe 0.0
+  }
+
   test("events_ewma: single-event series returns that value") {
     import spark.implicits._
     // build a 1-event fold inline with the same expression shape
