@@ -171,6 +171,26 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Hilbert-curve cell index of two LONG dimension keys (see
+    * VectorOps.hilbertKey). A pure-Column formulation would nest the
+    * per-level rotation conditionals ~2^order deep (each level reads the
+    * previous x AND y twice, and Catalyst has no common-subexpression
+    * reuse across projections after CollapseProject) — the native kernel
+    * is a 16-step integer loop inside whole-stage codegen. */
+  case class HilbertKey(left: Expression, right: Expression, order: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hilbert_key"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VectorOps.hilbertKey(order, a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorOps.hilbertKey($order, $a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // Column-level API
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -192,4 +212,6 @@ object VectorExpressions {
     GraftBridge.column(QuantStats(GraftBridge.expression(vec)))
   def wordShinglesAll(text: Column, k: Int): Column =
     GraftBridge.column(WordShinglesAll(GraftBridge.expression(text), k))
+  def hilbertKey(x: Column, y: Column, order: Int): Column =
+    GraftBridge.column(HilbertKey(GraftBridge.expression(x), GraftBridge.expression(y), order))
 }

@@ -236,4 +236,25 @@ object VectorOps {
     row.update(3, sse / n)
     row
   }
+
+  /** Hilbert-curve index of a 2-d cell: the classic iterative xy→d walk
+    * (quadrant digit + rotation per level, most significant first).
+    * Pure integer arithmetic — the same per-level update runs as a
+    * chained-CTE DuckDB oracle (Layout.hilbertStageSql). Inputs must lie
+    * in [0, 2^order). */
+  def hilbertKey(order: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }

@@ -40,4 +40,54 @@ object Layout {
   /** The DuckDB SQL text matching [[mortonKey]]. */
   def mortonKeySql(x: String, y: String): String =
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
+
+  /** HILBERT clustering key — better locality than Morton: consecutive
+    * keys are always Manhattan-adjacent cells (Z-order jumps across the
+    * plane at quadrant seams), so range scans touch fewer files for the
+    * same window. Native-kernel expression (`VectorExpressions.HilbertKey`,
+    * a 16-level integer loop in whole-stage codegen); the DuckDB twin is
+    * a generated chain of per-level CTEs ([[hilbertCtesSql]]), each a
+    * constant-size rotation step — linear SQL, no expression blowup. */
+  def hilbertKey(x: Column, y: Column, order: Int = 16): Column =
+    graft.functions.VectorExpressions.hilbertKey(
+      x.cast("long"), y.cast("long"), order)
+
+  /** One Hilbert level: quadrant digit into the accumulator, then the
+    * flip+swap rotation. Stage-suffixed column names (hx$i → hx${i+1})
+    * sidestep DuckDB's lateral column aliases, which could capture a
+    * same-SELECT reference to a re-used name. */
+  private def hilbertStageSql(s: Long, i: Int): String = {
+    val (hx, hy, hd) = (s"hx$i", s"hy$i", s"hd$i")
+    val rx = s"(CASE WHEN ($hx & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN ($hy & $s) > 0 THEN 1 ELSE 0 END)"
+    s"""$hd + $s * $s * xor(3 * $rx, $ry) AS hd${i + 1},
+       |    CASE WHEN ($hy & $s) = 0
+       |      THEN (CASE WHEN ($hx & $s) > 0 THEN $s - 1 - $hy ELSE $hy END)
+       |      ELSE $hx END AS hx${i + 1},
+       |    CASE WHEN ($hy & $s) = 0
+       |      THEN (CASE WHEN ($hx & $s) > 0 THEN $s - 1 - $hx ELSE $hx END)
+       |      ELSE $hy END AS hy${i + 1}""".stripMargin
+  }
+
+  /** The WITH-chain computing the Hilbert key of (x, y) over `from`:
+    * stage CTEs h0..h{order}; the final stage exposes `hd{order}` as the
+    * key. `keep` = passenger columns carried through the chain. Each
+    * stage is constant-size SQL — linear total, no expression blowup. */
+  def hilbertCtesSql(from: String, x: String, y: String, order: Int,
+      keep: Seq[String]): String = {
+    val cols = keep.mkString(", ")
+    val init = s"""h0 AS (
+                  |  SELECT $cols, CAST($x AS BIGINT) AS hx0,
+                  |    CAST($y AS BIGINT) AS hy0, CAST(0 AS BIGINT) AS hd0
+                  |  FROM $from
+                  |)""".stripMargin
+    val stages = (0 until order).map { i =>
+      val s = 1L << (order - 1 - i)
+      s"""h${i + 1} AS (
+         |  SELECT $cols, ${hilbertStageSql(s, i)}
+         |  FROM h$i
+         |)""".stripMargin
+    }
+    (init +: stages).mkString(",\n")
+  }
 }

@@ -1697,6 +1697,29 @@ object TpchQueries {
            |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin),
       bench = false),
 
+    // ---- Hilbert-curve clustering key (locality-superior alternative to
+    //      layout_zorder: consecutive keys are ALWAYS adjacent cells, so
+    //      range scans touch fewer files — see LayoutSpec's adjacency
+    //      proof). Native 16-level integer-loop expression in whole-stage
+    //      codegen; oracle = the generated per-level CTE chain. ----
+    QueryDef("layout_hilbert",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.operators.Layout.hilbertKey(
+            col("l_partkey"), col("l_suppkey"), order = 16).as("hkey"))
+        .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+      oracle = Some {
+        val keep = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        s"""WITH ${graft.operators.Layout.hilbertCtesSql(
+              "lineitem", "l_partkey", "l_suppkey", 16, keep)}
+           |SELECT ${keep.mkString(", ")}, hd16 AS hkey
+           |FROM h16
+           |ORDER BY hkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+      },
+      bench = false),
+
     // ---- Blocked fuzzy join (record linkage): candidate pairs share a
     //      blocking key (the noun of the two-word part name) and pass a
     //      Levenshtein edit-distance gate. Blocking turns the quadratic

@@ -32,4 +32,40 @@ class LayoutSpec extends SparkSpec {
     span(second, _._2) should be < 32L
     (span(first, _._1) + span(first, _._2)) should be < 64L
   }
+
+  test("hilbertKey: bijection onto [0, 4^order) and consecutive keys are ADJACENT cells") {
+    // the defining property (and what Morton lacks): walking the key
+    // order never jumps — every step is Manhattan distance 1
+    val order = 4
+    val n = 1 << order
+    val cells = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), order).as("h"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    cells.map(_._3).toSeq shouldBe (0L until (n.toLong * n)).toSeq
+    cells.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      ((x1 - x2).abs + (y1 - y2).abs) shouldBe 1L
+    }
+    // Morton on the same grid DOES jump (quadrant seams) — the contrast
+    // that justifies Hilbert for range-scan locality
+    val mort = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layout.mortonKey(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val jumps = mort.sliding(2).count { case Array((x1, y1, _), (x2, y2, _)) =>
+      (x1 - x2).abs + (y1 - y2).abs > 1 }
+    jumps should be > 0
+  }
+
+  test("hilbertKey matches the scalar kernel on random coordinates") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(Layout.hilbertKey(col("x"), col("y"), 16).as("h"))
+      .as[Long].collect().toSeq
+    val want = pts.map { case (x, y) =>
+      graft.functions.VectorOps.hilbertKey(16, x, y) }
+    got shouldBe want
+  }
 }
