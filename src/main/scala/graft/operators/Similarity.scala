@@ -147,6 +147,67 @@ object Similarity {
         .cast("double") / lit(f)).as("score"))
   }
 
+  /** Cholesky (Mahalanobis) WHITENING: y = L⁻¹(x − μ) where C + εI =
+    * L·Lᵀ, so cov(y) = I — the decorrelation/conditioning pass in front
+    * of similarity search and clustering.
+    *
+    * Division of labor at scale: the corpus-scale work is the ONE
+    * covariance pass ([[covarianceUpperTriangle]]) and the projection
+    * (explode + broadcast join on the d²-row whitening matrix + hash
+    * aggregate, exactly [[pcaProject]]'s shape generalized to a matrix).
+    * The d×d Cholesky factorization runs on the DRIVER — the same
+    * "tiny model state on the driver" boundary as the GMM/k-means fits;
+    * for d = 64 it is 4096 doubles, O(d³) ≈ 10⁵ flops. ε = epsRel ×
+    * mean-variance regularizes rank-deficient covariance
+    * (ill-conditioned directions get damped instead of exploding)
+    * without shrinking ordinary directions.
+    *
+    * No DuckDB oracle (Cholesky is not expressible as reasonable SQL);
+    * the contract is behavioral: the whitened covariance must be ≈ I,
+    * asserted by the embed_whitening query + SimilaritySpec. */
+  def whiten(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", epsRel: Double = 1e-6): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val x = emb.select(col(idCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
+    val d = x.agg(max(col("j"))).head().getInt(0) + 1
+    val mu = new Array[Double](d)
+    x.groupBy(col("j")).agg(avg(col("x")).as("m")).collect()
+      .foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    val c = Array.ofDim[Double](d, d)
+    covarianceUpperTriangle(emb, vecCol).collect().foreach { r =>
+      val (i, j, v) = (r.getAs[Int]("i"), r.getAs[Int]("j"), r.getAs[Double]("cov"))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    // regularization RELATIVE to the data's scale (an absolute ε shrinks
+    // low-variance directions: whitened variance is σ²/(σ²+ε))
+    val eps = epsRel * (0 until d).map(i => c(i)(i)).sum / d
+    (0 until d).foreach(i => c(i)(i) += eps)
+    // lower-triangular Cholesky, then forward-substitute L·A = I → A = L⁻¹
+    val l = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- 0 to i) {
+      var s = c(i)(j)
+      var k = 0
+      while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+      if (i == j) l(i)(i) = math.sqrt(s) else l(i)(j) = s / l(j)(j)
+    }
+    val a = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- 0 to i) {
+      var s = if (i == j) 1.0 else 0.0
+      var k = j
+      while (k < i) { s -= l(i)(k) * a(k)(j); k += 1 }
+      a(i)(j) = s / l(i)(i)
+    }
+    // relational projection: y_i = Σ_j a_ij (x_j − μ_j)
+    val rows = for (i <- 0 until d; j <- 0 to i if a(i)(j) != 0.0)
+      yield (i, j, a(i)(j), mu(j))
+    val am = rows.toDF("i", "j", "a", "mu")
+    x.join(broadcast(am), Seq("j"))
+      .groupBy(col(idCol), col("i"))
+      .agg(sum(col("a") * (col("x") - col("mu"))).as("y"))
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): cluster
     * the corpus with a coarse quantizer, then inside each cluster drop
     * every vector that has a smaller-id neighbor above the cosine

@@ -645,6 +645,27 @@ object EmbedQueries {
             col("n"), col("n_correct"))
       },
       oracle = Some(logRegOracleSql(iters = 5)),
+      bench = false),
+
+    // ---- Cholesky whitening, SELF-PROVING: the query output is the
+    //      covariance of the whitened vectors over the first 8 dims —
+    //      must be ≈ I (diag ~1, off-diag ~0, asserted in
+    //      SimilaritySpec). No DuckDB oracle (driver-side Cholesky is
+    //      not SQL-expressible) → rows-only check + behavioral spec,
+    //      like the other native-double iterative fits. ----
+    QueryDef("embed_whitening",
+      (s, d) => {
+        val w = Similarity.whiten(Tables.embeddings(s, d))
+          .filter(col("i") < 8)
+        w.as("p").join(w.as("q"),
+            col("p.vec_id") === col("q.vec_id") && col("q.i") >= col("p.i"))
+          .groupBy(col("p.i").as("i"), col("q.i").as("j"))
+          .agg((avg(col("p.y") * col("q.y"))
+            - avg(col("p.y")) * avg(col("q.y"))).as("cov_w"))
+          .select(col("i"), col("j"), round(col("cov_w"), 3).as("cov_w"))
+          .orderBy(col("i"), col("j"))
+      },
+      oracle = None,
       bench = false)
   )
 

@@ -231,4 +231,27 @@ class SimilaritySpec extends SparkSpec {
     for (a <- kept; b <- kept if a < b && cellOf(a) == cellOf(b))
       cos(vecs(a), vecs(b)) should be < thr
   }
+
+  test("whiten: whitened covariance is the identity (diag ~1, off-diag ~0)") {
+    val w = Similarity.whiten(graft.Tables.embeddings(spark, sf))
+    val cells = w.as("p")
+      .join(w.as("q"),
+        col("p.vec_id") === col("q.vec_id") && col("q.i") >= col("p.i"))
+      .groupBy(col("p.i").as("i"), col("q.i").as("j"))
+      .agg((avg(col("p.y") * col("q.y"))
+        - avg(col("p.y")) * avg(col("q.y"))).as("c"))
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j"), r.getAs[Double]("c")))
+    cells.length shouldBe 64 * 65 / 2
+    cells.foreach { case (i, j, c) =>
+      if (i == j) withClue(s"diag $i") { c shouldBe 1.0 +- 0.05 }
+      else withClue(s"off-diag ($i,$j)") { math.abs(c) should be < 0.05 }
+    }
+  }
+
+  test("whiten: mean of whitened coordinates is ~0") {
+    val w = Similarity.whiten(graft.Tables.embeddings(spark, sf))
+    val worst = w.groupBy(col("i")).agg(abs(avg(col("y"))).as("m"))
+      .agg(max(col("m"))).head().getDouble(0)
+    worst should be < 1e-6
+  }
 }
