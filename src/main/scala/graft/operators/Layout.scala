@@ -52,6 +52,21 @@ object Layout {
     graft.functions.VectorExpressions.hilbertKey(
       x.cast("long"), y.cast("long"), order)
 
+  /** Range-bucket a dimension key into [0, 2^order) — the REQUIRED
+    * front end of the space-filling keys on unbounded domains: a raw key
+    * past 2^order silently wraps in the bit walk and the
+    * adjacency/locality guarantee is void. Integer inputs → the double
+    * arithmetic is IEEE-identical in both engines. */
+  def rangeBucket(c: Column, lo: Column, hi: Column, order: Int): Column =
+    floor((c - lo).cast("double") * lit(math.pow(2.0, order.toDouble))
+      / (hi - lo + 1)).cast("long")
+
+  /** The DuckDB SQL text matching [[rangeBucket]]. */
+  def rangeBucketSql(c: String, lo: String, hi: String, order: Int): String = {
+    val n = (1L << order).toString
+    s"CAST(floor(($c - $lo) * CAST($n AS DOUBLE) / ($hi - $lo + 1)) AS BIGINT)"
+  }
+
   /** One Hilbert level: quadrant digit into the accumulator, then the
     * flip+swap rotation. Stage-suffixed column names (hx$i → hx${i+1})
     * sidestep DuckDB's lateral column aliases, which could capture a
@@ -60,7 +75,7 @@ object Layout {
     val (hx, hy, hd) = (s"hx$i", s"hy$i", s"hd$i")
     val rx = s"(CASE WHEN ($hx & $s) > 0 THEN 1 ELSE 0 END)"
     val ry = s"(CASE WHEN ($hy & $s) > 0 THEN 1 ELSE 0 END)"
-    s"""$hd + $s * $s * xor(3 * $rx, $ry) AS hd${i + 1},
+    s"""$hd + CAST(${s * s} AS BIGINT) * xor(3 * $rx, $ry) AS hd${i + 1},
        |    CASE WHEN ($hy & $s) = 0
        |      THEN (CASE WHEN ($hx & $s) > 0 THEN $s - 1 - $hy ELSE $hy END)
        |      ELSE $hx END AS hx${i + 1},

@@ -171,10 +171,11 @@ object Similarity {
     import spark.implicits._
     val x = emb.select(col(idCol),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
-    val d = x.agg(max(col("j"))).head().getInt(0) + 1
+    // one pass learns both the means and the dimensionality
+    val meanRows = x.groupBy(col("j")).agg(avg(col("x")).as("m")).collect()
+    val d = meanRows.map(_.getInt(0)).max + 1
     val mu = new Array[Double](d)
-    x.groupBy(col("j")).agg(avg(col("x")).as("m")).collect()
-      .foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    meanRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
     val c = Array.ofDim[Double](d, d)
     covarianceUpperTriangle(emb, vecCol).collect().foreach { r =>
       val (i, j, v) = (r.getAs[Int]("i"), r.getAs[Int]("j"), r.getAs[Double]("cov"))
@@ -190,7 +191,14 @@ object Similarity {
       var s = c(i)(j)
       var k = 0
       while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
-      if (i == j) l(i)(i) = math.sqrt(s) else l(i)(j) = s / l(j)(j)
+      if (i == j) {
+        // fail loudly on a non-PD pivot instead of letting sqrt(neg) or a
+        // zero divisor silently turn every whitened vector into NaN
+        require(s > 0.0,
+          s"covariance + eps not positive definite at pivot $i (s=$s) — " +
+            "raise epsRel (near-duplicate or constant dimensions)")
+        l(i)(i) = math.sqrt(s)
+      } else l(i)(j) = s / l(j)(j)
     }
     val a = Array.ofDim[Double](d, d)
     for (i <- 0 until d; j <- 0 to i) {

@@ -776,8 +776,11 @@ object CurationQueries {
         // FULL L×S grid: a (lang, source) pair with zero documents still
         // contributes (0-E)²/E = E to the statistic — groupBy alone
         // would silently drop it (and dof would overstate the table).
-        val cells = docs.select(col("lang")).distinct()
-          .crossJoin(docs.select(col("source")).distinct())
+        // Distincts come from the already-aggregated `observed` frame
+        // (every value present in docs is present there) — no extra
+        // corpus scans.
+        val cells = observed.select(col("lang")).distinct()
+          .crossJoin(observed.select(col("source")).distinct())
           .join(observed, Seq("lang", "source"), "left")
           .withColumn("n", coalesce(col("n"), lit(0L)))
         val rowT = cells.groupBy(col("lang")).agg(sum(col("n")).as("rl"))
@@ -787,11 +790,14 @@ object CurationQueries {
           countDistinct(col("source")).as("ns"))
         cells.join(broadcast(rowT), "lang").join(broadcast(colT), "source")
           .crossJoin(broadcast(tot))
-          .withColumn("e", col("rl") * col("cs") / col("nn"))
+          // rl·cs in DOUBLE (a long product wraps past ~3e9 docs) and
+          // wide per-cell terms (the long cast clamps at 9.2e18)
+          .withColumn("e",
+            col("rl").cast("double") * col("cs").cast("double") / col("nn"))
           .agg(
             count(lit(1)).as("n_cells"),
             max((col("nl") - 1) * (col("ns") - 1)).as("dof"),
-            (sum(Det.toFixed(pow(col("n") - col("e"), 2) / col("e"), 9))
+            (sum(Det.toFixedWide(pow(col("n") - col("e"), 2) / col("e"), 9))
               .cast("double") / 1e9).as("chi2"))
       },
       oracle = Some(
@@ -800,8 +806,8 @@ object CurationQueries {
              |),
              |cells AS (
              |  SELECT l.lang, s.source, coalesce(o.n, 0) AS n
-             |  FROM (SELECT DISTINCT lang FROM documents) l
-             |  CROSS JOIN (SELECT DISTINCT source FROM documents) s
+             |  FROM (SELECT DISTINCT lang FROM observed) l
+             |  CROSS JOIN (SELECT DISTINCT source FROM observed) s
              |  LEFT JOIN observed o ON l.lang = o.lang AND s.source = o.source
              |),
              |rt AS (SELECT lang, sum(n) AS rl FROM cells GROUP BY 1),
@@ -813,8 +819,10 @@ object CurationQueries {
              |)
              |SELECT count(*) AS n_cells,
              |  CAST(max((tot.nl - 1) * (tot.ns - 1)) AS BIGINT) AS dof,
-             |  CAST(sum(CAST(ROUND(pow(cells.n - rt.rl * ct.cs / CAST(tot.nn AS DOUBLE), 2)
-             |    / (rt.rl * ct.cs / CAST(tot.nn AS DOUBLE)) * 1000000000, 0) AS BIGINT)) AS DOUBLE)
+             |  CAST(sum(CAST(ROUND(pow(cells.n
+             |      - CAST(rt.rl AS DOUBLE) * CAST(ct.cs AS DOUBLE) / CAST(tot.nn AS DOUBLE), 2)
+             |    / (CAST(rt.rl AS DOUBLE) * CAST(ct.cs AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+             |    * 1000000000, 0) AS HUGEINT)) AS DOUBLE)
              |    / 1000000000 AS chi2
              |FROM cells, rt, ct, tot
              |WHERE cells.lang = rt.lang AND cells.source = ct.source""".stripMargin),
@@ -996,8 +1004,8 @@ object CurationQueries {
             (col("qg") - col("sg") * col("sg") / col("ng")).as("wterm"))
           .groupBy(col("n"), col("k"))
           .agg(
-            (sum(Det.toFixed(col("bterm"), 6)).cast("double") / 1e6).as("ssb"),
-            (sum(Det.toFixed(col("wterm"), 6)).cast("double") / 1e6).as("ssw"))
+            (sum(Det.toFixedWide(col("bterm"), 6)).cast("double") / 1e6).as("ssb"),
+            (sum(Det.toFixedWide(col("wterm"), 6)).cast("double") / 1e6).as("ssw"))
           .select(col("n"), col("k"), col("ssb"), col("ssw"),
             Det.fixed((col("ssb") / (col("k") - 1)) /
               (col("ssw") / (col("n") - col("k"))), 6).as("f_stat"))
@@ -1026,9 +1034,9 @@ object CurationQueries {
              |),
              |ss AS (
              |  SELECT n, k,
-             |    CAST(SUM(CAST(ROUND(bterm * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             |    CAST(SUM(CAST(ROUND(bterm * 1000000, 0) AS HUGEINT)) AS DOUBLE)
              |      / 1000000 AS ssb,
-             |    CAST(SUM(CAST(ROUND(wterm * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             |    CAST(SUM(CAST(ROUND(wterm * 1000000, 0) AS HUGEINT)) AS DOUBLE)
              |      / 1000000 AS ssw
              |  FROM terms GROUP BY n, k
              |)

