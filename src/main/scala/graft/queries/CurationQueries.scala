@@ -1090,6 +1090,77 @@ object CurationQueries {
              |  CAST(tot.nh * kt - t * tot.s AS DOUBLE) / tot.nh AS max_cusum
              |FROM cum, tot
              |ORDER BY abs(tot.nh * kt - t * tot.s) DESC, hour LIMIT 1""".stripMargin),
+      bench = false),
+
+    // ---- isotonic calibration (monotone probability calibration, e.g.
+    //      a quality-classifier score → empirical rate map). PAV is
+    //      sequential, but the SOLUTION has a closed relational form:
+    //      ŷ_k = max_{i≤k} min_{j≥k} avg(pos, i..j) — the weighted
+    //      minimax formula over bin prefix sums. Binning to B=20 value
+    //      bins first makes the pair space O(B²) regardless of row
+    //      count; every avg is a ratio of exact integer prefix diffs, so
+    //      min/max picks are engine-exact with no rounding. ----
+    QueryDef("stats_isotonic_calibration",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val rng = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        val grid = ev.crossJoin(broadcast(rng))
+          .select(least(floor((col("value") - col("lo")) * 20
+              / (col("hi") - col("lo"))), lit(19.0)).cast("long").as("bin"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("p")).as("pos"))
+        val w = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pre = grid.select(col("bin"), col("n"), col("pos"),
+          sum(col("n")).over(w).as("cn"), sum(col("pos")).over(w).as("cp"))
+        val avgs = pre.as("i").join(pre.as("j"), col("j.bin") >= col("i.bin"))
+          .select(col("i.bin").as("ib"), col("j.bin").as("jb"),
+            ((col("j.cp") - col("i.cp") + col("i.pos")).cast("double") /
+              (col("j.cn") - col("i.cn") + col("i.n"))).as("a"))
+        val inner = avgs
+          .join(grid.select(col("bin").as("kb")),
+            col("jb") >= col("kb") && col("ib") <= col("kb"))
+          .groupBy(col("kb"), col("ib")).agg(min(col("a")).as("mn"))
+        val iso = inner.groupBy(col("kb").as("bin"))
+          .agg(max(col("mn")).as("rate_iso"))
+        grid.join(iso, "bin")
+          .select(col("bin"), col("n"), col("pos"),
+            (col("pos").cast("double") / col("n")).as("rate_raw"),
+            col("rate_iso"))
+          .orderBy(col("bin"))
+      },
+      oracle = Some(
+        raw"""WITH rng AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+             |grid AS (
+             |  SELECT least(CAST(floor((value - rng.lo) * 20 / (rng.hi - rng.lo))
+             |      AS BIGINT), 19) AS bin,
+             |    count(*) AS n,
+             |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+             |  FROM events, rng GROUP BY 1
+             |),
+             |pre AS (
+             |  SELECT bin, n, pos,
+             |    SUM(n) OVER (ORDER BY bin) AS cn,
+             |    SUM(pos) OVER (ORDER BY bin) AS cp
+             |  FROM grid
+             |),
+             |avgs AS (
+             |  SELECT i.bin AS ib, j.bin AS jb,
+             |    CAST(j.cp - i.cp + i.pos AS DOUBLE)
+             |      / CAST(j.cn - i.cn + i.n AS DOUBLE) AS a
+             |  FROM pre i JOIN pre j ON j.bin >= i.bin
+             |),
+             |inner_min AS (
+             |  SELECT k.bin AS kb, avgs.ib, min(avgs.a) AS mn
+             |  FROM avgs JOIN grid k ON avgs.jb >= k.bin AND avgs.ib <= k.bin
+             |  GROUP BY 1, 2
+             |),
+             |iso AS (SELECT kb AS bin, max(mn) AS rate_iso FROM inner_min GROUP BY 1)
+             |SELECT g.bin, g.n, g.pos,
+             |  CAST(g.pos AS DOUBLE) / g.n AS rate_raw, iso.rate_iso
+             |FROM grid g JOIN iso ON g.bin = iso.bin
+             |ORDER BY g.bin""".stripMargin),
       bench = false)
   )
 }

@@ -202,6 +202,21 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming TOP-K per group: the bounded-heap aggregate
+    * ([[graft.operators.TopKAggregator]]) running in Update mode.
+    * The batch alternative — row_number() over a window — is ILLEGAL on
+    * a stream (non-time-based windows are unsupported); a true aggregate
+    * streams naturally because its state is the mergeable k-bounded
+    * buffer per group, updated incrementally every micro-batch. Emits
+    * (event_type, top[(value, event_id)...]) rows each batch. */
+  def streamingTopK(events: DataFrame, k: Int = 3): DataFrame = {
+    val tk = org.apache.spark.sql.functions.udaf(
+      new graft.operators.TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    events.groupBy(col("event_type"))
+      .agg(tk(col("value"), col("event_id")).as("top"))
+  }
+
   case class UserEwma(user_id: Long, n_events: Long, ewma: Double)
 
   /** Streaming dual of the batch `events_ewma` query: per-user

@@ -219,6 +219,20 @@ class DriftStatsSpec extends SparkSpec {
     cStep should be < 0.0 // level rises after t=5 → cusum dips most there
   }
 
+  test("stats_isotonic_calibration: fit is monotone and preserves the weighted mean") {
+    val rows = q("stats_isotonic_calibration").collect()
+    rows.length should be > 3
+    val iso = rows.map(_.getAs[Double]("rate_iso"))
+    iso.sliding(2).foreach { case Array(a, b) => b should be >= a - 1e-12 }
+    // isotonic regression preserves the weighted mean: Σ n·ŷ = Σ pos
+    val fitted = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("rate_iso")).sum
+    val posSum = rows.map(_.getAs[Long]("pos")).sum.toDouble
+    fitted shouldBe posSum +- 1e-6 * posSum
+    // and stays within the raw-rate envelope
+    val raw = rows.map(_.getAs[Double]("rate_raw"))
+    iso.foreach { y => y should (be >= raw.min - 1e-12 and be <= raw.max + 1e-12) }
+  }
+
   test("events_ewma: single-event series returns that value") {
     import spark.implicits._
     // build a 1-event fold inline with the same expression shape

@@ -387,6 +387,36 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingTopK: update-mode heap aggregate equals the batch top-k across batches") {
+    // the window row_number formulation is ILLEGAL on a stream; the
+    // bounded-heap AGGREGATE streams naturally — this is the point
+    val b1 = Seq(
+      Event(1, ts(1), 1, "view", 5.0), Event(2, ts(2), 1, "view", 9.0),
+      Event(3, ts(3), 2, "click", 7.0))
+    val b2 = Seq(
+      Event(4, ts(4), 1, "view", 8.0), Event(5, ts(5), 2, "view", 1.0),
+      Event(6, ts(6), 1, "click", 6.0))
+    val in = MemoryStream[Event]
+    val q = StreamingOps.streamingTopK(in.toDF(), k = 2)
+      .writeStream.format("memory").queryName("topkstream")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("topkstream")
+      .select(col("event_type"), col("top"))
+      .collect().map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(t => (t.getDouble(0), t.getLong(1)))
+      }.toMap
+    val want = (b1 ++ b2).groupBy(_.event_type).map { case (et, es) =>
+      et -> es.map(e => (e.value, e.event_id))
+        .sortBy { case (v, id) => (-v, -id) }.take(2)
+    }
+    got shouldBe want
+  }
+
   test("streamingDriftMonitor: append-mode stream output equals the batch transform") {
     // reference = uniform over 4 bins on [0, 8); second window drifts high
     val ref = Seq(0.25, 0.25, 0.25, 0.25)
