@@ -42,7 +42,11 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) =>
-        MinHashSig(args(0), intArg(args(1), "minhash_sig", 2))))
+        MinHashSig(args(0), intArg(args(1), "minhash_sig", 2))),
+    (FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
+      (args: Seq[Expression]) =>
+        HilbertKey(args(0), args(1), intArg(args(2), "hilbert_key", 3))))
 
   /** Register all functions into an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -27,6 +27,13 @@ class GraftFunctionsSpec extends SparkSpec {
     r.getInt(5) shouldBe 8
   }
 
+  test("hilbert_key SQL function matches the scalar kernel") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT hilbert_key(CAST(3 AS BIGINT), CAST(5 AS BIGINT), 4) AS h").head()
+    r.getLong(0) shouldBe VectorOps.hilbertKey(4, 3L, 5L)
+  }
+
   test("GraftExtensions injects all function builders without error") {
     // a fresh session with spark.sql.extensions can't be built in the
     // shared-session test JVM; applying to a bare SparkSessionExtensions
