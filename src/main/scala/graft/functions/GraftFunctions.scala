@@ -46,7 +46,12 @@ object GraftFunctions {
     (FunctionIdentifier("hilbert_key"),
       new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
       (args: Seq[Expression]) =>
-        HilbertKey(args(0), args(1), intArg(args(2), "hilbert_key", 3))))
+        // explicit widening so hilbert_key(3, 5, 4) — INT literals — works
+        // instead of class-casting on the interpreted path
+        HilbertKey(
+          org.apache.spark.sql.catalyst.expressions.Cast(args(0), org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1), org.apache.spark.sql.types.LongType),
+          intArg(args(2), "hilbert_key", 3))))
 
   /** Register all functions into an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -179,6 +179,9 @@ object VectorExpressions {
     * is a 16-step integer loop inside whole-stage codegen. */
   case class HilbertKey(left: Expression, right: Expression, order: Int)
       extends BinaryExpression {
+    // inputs must already be LongType: the Column wrapper and the SQL
+    // builder both insert explicit casts (AbstractDataType — the
+    // ImplicitCastInputTypes route — is private[sql])
     override def dataType: DataType = LongType
     override def prettyName: String = "hilbert_key"
     override protected def nullSafeEval(a: Any, b: Any): Any =

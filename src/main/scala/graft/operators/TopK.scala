@@ -73,3 +73,12 @@ final class TopKAggregator(k: Int)
 
 /** Ascending-(value,id) parallel arrays, length ≤ k. */
 final case class TopKBuf(values: Array[Double], ids: Array[Long])
+
+object TopK {
+  /** The registered UDAF form of [[TopKAggregator]] — one definition of
+    * the (value, id) input encoding for every call site (batch query,
+    * streaming aggregate, specs). */
+  def udafFor(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+}

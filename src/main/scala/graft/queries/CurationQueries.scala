@@ -1105,26 +1105,34 @@ object CurationQueries {
         val ev = Tables.events(s, d)
         val rng = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
         val grid = ev.crossJoin(broadcast(rng))
-          .select(least(floor((col("value") - col("lo")) * 20
-              / (col("hi") - col("lo"))), lit(19.0)).cast("long").as("bin"),
+          // degenerate range (all values equal): everything in bin 0 —
+          // the unguarded division would give NaN bins here and a
+          // diverging NULL on the oracle side
+          .select(when(col("hi") === col("lo"), 0L)
+              .otherwise(least(floor((col("value") - col("lo")) * 20
+                / (col("hi") - col("lo"))), lit(19.0)).cast("long")).as("bin"),
             when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
           .groupBy(col("bin"))
           .agg(count(lit(1)).as("n"), sum(col("p")).as("pos"))
         val w = Window.orderBy(col("bin"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // pre is referenced four times (i/j sides, the kb list, the final
+        // join) — checkpoint the B-row frame so the O(rows) binning
+        // aggregate runs ONCE, as the scale story claims
         val pre = grid.select(col("bin"), col("n"), col("pos"),
           sum(col("n")).over(w).as("cn"), sum(col("pos")).over(w).as("cp"))
+          .localCheckpoint()
         val avgs = pre.as("i").join(pre.as("j"), col("j.bin") >= col("i.bin"))
           .select(col("i.bin").as("ib"), col("j.bin").as("jb"),
             ((col("j.cp") - col("i.cp") + col("i.pos")).cast("double") /
               (col("j.cn") - col("i.cn") + col("i.n"))).as("a"))
         val inner = avgs
-          .join(grid.select(col("bin").as("kb")),
+          .join(pre.select(col("bin").as("kb")),
             col("jb") >= col("kb") && col("ib") <= col("kb"))
           .groupBy(col("kb"), col("ib")).agg(min(col("a")).as("mn"))
         val iso = inner.groupBy(col("kb").as("bin"))
           .agg(max(col("mn")).as("rate_iso"))
-        grid.join(iso, "bin")
+        pre.select(col("bin"), col("n"), col("pos")).join(iso, "bin")
           .select(col("bin"), col("n"), col("pos"),
             (col("pos").cast("double") / col("n")).as("rate_raw"),
             col("rate_iso"))
@@ -1133,8 +1141,9 @@ object CurationQueries {
       oracle = Some(
         raw"""WITH rng AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
              |grid AS (
-             |  SELECT least(CAST(floor((value - rng.lo) * 20 / (rng.hi - rng.lo))
-             |      AS BIGINT), 19) AS bin,
+             |  SELECT CASE WHEN rng.hi = rng.lo THEN 0
+             |    ELSE least(CAST(floor((value - rng.lo) * 20 / (rng.hi - rng.lo))
+             |      AS BIGINT), 19) END AS bin,
              |    count(*) AS n,
              |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
              |  FROM events, rng GROUP BY 1

@@ -677,8 +677,7 @@ object TpchQueries {
     //      formulation, proving the two shapes agree. ----
     QueryDef("agg_topk_heap",
       (s, d) => {
-        val tk = udaf(new graft.operators.TopKAggregator(3),
-          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+        val tk = graft.operators.TopK.udafFor(3)
         Tables.orders(s, d)
           .groupBy(col("o_orderpriority"))
           .agg(tk(col("o_totalprice"), col("o_orderkey")).as("top"))

@@ -203,16 +203,19 @@ object StreamingOps {
   }
 
   /** Streaming TOP-K per group: the bounded-heap aggregate
-    * ([[graft.operators.TopKAggregator]]) running in Update mode.
+    * ([[graft.operators.TopKAggregator]]) as a streaming aggregation.
     * The batch alternative — row_number() over a window — is ILLEGAL on
     * a stream (non-time-based windows are unsupported); a true aggregate
     * streams naturally because its state is the mergeable k-bounded
-    * buffer per group, updated incrementally every micro-batch. Emits
-    * (event_type, top[(value, event_id)...]) rows each batch. */
+    * buffer per group, updated incrementally every micro-batch.
+    *
+    * Sink modes: Complete re-emits every group's current top-k each
+    * batch (what StreamingSpec asserts); Update re-emits only groups
+    * whose top-k changed — with an append-only sink (e.g. memory) the
+    * consumer must then keep the LATEST row per group, since superseded
+    * snapshots remain in the sink. */
   def streamingTopK(events: DataFrame, k: Int = 3): DataFrame = {
-    val tk = org.apache.spark.sql.functions.udaf(
-      new graft.operators.TopKAggregator(k),
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    val tk = graft.operators.TopK.udafFor(k)
     events.groupBy(col("event_type"))
       .agg(tk(col("value"), col("event_id")).as("top"))
   }

@@ -30,7 +30,7 @@ class GraftFunctionsSpec extends SparkSpec {
   test("hilbert_key SQL function matches the scalar kernel") {
     GraftFunctions.register(spark)
     val r = spark.sql(
-      "SELECT hilbert_key(CAST(3 AS BIGINT), CAST(5 AS BIGINT), 4) AS h").head()
+      "SELECT hilbert_key(3, 5, 4) AS h").head()
     r.getLong(0) shouldBe VectorOps.hilbertKey(4, 3L, 5L)
   }
 

@@ -11,8 +11,7 @@ import org.apache.spark.sql.functions._
 class TopKSpec extends SparkSpec {
 
   private def topkDf(k: Int, parts: Int) = {
-    val tk = udaf(new TopKAggregator(k),
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    val tk = TopK.udafFor(k)
     Tables.orders(spark, sf)
       .repartition(parts, col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
@@ -49,8 +48,7 @@ class TopKSpec extends SparkSpec {
   test("k larger than the group returns the whole group, ordered") {
     import spark.implicits._
     val df = Seq((1.0, 10L), (3.0, 30L), (2.0, 20L)).toDF("v", "id")
-    val tk = udaf(new TopKAggregator(10),
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    val tk = TopK.udafFor(10)
     val out = df.agg(tk(col("v"), col("id"))).head().getSeq[Row](0)
       .map(r => (r.getDouble(0), r.getLong(1)))
     out shouldBe Seq((3.0, 30L), (2.0, 20L), (1.0, 10L))
@@ -59,8 +57,7 @@ class TopKSpec extends SparkSpec {
   test("ties break by id descending, eviction keeps the larger pair") {
     import spark.implicits._
     val df = Seq((5.0, 1L), (5.0, 2L), (5.0, 3L), (4.0, 9L)).toDF("v", "id")
-    val tk = udaf(new TopKAggregator(2),
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    val tk = TopK.udafFor(2)
     val out = df.agg(tk(col("v"), col("id"))).head().getSeq[Row](0)
       .map(r => (r.getDouble(0), r.getLong(1)))
     out shouldBe Seq((5.0, 3L), (5.0, 2L))

@@ -387,7 +387,7 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
-  test("streamingTopK: update-mode heap aggregate equals the batch top-k across batches") {
+  test("streamingTopK: complete-mode heap aggregate equals the batch top-k across batches") {
     // the window row_number formulation is ILLEGAL on a stream; the
     // bounded-heap AGGREGATE streams naturally — this is the point
     val b1 = Seq(
