@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.util.Det
-import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -697,6 +697,32 @@ object TpchQueries {
           |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
           |  FROM orders)
           |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin),
+      bench = false),
+
+    // ---- deterministic per-group MODE (most frequent value): both
+    //      engines' built-in mode() picks an ARBITRARY value on ties, so
+    //      the portable formulation is argmax over (count, value) via
+    //      struct-max — ties break to the LARGER value identically in
+    //      Spark max(struct(...)) and DuckDB max(struct_pack(...)). ----
+    QueryDef("agg_mode",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max(struct(col("cnt"), col("o_orderstatus"))).getField("o_orderstatus")
+            .as("mode_status"),
+          max(struct(col("cnt"), col("o_orderstatus"))).getField("cnt")
+            .as("mode_n"))
+        .orderBy(col("o_orderpriority")),
+      oracle = Some(
+        """SELECT o_orderpriority,
+          |  max(struct_pack(cnt := cnt, v := o_orderstatus)).v AS mode_status,
+          |  max(struct_pack(cnt := cnt, v := o_orderstatus)).cnt AS mode_n
+          |FROM (
+          |  SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+          |  FROM orders GROUP BY 1, 2)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = false),
 
     // ---- set operations ----
