@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix aggregation: cumulative sum/max ordered by a key,
+  * WITHOUT the `Window.orderBy(k)`-with-no-partition global window (which
+  * moves the whole input into one task — the classic scale-killer Spark
+  * itself warns about with "WindowExec: No Partition Defined").
+  *
+  * Plan shape (the canonical distributed prefix-sum):
+  *   1. `repartitionByRange(n, k)` — non-overlapping, ordered key ranges;
+  *   2. partition-local cumulative window (`partitionBy(pid)`), so every
+  *      window task holds ~1/n of the rows;
+  *   3. per-partition totals (≤ n rows — bounded by the partition count,
+  *      never by the data) → exclusive prefix offsets via a triangular
+  *      self-join on `pid` (32×32 nested-loop at n=32; deliberately NOT a
+  *      window, so no unpartitioned WindowExec appears anywhere);
+  *   4. broadcast-join the offsets back and combine.
+  *
+  * The two consumers of the range exchange (local window + totals agg) are
+  * identical subtrees, so Catalyst's ReuseExchange/AQE stage reuse
+  * materializes the shuffle once and both sides observe the same sampled
+  * range boundaries.
+  *
+  * Requirement: `orderCol` must be unique per row (callers pass distinct-
+  * value grids). With duplicate keys a ROWS-frame cumulative is
+  * tie-order-dependent — exactly as it is with the global window this
+  * replaces.
+  */
+object RangeCum {
+
+  /** One cumulative column: `agg` ("sum" | "max") of input column `src`,
+    * emitted as `as`. `inclusive=false` gives the strict-predecessor
+    * frame (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING): null on the global
+    * first row, matching the global-window semantics. */
+  final case class Cum(src: String, as: String, agg: String = "sum",
+      inclusive: Boolean = true)
+
+  def withCums(df: DataFrame, orderCol: String, cums: Seq[Cum],
+      partitions: Int = 0): DataFrame = {
+    require(cums.nonEmpty, "at least one cumulative column")
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pid = "_rc_pid"
+
+    def aggOf(c: Cum)(e: Column): Column = c.agg match {
+      case "sum" => sum(e)
+      case "max" => max(e)
+      case other => throw new IllegalArgumentException(s"unknown agg: $other")
+    }
+
+    val parted = df.repartitionByRange(n, col(orderCol))
+      .withColumn(pid, spark_partition_id())
+
+    val wIncl = Window.partitionBy(col(pid)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wExcl = Window.partitionBy(col(pid)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = cums.foldLeft(parted) { (acc, c) =>
+      acc.withColumn("_rc_loc_" + c.as,
+        aggOf(c)(col(c.src)).over(if (c.inclusive) wIncl else wExcl))
+    }
+
+    val totals = parted.groupBy(col(pid)).agg(
+      aggOf(cums.head)(col(cums.head.src)).as("_rc_tot_" + cums.head.as),
+      cums.tail.map(c => aggOf(c)(col(c.src)).as("_rc_tot_" + c.as)): _*)
+    // exclusive prefix of the totals: offset(p) = agg over all pid < p
+    // (null for the first partition). Left-join keeps empty-prefix rows.
+    val t1 = totals.select(col(pid).as("_rc_p1"))
+    val t2 = totals.select((col(pid).as("_rc_p2") +:
+      cums.map(c => col("_rc_tot_" + c.as))): _*)
+    val offsets = t1.join(t2, col("_rc_p2") < col("_rc_p1"), "left")
+      .groupBy(col("_rc_p1")).agg(
+        aggOf(cums.head)(col("_rc_tot_" + cums.head.as))
+          .as("_rc_off_" + cums.head.as),
+        cums.tail.map(c =>
+          aggOf(c)(col("_rc_tot_" + c.as)).as("_rc_off_" + c.as)): _*)
+      .withColumnRenamed("_rc_p1", pid)
+
+    val joined = local.join(broadcast(offsets), pid)
+    val combined = cums.foldLeft(joined) { (acc, c) =>
+      val l = col("_rc_loc_" + c.as)
+      val o = col("_rc_off_" + c.as)
+      val v = c.agg match {
+        case "sum" => coalesce(l + o, l, o)
+        case _     => greatest(l, o)
+      }
+      acc.withColumn(c.as, v)
+    }
+    combined.drop(pid +: cums.flatMap(c =>
+      Seq("_rc_loc_" + c.as, "_rc_off_" + c.as)): _*)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Curation, Similarity, TextAnalysis}
+import graft.operators.{Curation, RangeCum, Similarity, TextAnalysis}
 import graft.util.Det
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -42,10 +42,15 @@ object CurationQueries {
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c2"))
 
-  /** Cumulative window over the [[twoSampleGrid]]. */
-  private def gridCumWindow =
-    Window.orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  /** Cumulative counts over the [[twoSampleGrid]], scale-safely: the grid
+    * of a continuous column grows linearly with the data (events.value is
+    * ~18% distinct), so a global `Window.orderBy(value)` would move the
+    * whole grid into ONE task at scale. [[RangeCum]] range-partitions on
+    * `value` and stitches partition-local cumsums with broadcast prefix
+    * offsets instead. */
+  private def gridCum(grid: org.apache.spark.sql.DataFrame,
+      cums: Seq[RangeCum.Cum]): org.apache.spark.sql.DataFrame =
+    RangeCum.withCums(grid, "value", cums)
 
   /** The DuckDB CTE text matching [[twoSampleGrid]]. */
   private val twoSampleGridSql: String =
@@ -503,8 +508,8 @@ object CurationQueries {
           |  FROM orders a FULL OUTER JOIN nxt b ON a.o_orderkey = b.o_orderkey
           |)
           |SELECT diff_status, count(*) AS n_rows,
-          |  SUM(CASE WHEN pc THEN 1 ELSE 0 END) AS n_price_changed,
-          |  SUM(CASE WHEN sc THEN 1 ELSE 0 END) AS n_status_changed
+          |  CAST(SUM(CASE WHEN pc THEN 1 ELSE 0 END) AS BIGINT) AS n_price_changed,
+          |  CAST(SUM(CASE WHEN sc THEN 1 ELSE 0 END) AS BIGINT) AS n_status_changed
           |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = false),
 
@@ -676,10 +681,8 @@ object CurationQueries {
     QueryDef("stats_ks_drift",
       (s, d) => {
         val grid = twoSampleGrid(s, d)
-        val w = gridCumWindow
-        grid
-          .select(col("value"), sum(col("c1")).over(w).as("k1"),
-            sum(col("c2")).over(w).as("k2"))
+        gridCum(grid, Seq(RangeCum.Cum("c1", "k1"), RangeCum.Cum("c2", "k2")))
+          .select(col("value"), col("k1"), col("k2"))
           .crossJoin(broadcast(grid.agg(
             sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))))
           .groupBy(col("n1"), col("n2"))
@@ -840,12 +843,14 @@ object CurationQueries {
       (s, d) => {
         val li = Tables.lineitem(s, d)
           .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-        def grid(c: String) = {
-          val w = Window.orderBy(col(c))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-            .select(col(c), (sum(col("cnt")).over(w) * 2 - col("cnt") + 1).as(s"r$c"))
-        }
+        // l_extendedprice is ~97% distinct, so this grid is NOT small:
+        // the cumulative count must be range-partitioned ([[RangeCum]]),
+        // not a global single-task window.
+        def grid(c: String) =
+          RangeCum.withCums(
+            li.groupBy(col(c)).agg(count(lit(1)).as("cnt")),
+            c, Seq(RangeCum.Cum("cnt", "cum")))
+          .select(col(c), (col("cum") * 2 - col("cnt") + 1).as(s"r$c"))
         // rank products and their sums outgrow BIGINT at ~1.3M rows
         // (Σr² ≤ 4n³); DECIMAL(38,0) sums stay exact to ~1e38 — the same
         // headroom DuckDB gets from HUGEINT — so the statistic remains
@@ -898,10 +903,10 @@ object CurationQueries {
     QueryDef("stats_mannwhitney_u",
       (s, d) => {
         val grid = twoSampleGrid(s, d)
-        val w = gridCumWindow
-        val ranked = grid.select(col("c1"), col("c2"),
-          (sum(col("c1") + col("c2")).over(w) * 2 - (col("c1") + col("c2")) + 1)
-            .as("r2"))
+          .withColumn("ct", col("c1") + col("c2"))
+        val ranked = gridCum(grid, Seq(RangeCum.Cum("ct", "cumt")))
+          .select(col("c1"), col("c2"),
+            (col("cumt") * 2 - col("ct") + 1).as("r2"))
         ranked
           .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
             sum(col("c1") * col("r2")).as("rs2"))
@@ -941,9 +946,9 @@ object CurationQueries {
     QueryDef("stats_qq_deciles",
       (s, d) => {
         val grid = twoSampleGrid(s, d)
-        val w = gridCumWindow
-        val cum = grid.select(col("value"),
-          sum(col("c1")).over(w).as("k1"), sum(col("c2")).over(w).as("k2"))
+        val cum = gridCum(grid,
+            Seq(RangeCum.Cum("c1", "k1"), RangeCum.Cum("c2", "k2")))
+          .select(col("value"), col("k1"), col("k2"))
         val tot = grid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
         val deciles = (s.range(1, 10): org.apache.spark.sql.Dataset[java.lang.Long])
           .toDF("dec")
@@ -1145,7 +1150,8 @@ object CurationQueries {
              |    ELSE least(CAST(floor((value - rng.lo) * 20 / (rng.hi - rng.lo))
              |      AS BIGINT), 19) END AS bin,
              |    count(*) AS n,
-             |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+             |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS pos
              |  FROM events, rng GROUP BY 1
              |),
              |pre AS (

@@ -963,7 +963,10 @@ object DocQueries {
         .groupBy(col("tok"))
         .agg(
           count_distinct(col("doc_id")).as("df"),
-          slice(sort_array(collect_set(col("doc_id"))), 1, 100).as("postings"))
+          // comma-joined string, not array<bigint>: the driver's pandas
+          // row-sort cannot order list cells (round-3 harness err)
+          array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 100), ",")
+            .as("postings"))
         .orderBy(col("tok")),
       oracle = Some(
         raw"""WITH toks AS (
@@ -971,7 +974,7 @@ object DocQueries {
              |  FROM documents
              |)
              |SELECT tok, COUNT(DISTINCT doc_id) AS df,
-             |  list_sort(list(DISTINCT doc_id))[1:100] AS postings
+             |  array_to_string(list_sort(list(DISTINCT doc_id))[1:100], ',') AS postings
              |FROM toks GROUP BY tok ORDER BY tok""".stripMargin),
       bench = false),
 

@@ -1815,10 +1815,12 @@ object TpchQueries {
         val p = Tables.part(s, d)
         val perPrice = p.groupBy(col("p_retailprice").as("price"))
           .agg(max(col("p_size")).as("ms"))
-        val wc = Window.orderBy(col("price"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val frontier = perPrice
-          .withColumn("cheaper_ms", max(col("ms")).over(wc))
+        // distinct prices scale with the data (near-continuous), so the
+        // strict-predecessor running max is range-partitioned
+        // (operators.RangeCum), not a global single-task window
+        val frontier = graft.operators.RangeCum.withCums(perPrice, "price",
+          Seq(graft.operators.RangeCum.Cum("ms", "cheaper_ms",
+            agg = "max", inclusive = false)))
         p.join(frontier, p("p_retailprice") === frontier("price"))
           .where(col("p_size") === col("ms") &&
             (col("cheaper_ms").isNull || col("p_size") > col("cheaper_ms")))

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType}
+
+/** Build-time lints over the oracle contract. Two failure classes have
+  * produced red CORRECTNESS rows across rounds without any value being
+  * wrong, and both are statically detectable:
+  *
+  *  1. DuckDB `SUM` over integers returns HUGEINT, which pandas
+  *     materializes as float64 while the Spark side is int64 — a
+  *     dtype-sensitive hash mismatch (bit `pack_sequences` in round 2,
+  *     `snapshot_diff` + `stats_isotonic_calibration` in round 3). Any
+  *     integer `SUM(CASE ... END)` aliased to a FINAL output column must
+  *     be wrapped in `CAST(... AS BIGINT)`. Internal CTE sums that are
+  *     consumed downstream (ratios, casts) are exempt — their dtype
+  *     never reaches the driver.
+  *
+  *  2. The driver's row-sort before hashing is a pandas lexsort over all
+  *     columns; list cells are unhashable there (`text_inverted_index`
+  *     round 3). Oracle-checked results must therefore be flat: no
+  *     array/map top-level columns — flatten to a joined string or
+  *     explode instead.
+  */
+class OracleLintSpec extends SparkSpec {
+
+  private val oracleDefs = SparkEntry.registry.filter(_.oracle.isDefined)
+
+  oracleDefs.foreach { q =>
+    test(s"${q.name}: oracle-checked result has no array/map columns") {
+      val bad = q.fn(spark, sf).schema.fields.filter(f =>
+        f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType])
+      bad.map(_.name).toSeq shouldBe empty
+      spark.catalog.clearCache()
+    }
+  }
+
+  // `SUM(CASE ... END) AS <name>` with no CAST wrapper, matched on the
+  // whitespace-stripped upper-cased SQL so line breaks don't hide it.
+  private val UncastSum = raw"SUM\(CASE.*?END\)AS(\w+)".r
+
+  oracleDefs.foreach { q =>
+    test(s"${q.name}: final integer SUM(CASE) columns are CAST-wrapped") {
+      val outCols = q.fn(spark, sf).schema.fieldNames.map(_.toUpperCase).toSet
+      val norm = q.oracle.get.toUpperCase.replaceAll("\\s+", "")
+      val offenders = UncastSum.findAllMatchIn(norm).filter { m =>
+        val castPrefix =
+          m.start >= 5 && norm.substring(m.start - 5, m.start) == "CAST("
+        // a later CAST(... AS BIGINT) AS <name> re-projection fixes the
+        // dtype before it reaches the driver (psi_drift's CTE pattern)
+        val recastElsewhere = norm.contains(s"ASBIGINT)AS${m.group(1)}")
+        outCols.contains(m.group(1)) && !castPrefix && !recastElsewhere
+      }.map(m => s"${m.group(1)} (offset ${m.start})").toSeq
+      withClue(s"uncast integer SUM aliased to output column(s): ") {
+        offenders shouldBe empty
+      }
+      spark.catalog.clearCache()
+    }
+  }
+}
