@@ -248,10 +248,15 @@ object Dedup {
 
   /** Per-document SimHash fingerprints plus the nearest candidate within
     * `maxHamming` bits (candidates = documents sharing any 16-bit chunk
-    * of the fingerprint — the standard chunk-blocking for Hamming space). */
+    * of the fingerprint — the standard chunk-blocking for Hamming space).
+    * @param maxBucketSize drop chunk buckets larger than this before the
+    *        self-join: a near-duplicate-heavy corpus piles thousands of
+    *        docs onto one 16-bit chunk value, and an uncapped bucket is
+    *        quadratic (same guard as the MinHash-LSH path). Docs in a
+    *        dropped bucket can still pair through their 3 other chunks. */
   def simhashNeighbors(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
     val fp = docs.select(
       col(idCol).as("id"),
       VectorExpressions.simhash(TextAnalysis.tokens(col(textCol))).as("simhash"))
@@ -262,6 +267,9 @@ object Dedup {
           (shiftrightunsigned(col("simhash"), c * 16) bitwiseAND lit(0xffffL)).as("ck"))): _*))
         .as("c"))
       .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("chunk"), col("ck"))))
+      .where(col("bucket_n") <= maxBucketSize)
     val l = chunked.select(col("chunk"), col("ck"), col("id").as("a"), col("simhash").as("sh_a"))
     val r = chunked.select(col("chunk"), col("ck"), col("id").as("b"), col("simhash").as("sh_b"))
     val cand = l.join(r, Seq("chunk", "ck")).where(col("a") =!= col("b"))
@@ -372,24 +380,26 @@ object Dedup {
     * TOKEN — adjacent suffixes that straddle a first-token boundary share
     * a 0-token prefix, so per-bucket windows are exact for any
     * minLen >= 1 and no single-partition global window is needed. Rows =
-    * total tokens; each row carries its own suffix, so the working set is
-    * O(sum of doc_len²) — the inherent cost of uncompressed suffix
-    * mining; at 100 TB the suffix payload is capped (a repeated span
-    * longer than the cap still matches on the cap prefix) and hot
-    * first-token buckets (stopwords) get a second token in the partition
-    * key.
+    * total tokens; each row carries a suffix TRUNCATED to `maxSuffixLen`
+    * tokens, bounding the working set at O(total_tokens × maxSuffixLen)
+    * instead of O(sum of doc_len²). A repeated span longer than the cap
+    * still matches on its cap-length prefix and is reported at span_len
+    * = maxSuffixLen (detection is never lost, only length saturates).
     *
     * Returns (span, span_len, n_pairs, n_cross_doc) per distinct maximal
     * duplicated span. */
   def suffixSpanDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int): DataFrame = {
+      minLen: Int, maxSuffixLen: Int = 256): DataFrame = {
+    require(minLen <= maxSuffixLen,
+      s"minLen $minLen exceeds suffix cap $maxSuffixLen")
     val toksOf = split(trim(col(textCol)), "\\s+")
     val suf = docs
       .select(col(idCol).as("doc_id"), toksOf.as("toks"))
       .select(col("doc_id"), explode(sequence(lit(1), size(col("toks")))).as("pos"),
         col("toks"))
       .select(col("doc_id"), col("pos"),
-        slice(col("toks"), col("pos"), size(col("toks")) - col("pos") + 1).as("suf"),
+        slice(col("toks"), col("pos"),
+          least(size(col("toks")) - col("pos") + 1, lit(maxSuffixLen))).as("suf"),
         element_at(col("toks"), col("pos")).as("bucket"))
       .withColumn("sstr", array_join(col("suf"), " "))
     val w = Window.partitionBy(col("bucket"))

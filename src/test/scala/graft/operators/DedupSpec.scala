@@ -169,4 +169,37 @@ class DedupSpec extends SparkSpec {
     Dedup.suffixSpanDuplicates(solo, "doc_id", "text", minLen = 2)
       .count() shouldBe 0L
   }
+
+  test("suffixSpanDuplicates: maxSuffixLen saturates length, never loses detection") {
+    // two copies of a 40-token doc; with cap 8 the repeat is still found,
+    // reported at the saturated length 8 (the cap-prefix match)
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dup = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+    val spans = Dedup.suffixSpanDuplicates(dup, "doc_id", "text",
+      minLen = 4, maxSuffixLen = 8).collect()
+    spans.length should be > 0
+    spans.map(_.getAs[Long]("span_len")).max shouldBe 8L
+    spans.foreach(_.getAs[Long]("span_len") should be <= 8L)
+    // uncapped twin sees the full 40-token span
+    Dedup.suffixSpanDuplicates(dup, "doc_id", "text", minLen = 4)
+      .collect().map(_.getAs[Long]("span_len")).max shouldBe 40L
+    // cap below minLen is a misconfiguration, not a silent empty result
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.suffixSpanDuplicates(dup, "doc_id", "text",
+        minLen = 9, maxSuffixLen = 8)
+  }
+
+  test("simhashNeighbors: maxBucketSize drops hot chunk buckets, keeps results") {
+    // 30 identical docs -> every chunk bucket has 30 members; a cap of 10
+    // drops all four buckets so no candidates form (each doc keeps its
+    // fingerprint, nn_* null), while cap 1000 pairs everything
+    val hot = (0L until 30L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.simhashNeighbors(hot, "doc_id", "text",
+      maxHamming = 16, maxBucketSize = 10).collect()
+    capped.length shouldBe 30
+    capped.foreach(r => r.isNullAt(r.fieldIndex("nn_id")) shouldBe true)
+    val uncapped = Dedup.simhashNeighbors(hot, "doc_id", "text",
+      maxHamming = 16, maxBucketSize = 1000).collect()
+    uncapped.foreach(r => r.isNullAt(r.fieldIndex("nn_id")) shouldBe false)
+  }
 }
