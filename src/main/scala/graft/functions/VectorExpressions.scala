@@ -179,6 +179,12 @@ object VectorExpressions {
     * is a 16-step integer loop inside whole-stage codegen. */
   case class HilbertKey(left: Expression, right: Expression, order: Int)
       extends BinaryExpression {
+    // order 32+ makes s*s (and the accumulated d) overflow Long silently
+    // — corrupt keys, not an error; order <= 0 degenerates to 0. Validate
+    // in the constructor so every route (Column API, SQL builder,
+    // Layout) is covered.
+    require(order >= 1 && order <= 31,
+      s"hilbert_key order must be in [1, 31], got $order")
     // inputs must already be LongType: the Column wrapper and the SQL
     // builder both insert explicit casts (AbstractDataType — the
     // ImplicitCastInputTypes route — is private[sql])
@@ -216,5 +222,9 @@ object VectorExpressions {
   def wordShinglesAll(text: Column, k: Int): Column =
     GraftBridge.column(WordShinglesAll(GraftBridge.expression(text), k))
   def hilbertKey(x: Column, y: Column, order: Int): Column =
-    GraftBridge.column(HilbertKey(GraftBridge.expression(x), GraftBridge.expression(y), order))
+    // cast here, not just in Layout/SQL: the kernel assumes LongType and
+    // a non-long column would ClassCastException on the interpreted path
+    GraftBridge.column(HilbertKey(
+      GraftBridge.expression(x.cast("long")),
+      GraftBridge.expression(y.cast("long")), order))
 }

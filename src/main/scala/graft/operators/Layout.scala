@@ -58,13 +58,20 @@ object Layout {
     * adjacency/locality guarantee is void. Integer inputs → the double
     * arithmetic is IEEE-identical in both engines. */
   def rangeBucket(c: Column, lo: Column, hi: Column, order: Int): Column =
-    floor((c - lo).cast("double") * lit(math.pow(2.0, order.toDouble))
-      / (hi - lo + 1)).cast("long")
+    // clamp to [0, 2^order): lo/hi routinely come from a stale reference
+    // profile, and an out-of-range key would otherwise produce a bucket
+    // outside the bit walk's domain — exactly the wrap the doc warns of
+    least(greatest(
+        floor((c - lo).cast("double") * lit(math.pow(2.0, order.toDouble))
+          / (hi - lo + 1)).cast("long"),
+        lit(0L)),
+      lit((1L << order) - 1))
 
   /** The DuckDB SQL text matching [[rangeBucket]]. */
   def rangeBucketSql(c: String, lo: String, hi: String, order: Int): String = {
     val n = (1L << order).toString
-    s"CAST(floor(($c - $lo) * CAST($n AS DOUBLE) / ($hi - $lo + 1)) AS BIGINT)"
+    s"least(greatest(CAST(floor(($c - $lo) * CAST($n AS DOUBLE)" +
+      s" / ($hi - $lo + 1)) AS BIGINT), 0), $n - 1)"
   }
 
   /** One Hilbert level: quadrant digit into the accumulator, then the

@@ -169,11 +169,23 @@ object Similarity {
       vecCol: String = "embedding", epsRel: Double = 1e-6): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // uniform dimensionality up front: heterogeneous vector lengths would
+    // silently mis-size mu/C below (max(j)+1 overstates d for the short
+    // vectors, whose missing dimensions then read as mean-shifted zeros)
+    val dims = emb.select(size(col(vecCol)).as("d")).distinct().collect()
+      .map(_.getInt(0)).filter(_ >= 0)
+    require(dims.nonEmpty, "whiten: input has no vectors")
+    require(dims.length == 1,
+      s"whiten: heterogeneous vector lengths ${dims.sorted.mkString(",")}")
+    val d = dims.head
     val x = emb.select(col(idCol),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
-    // one pass learns both the means and the dimensionality
-    val meanRows = x.groupBy(col("j")).agg(avg(col("x")).as("m")).collect()
-    val d = meanRows.map(_.getInt(0)).max + 1
+    // integerized means (Det.fixedAvg): a raw avg() is merge-order-
+    // dependent, which would make the whitening matrix — and every
+    // projected vector — partitioning-dependent, unlike the covariance
+    // pass which is already integerized
+    val meanRows = x.groupBy(col("j"))
+      .agg(Det.fixedAvg(col("x"), 9).as("m")).collect()
     val mu = new Array[Double](d)
     meanRows.foreach(r => mu(r.getInt(0)) = r.getDouble(1))
     val c = Array.ofDim[Double](d, d)

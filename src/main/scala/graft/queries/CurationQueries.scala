@@ -912,9 +912,15 @@ object CurationQueries {
             sum(col("c1") * col("r2")).as("rs2"))
           .select(col("n1"), col("n2"),
             (col("rs2") / lit(2.0) - col("n1") * (col("n1") + 1) / lit(2.0)).as("u1"))
+          // widen to double BEFORE the products: n1·n2·(n1+n2+1) wraps
+          // LongType silently past ~2M rows per side (1.6e19 > Long.Max)
+          // while DuckDB's HUGEINT stays exact — the same latent-scale
+          // divergence stats_spearman already guards against
           .withColumn("z",
-            (col("u1") - col("n1") * col("n2") / lit(2.0)) /
-              sqrt(col("n1") * col("n2") * (col("n1") + col("n2") + 1) / lit(12.0)))
+            (col("u1") - col("n1").cast("double") * col("n2").cast("double")
+              / lit(2.0)) /
+              sqrt(col("n1").cast("double") * col("n2").cast("double")
+                * (col("n1") + col("n2") + 1).cast("double") / lit(12.0)))
       },
       oracle = Some(
         raw"""WITH $twoSampleGridSql,
@@ -931,8 +937,9 @@ object CurationQueries {
              |SELECT n1, n2,
              |  rs2 / CAST(2.0 AS DOUBLE) - n1 * (n1 + 1) / CAST(2.0 AS DOUBLE) AS u1,
              |  (rs2 / CAST(2.0 AS DOUBLE) - n1 * (n1 + 1) / CAST(2.0 AS DOUBLE)
-             |     - n1 * n2 / CAST(2.0 AS DOUBLE))
-             |  / sqrt(n1 * n2 * (n1 + n2 + 1) / CAST(12.0 AS DOUBLE)) AS z
+             |     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(2.0 AS DOUBLE))
+             |  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             |      * CAST(n1 + n2 + 1 AS DOUBLE) / CAST(12.0 AS DOUBLE)) AS z
              |FROM t""".stripMargin),
       bench = false),
 

@@ -1139,7 +1139,12 @@ object DocQueries {
           .join(broadcast(dfA.withColumnRenamed("tok", "a").withColumnRenamed("df", "dfa")), "a")
           .join(broadcast(dfA.withColumnRenamed("tok", "b").withColumnRenamed("df", "dfb")), "b")
           .crossJoin(broadcast(n))
-          .withColumn("pmi", log(col("dfab") * col("n_docs") / (col("dfa") * col("dfb"))))
+          // widen to double BEFORE the products: dfab·n_docs (and
+          // dfa·dfb) are Long products that wrap silently at
+          // multi-billion-doc corpora while the DuckDB side promotes
+          .withColumn("pmi", log(
+            col("dfab").cast("double") * col("n_docs").cast("double")
+              / (col("dfa").cast("double") * col("dfb").cast("double"))))
           .orderBy(Det.toFixed(col("pmi"), 9).desc, col("a"), col("b"))
           .limit(20)
           .select(col("a"), col("b"), col("dfab"), col("dfa"), col("dfb"),
@@ -1159,10 +1164,12 @@ object DocQueries {
              |),
              |n AS (SELECT count(*) AS n_docs FROM documents)
              |SELECT p.a, p.b, p.dfab, fa.df AS dfa, fb.df AS dfb,
-             |  (ROUND(ln(p.dfab * n.n_docs / (fa.df * fb.df)) * 1000000, 0) / 1000000) AS pmi
+             |  (ROUND(ln(CAST(p.dfab AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+             |    / (CAST(fa.df AS DOUBLE) * CAST(fb.df AS DOUBLE))) * 1000000, 0) / 1000000) AS pmi
              |FROM pairs p, dfa fa, dfa fb, n
              |WHERE p.a = fa.tok AND p.b = fb.tok
-             |ORDER BY CAST(ROUND(ln(p.dfab * n.n_docs / (fa.df * fb.df)) * 1000000000, 0) AS BIGINT) DESC,
+             |ORDER BY CAST(ROUND(ln(CAST(p.dfab AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+             |    / (CAST(fa.df AS DOUBLE) * CAST(fb.df AS DOUBLE))) * 1000000000, 0) AS BIGINT) DESC,
              |  p.a, p.b LIMIT 20""".stripMargin),
       bench = false),
 

@@ -254,4 +254,15 @@ class SimilaritySpec extends SparkSpec {
       .agg(max(col("m"))).head().getDouble(0)
     worst should be < 1e-6
   }
+
+  test("whiten: empty input and ragged vectors fail loudly, not as NaN/mis-sized output") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.whiten(empty)
+    val ragged = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.whiten(ragged)
+  }
 }
