@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * imperative per-partition batch transforms (`mapPartitions` over a typed
   * Dataset — the Scala analog of `mapInPandas` batch UDFs).
   *
-  * The decode step is a STUB (this container ships no image/audio codecs):
-  * [[FakeCodec.decode]] derives deterministic pseudo-metadata from the
-  * byte payload. The Spark-side plumbing — binary column handling, typed
-  * Encoders, partition-batch iteration, schema of the decoded struct — is
-  * real and oracle-tested; swapping in a real codec changes only the body
-  * of `FakeCodec.decode`.
+  * Two codecs share the plumbing: [[ImageIoCodec]] decodes real image
+  * bytes (PNG/BMP/GIF/JPEG via the JDK's javax.imageio — no native
+  * libs), and [[FakeCodec]] derives deterministic pseudo-metadata from
+  * the byte payload — the oracle-hashable twin used by the catalog
+  * queries, whose fixtures are text-derived blobs, not images. Audio /
+  * video decode would slot in the same way (no codec in this container).
   */
 object Multimodal {
 
@@ -51,15 +51,69 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec over the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG —
+    * no external native libs needed). Contract differences from the
+    * stub are only in the VALUES:
+    *  - width/height/n_frames come from the actual image header;
+    *  - brightness = mean Rec.601 luminance over a bounded ≤64×64
+    *    sample grid (constant work per image regardless of resolution —
+    *    a full-pixel reduction would make one 8K image a stage straggler);
+    *  - an undecodable payload yields width=height=n_frames=0 rather
+    *    than throwing: one corrupt blob must not kill a 100 TB decode
+    *    job, and n_bytes/content_hash stay usable for exact dedup. */
+  object ImageIoCodec {
+    def decode(r: MediaRecord): DecodedMedia = {
+      val n = r.payload.length.toLong
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hash = md.digest(r.payload).map("%02x".format(_)).mkString
+      def undecoded = DecodedMedia(r.doc_id, n, hash, 0, 0, 0, 0.0)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) undecoded
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, false)
+            val nFrames =
+              try reader.getNumImages(true) catch { case _: Exception => 1 }
+            val img = reader.read(0)
+            val w = img.getWidth; val h = img.getHeight
+            val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+            var sum = 0.0; var cnt = 0; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                cnt += 1; x += sx
+              }
+              y += sy
+            }
+            DecodedMedia(r.doc_id, n, hash, w, h, math.max(nFrames, 1),
+              if (cnt == 0) 0.0 else sum / cnt)
+          } finally reader.dispose()
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => undecoded
+      } finally if (iis != null) iis.close()
+    }
+  }
+
   /** Decode a binary media column partition-batch-wise. The partition
     * iterator is the batch boundary — a real codec would reuse its native
     * context across the whole partition (the reason this is mapPartitions
-    * and not a per-row UDF). */
-  def decodeMedia(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    * and not a per-row UDF). `codec` defaults to the deterministic stub
+    * (the oracle-hashable twin); pass [[ImageIoCodec.decode]] for real
+    * image bytes. */
+  def decodeMedia(media: Dataset[MediaRecord],
+      codec: MediaRecord => DecodedMedia = FakeCodec.decode): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition setup would happen here (codec init, buffers)
-      it.map(FakeCodec.decode)
+      it.map(codec)
     }
   }
 
