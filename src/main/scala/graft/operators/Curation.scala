@@ -198,6 +198,53 @@ object Curation {
     labels.withColumnRenamed("lab", "cluster_id")
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round variant of [[connectedComponents]] for
+    * large-diameter graphs, where min-label propagation needs O(diameter)
+    * sequential jobs (a 60-hop near-dup chain = 60 shuffles).
+    *
+    * Per round, on a canonical edge set (u > v):
+    *  - large-star: every node attaches its STRICTLY LARGER neighbors to
+    *    m = min(N(u) ∪ {u}) — long tails fold up in one hop;
+    *  - small-star: every node attaches its smaller neighbors and itself
+    *    to the group min — stars flatten.
+    * The edge set is a fixpoint exactly when every component is a star
+    * centered at its min node; labels read off as the star centers.
+    * Same (node, cluster_id) contract as [[connectedComponents]]. */
+  def connectedComponentsStar(edges: DataFrame, nodes: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var stable = e.isEmpty
+    var iter = 0
+    while (!stable && iter < maxIter) {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(minsL, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      val minsS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(minsS, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      // both sides are distinct sets: equal counts + empty one-sided
+      // difference ⇔ fixpoint
+      stable = ss.count() == e.count() && ss.exceptAll(e).isEmpty
+      e = ss
+      iter += 1
+    }
+    nodes.join(e.select(col("u").as("node"), col("v").as("ctr")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("ctr"), col("node")).as("cluster_id"))
+  }
+
   /** Model-based quality scoring with a hashed linear classifier — the
     * fasttext-style quality filter of training pipelines (score a document
     * by a linear model over hashed bag-of-words features), expressed as

@@ -314,6 +314,48 @@ object CurationQueries {
            |  node = cluster_id AS is_representative
            |FROM lab ORDER BY vec_id""".stripMargin)),
 
+    // ---- same clustering through the O(log n)-round large-star/small-
+    //      star alternation (Kiveris et al.) — the variant that survives
+    //      large-diameter near-dup chains, where min-label propagation
+    //      needs O(diameter) sequential Spark jobs. Same recursive-CTE
+    //      oracle: both must produce identical components. ----
+    QueryDef("dedup_clusters_star",
+      (s, d) => {
+        val corpus = Tables.embeddings(s, d).where(col("vec_id") < 300)
+        val edges = Similarity.bruteForceNearDupPairs(corpus, threshold = 0.4)
+          .select(col("a"), col("b"))
+        val nodes = corpus.select(col("vec_id").as("node"))
+        Curation.connectedComponentsStar(edges, nodes)
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster_id"))))
+          .withColumn("is_representative", col("node") === col("cluster_id"))
+          .select(col("node").as("vec_id"), col("cluster_id"),
+            col("cluster_size"), col("is_representative"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE
+           |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+           |edges AS (
+           |  SELECT q.vec_id AS a, c.vec_id AS b
+           |  FROM e q JOIN e c ON q.vec_id < c.vec_id
+           |  WHERE ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} >= 0.4
+           |),
+           |sym AS (SELECT a AS x, b AS y FROM edges
+           |        UNION ALL SELECT b AS x, a AS y FROM edges),
+           |reach AS (
+           |  SELECT vec_id AS node, vec_id AS lab FROM e
+           |  UNION
+           |  SELECT s.y AS node, r.lab FROM reach r JOIN sym s ON s.x = r.node
+           |),
+           |lab AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+           |SELECT node AS vec_id, cluster_id,
+           |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           |  node = cluster_id AS is_representative
+           |FROM lab ORDER BY vec_id""".stripMargin),
+      bench = false),
+
     // ---- data-quality profiling (Deequ-style audit): per-column nulls,
     // exact distinct counts, completeness, uniqueness — ONE scan via the
     // multi-distinct Expand plan. A derived NULLIF column exercises the

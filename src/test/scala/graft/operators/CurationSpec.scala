@@ -135,6 +135,38 @@ class CurationSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L)
   }
 
+  test("connectedComponentsStar matches min-label CC on chain + isolated node") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("node")
+    val got = Curation.connectedComponentsStar(edges, nodes)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+  }
+
+  test("connectedComponentsStar converges on a 64-node path where min-label can't") {
+    // diameter 63: min-label propagation moves labels one hop per round,
+    // so 10 rounds leave far nodes mislabeled; star alternation collapses
+    // the whole path within ~log n rounds
+    val n = 64L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L until n).toDF("node")
+    val star = Curation.connectedComponentsStar(edges, nodes, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    star.values.toSet shouldBe Set(0L)
+    val plain = Curation.connectedComponents(edges, nodes, maxIter = 10)
+      .collect().map(r => r.getLong(1)).toSet
+    plain should not be Set(0L)
+  }
+
+  test("connectedComponentsStar: empty edge set labels every node as itself") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val nodes = Seq(7L, 8L).toDF("node")
+    Curation.connectedComponentsStar(edges, nodes)
+      .orderBy("node").as[(Long, Long)].collect().toSeq shouldBe
+      Seq(7L -> 7L, 8L -> 8L)
+  }
+
   test("Profile.profile: one-scan multi-distinct, exact metrics, uniqueness flag") {
     val docs = Tables.documents(spark, sf)
       .withColumn("lang_non_en", nullif(col("lang"), lit("en")))
