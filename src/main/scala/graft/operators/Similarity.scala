@@ -169,6 +169,27 @@ object Similarity {
       vecCol: String = "embedding", epsRel: Double = 1e-6): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val (mu, a) = whitenModel(emb, vecCol, epsRel)
+    val d = mu.length
+    val x = emb.select(col(idCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
+    // relational projection: y_i = Σ_j a_ij (x_j − μ_j)
+    val rows = for (i <- 0 until d; j <- 0 to i if a(i)(j) != 0.0)
+      yield (i, j, a(i)(j), mu(j))
+    val am = rows.toDF("i", "j", "a", "mu")
+    x.join(broadcast(am), Seq("j"))
+      .groupBy(col(idCol), col("i"))
+      .agg(sum(col("a") * (col("x") - col("mu"))).as("y"))
+  }
+
+  /** The whitening MODEL (μ, A = L⁻¹): every distributed input is
+    * integerized (fixedAvg means, fixed-point covariance sums), and the
+    * driver-side Cholesky + forward substitution is a fixed sequence of
+    * IEEE ops on those exact inputs — so the model is bit-identical
+    * across engines and partitionings, and admits an unrolled scalar
+    * DuckDB oracle (embed_whitening_fixed). */
+  def whitenModel(emb: DataFrame, vecCol: String = "embedding",
+      epsRel: Double = 1e-6): (Array[Double], Array[Array[Double]]) = {
     // uniform dimensionality up front: heterogeneous vector lengths would
     // silently mis-size mu/C below (max(j)+1 overstates d for the short
     // vectors, whose missing dimensions then read as mean-shifted zeros)
@@ -178,7 +199,7 @@ object Similarity {
     require(dims.length == 1,
       s"whiten: heterogeneous vector lengths ${dims.sorted.mkString(",")}")
     val d = dims.head
-    val x = emb.select(col(idCol),
+    val x = emb.select(
       posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
     // integerized means (Det.fixedAvg): a raw avg() is merge-order-
     // dependent, which would make the whitening matrix — and every
@@ -219,13 +240,7 @@ object Similarity {
       while (k < i) { s -= l(i)(k) * a(k)(j); k += 1 }
       a(i)(j) = s / l(i)(i)
     }
-    // relational projection: y_i = Σ_j a_ij (x_j − μ_j)
-    val rows = for (i <- 0 until d; j <- 0 to i if a(i)(j) != 0.0)
-      yield (i, j, a(i)(j), mu(j))
-    val am = rows.toDF("i", "j", "a", "mu")
-    x.join(broadcast(am), Seq("j"))
-      .groupBy(col(idCol), col("i"))
-      .agg(sum(col("a") * (col("x") - col("mu"))).as("y"))
+    (mu, a)
   }
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): cluster

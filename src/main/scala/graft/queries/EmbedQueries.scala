@@ -666,8 +666,142 @@ object EmbedQueries {
           .orderBy(col("i"), col("j"))
       },
       oracle = None,
+      bench = false),
+
+    // ---- whitening, ORACLE-EXACT twin over the first 8 dims: the model
+    //      (μ, A = L⁻¹) has integerized distributed inputs (fixedAvg
+    //      means, fixed-point covariance sums), so the driver-side
+    //      Cholesky + forward substitution is a fixed IEEE op sequence on
+    //      exact inputs — mirrored operation-for-operation by an UNROLLED
+    //      scalar CTE chain in DuckDB (36 L entries + 36 A entries as
+    //      lateral column aliases). Projection is an exact integerized
+    //      per-term sum. The em_gmm_fixed recipe applied to whiten. ----
+    QueryDef("embed_whitening_fixed",
+      (s, d) => {
+        val emb8 = Tables.embeddings(s, d)
+          .select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+        val (mu, a) = Similarity.whitenModel(emb8)
+        val dd = mu.length
+        import s.implicits._
+        val rows = for (i <- 0 until dd; j <- 0 to i)
+          yield (i, j, a(i)(j), mu(j))
+        val am = rows.toDF("i", "j", "a", "mu")
+        val x = emb8.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("j", "x")))
+        x.join(broadcast(am), Seq("j"))
+          .groupBy(col("vec_id"), col("i"))
+          .agg((sum(Det.toFixed(col("a") * (col("x") - col("mu")), 9))
+            .cast("double") / lit(1e9)).as("yraw"))
+          .select(col("vec_id"), col("i"), Det.fixed(col("yraw"), 6).as("y"))
+          .orderBy(col("vec_id"), col("i"))
+      },
+      oracle = Some(whitenFixedOracleSql(8)),
       bench = false)
   )
+
+  /** Unrolled scalar oracle for [[Similarity.whitenModel]] + integerized
+    * projection, dimension `d` (d=8 → 36+36 generated scalar columns).
+    * Mirrors the Scala op ORDER exactly: left-to-right subtraction chains
+    * in the Cholesky/substitution, (epsRel·Σdiag)/d for ε, and the same
+    * integerized mean/covariance sums as the Spark side. */
+  private def whitenFixedOracleSql(d: Int, covScale: Int = 7): String = {
+    val fc = "1" + ("0" * covScale)
+    // pivoted covariance cell name for matrix entry (i,j) (stored upper)
+    def cc(i: Int, j: Int) = if (i <= j) s"c_${i}_$j" else s"c_${j}_$i"
+    val pivotCols = (for (i <- 0 until d; j <- i until d) yield
+      s"MAX(CASE WHEN i = $i AND j = $j THEN cov END) AS c_${i}_$j")
+      .mkString(",\n    ")
+    val epsSum = (0 until d).map(i => s"c_${i}_$i").mkString(" + ")
+    val cdCols = (0 until d).map(i =>
+      s"(c_${i}_$i + eps) AS cd_$i").mkString(",\n    ")
+    // ONE CTE PER PIVOT ROW: DuckDB lateral column aliases expand by
+    // SUBSTITUTION, so a single SELECT holding the whole 36-entry
+    // dependency chain is exponential in expression size (observed: the
+    // flat form never finishes). CTE boundaries materialize each row's
+    // columns as projections; within a row the substitution depth is
+    // at most d.
+    val cholCtes = (0 until d).map { i =>
+      val prev = if (i == 0) "cw0" else s"chol${i - 1}"
+      val cols = (0 to i).map { j =>
+        if (i == j) {
+          val subs = (0 until i).map(k => s" - l_${i}_$k * l_${i}_$k").mkString
+          s"sqrt(cd_$i$subs) AS l_${i}_$i"
+        } else {
+          val subs = (0 until j).map(k => s" - l_${i}_$k * l_${j}_$k").mkString
+          s"((${cc(i, j)}$subs) / l_${j}_$j) AS l_${i}_$j"
+        }
+      }.mkString(",\n    ")
+      s"chol$i AS (\n  SELECT *,\n    $cols\n  FROM $prev\n)"
+    }.mkString(",\n")
+    // inverse rows reference only strictly earlier rows — clean layering
+    val invCtes = (0 until d).map { i =>
+      val prev = if (i == 0) s"chol${d - 1}" else s"inv${i - 1}"
+      val cols = (0 to i).map { j =>
+        val init = if (i == j) "CAST(1.0 AS DOUBLE)" else "CAST(0.0 AS DOUBLE)"
+        val subs = (j until i).map(k => s" - l_${i}_$k * a_${k}_$j").mkString
+        s"(($init$subs) / l_${i}_$i) AS a_${i}_$j"
+      }.mkString(",\n    ")
+      s"inv$i AS (\n  SELECT *,\n    $cols\n  FROM $prev\n)"
+    }.mkString(",\n")
+    // single scan of the final CTE: unnest a struct list instead of 36
+    // UNION ALL references (each reference re-evaluates the whole chain)
+    val amStructs = (for (i <- 0 until d; j <- 0 to i) yield
+      s"{'i': $i, 'j': $j, 'a': a_${i}_$j}").mkString(",\n      ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(range(0, $d)) AS j,
+       |    unnest(list_transform(embedding[1:$d], t -> CAST(t AS DOUBLE))) AS x
+       |  FROM embeddings
+       |),
+       |mu AS (
+       |  SELECT j, ${Det.fixedAvgSql("x", 9)} AS m FROM ex GROUP BY j
+       |),
+       |pairs AS (
+       |  SELECT p.j AS i, q.j AS j, p.x AS xi, q.x AS xj
+       |  FROM ex p JOIN ex q ON p.vec_id = q.vec_id AND q.j >= p.j
+       |),
+       |st AS (
+       |  SELECT i, j, count(*) AS n,
+       |    SUM(${Det.toFixedSql("xi * xj", covScale)}) AS sxy,
+       |    SUM(${Det.toFixedSql("xi", covScale)}) AS sx,
+       |    SUM(${Det.toFixedSql("xj", covScale)}) AS sy
+       |  FROM pairs GROUP BY 1, 2
+       |),
+       |c AS (
+       |  SELECT i, j,
+       |    (CAST(sxy AS DOUBLE) / $fc / CAST(n AS DOUBLE))
+       |    - (CAST(sx AS DOUBLE) / $fc / CAST(n AS DOUBLE))
+       |    * (CAST(sy AS DOUBLE) / $fc / CAST(n AS DOUBLE)) AS cov
+       |  FROM st
+       |),
+       |cw AS (
+       |  SELECT
+       |    $pivotCols
+       |  FROM c
+       |),
+       |cw0 AS (
+       |  SELECT *,
+       |    ((CAST(1e-06 AS DOUBLE) * ($epsSum)) / CAST($d.0 AS DOUBLE)) AS eps,
+       |    $cdCols
+       |  FROM cw
+       |),
+       |$cholCtes,
+       |$invCtes,
+       |am AS (
+       |  SELECT s['i'] AS i, s['j'] AS j, s['a'] AS a FROM (
+       |    SELECT unnest([
+       |      $amStructs
+       |    ]) AS s FROM inv${d - 1}
+       |  )
+       |)
+       |SELECT e.vec_id, am.i AS i,
+       |  ${Det.fixedSql(
+          s"CAST(SUM(${Det.toFixedSql("am.a * (e.x - mu.m)", 9)}) AS DOUBLE)" +
+            " / 1000000000", 6)} AS y
+       |FROM ex e
+       |JOIN mu ON mu.j = e.j
+       |JOIN am ON am.j = e.j
+       |GROUP BY 1, 2 ORDER BY vec_id, i""".stripMargin
+  }
 
   /** Chained-CTE oracle for [[graft.operators.LogReg.fitFixedPoint]]:
     * one (g_t, w_t) CTE pair per GD iteration. Every float op is either
