@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   *      window, so no unpartitioned WindowExec appears anywhere);
   *   4. broadcast-join the offsets back and combine.
   *
-  * The two consumers of the range exchange (local window + totals agg) are
-  * identical subtrees, so Catalyst's ReuseExchange/AQE stage reuse
-  * materializes the shuffle once and both sides observe the same sampled
-  * range boundaries.
+  * The parted frame is persist()ed for the query's duration:
+  * `spark_partition_id()` is nondeterministic to Catalyst, so
+  * ReuseExchange will NOT dedupe the three consumers (local window,
+  * totals, offsets join) — without the cache each branch would re-run
+  * the scan + range exchange AND re-sample its own range boundaries,
+  * which must be identical across branches for the pid join to be
+  * consistent. Callers (Verify/Bench harness) clearCache() per query,
+  * the same lifecycle as Dedup's staged signature tables.
   *
   * Requirement: `orderCol` must be unique per row (callers pass distinct-
   * value grids). With duplicate keys a ROWS-frame cumulative is
@@ -53,6 +57,7 @@ object RangeCum {
 
     val parted = df.repartitionByRange(n, col(orderCol))
       .withColumn(pid, spark_partition_id())
+      .persist()
 
     val wIncl = Window.partitionBy(col(pid)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
