@@ -46,7 +46,9 @@ class RetrievalSpec extends SparkSpec {
     rows.length should be > 0
     rows.foreach { r =>
       val df = r.getAs[Long]("df")
-      val postings = r.getAs[scala.collection.Seq[Long]]("postings")
+      // comma-joined string since round 4 (the driver's hash compare
+      // cannot order list cells)
+      val postings = r.getAs[String]("postings").split(',').map(_.toLong).toSeq
       postings.length.toLong shouldBe math.min(df, 100L)
       postings shouldBe postings.sorted // deterministic order
       postings.distinct.length shouldBe postings.length
