@@ -376,10 +376,16 @@ object Dedup {
     * its length, so adjacent LCPs find every repeat; contrast with
     * [[spanDuplication]], which is bound to one k-gram granularity).
     *
-    * Distributed shape: the global suffix sort is partitioned by FIRST
-    * TOKEN — adjacent suffixes that straddle a first-token boundary share
-    * a 0-token prefix, so per-bucket windows are exact for any
-    * minLen >= 1 and no single-partition global window is needed. Rows =
+    * Distributed shape: the global suffix sort is partitioned by the
+    * first min(minLen, 2) TOKENS. Exactness: a repeated span of length
+    * >= minLen makes its adjacent suffix pair share that many leading
+    * tokens, hence the same bucket; and no suffix can sort strictly
+    * between two suffixes sharing a 2-token prefix without sharing that
+    * prefix itself, so within-bucket adjacency equals global adjacency
+    * for every pair that can pass the filter. Two-token bucketing is
+    * what breaks up the hot stopword-headed buckets ("the …" is a
+    * double-digit percent of English suffixes — a single-task straggler
+    * under first-token bucketing). Rows =
     * total tokens; each row carries a suffix TRUNCATED to `maxSuffixLen`
     * tokens, bounding the working set at O(total_tokens × maxSuffixLen)
     * instead of O(sum of doc_len²). A repeated span longer than the cap
@@ -400,7 +406,9 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         slice(col("toks"), col("pos"),
           least(size(col("toks")) - col("pos") + 1, lit(maxSuffixLen))).as("suf"),
-        element_at(col("toks"), col("pos")).as("bucket"))
+        array_join(slice(col("toks"), col("pos"),
+          least(size(col("toks")) - col("pos") + 1,
+            lit(math.min(minLen, 2)))), " ").as("bucket"))
       .withColumn("sstr", array_join(col("suf"), " "))
     val w = Window.partitionBy(col("bucket"))
       .orderBy(col("sstr"), col("doc_id"), col("pos"))

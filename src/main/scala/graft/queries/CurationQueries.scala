@@ -1112,11 +1112,13 @@ object CurationQueries {
           .filter(col("event_type") === "error")
           .groupBy(date_trunc("hour", col("ts")).as("hour"))
           .agg(count(lit(1)).as("x"))
-        val w = Window.orderBy(col("hour"))
-        val cum = hourly.select(col("hour"),
-          row_number().over(w).cast("long").as("t"),
-          sum(col("x")).over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)).as("kt"))
+        // hour grid is time-bounded, but the cumulative still goes
+        // through RangeCum: uniform plan shape, no single-partition
+        // window anywhere in the catalog (t = cumsum of ones ≡
+        // row_number on the unique hour grid)
+        val cum = RangeCum.withCums(hourly.withColumn("one", lit(1L)),
+            "hour", Seq(RangeCum.Cum("one", "t"), RangeCum.Cum("x", "kt")))
+          .select(col("hour"), col("t"), col("kt"))
         val tot = hourly.agg(count(lit(1)).as("nh"), sum(col("x")).as("s"))
         cum.crossJoin(broadcast(tot))
           .select(col("hour"), col("t"), col("nh"),
@@ -1168,13 +1170,14 @@ object CurationQueries {
             when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
           .groupBy(col("bin"))
           .agg(count(lit(1)).as("n"), sum(col("p")).as("pos"))
-        val w = Window.orderBy(col("bin"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // pre is referenced four times (i/j sides, the kb list, the final
         // join) — checkpoint the B-row frame so the O(rows) binning
-        // aggregate runs ONCE, as the scale story claims
-        val pre = grid.select(col("bin"), col("n"), col("pos"),
-          sum(col("n")).over(w).as("cn"), sum(col("pos")).over(w).as("cp"))
+        // aggregate runs ONCE, as the scale story claims; cumulatives go
+        // through RangeCum (20-bin input, but no unpartitioned window
+        // remains anywhere in the catalog)
+        val pre = RangeCum.withCums(grid, "bin",
+            Seq(RangeCum.Cum("n", "cn"), RangeCum.Cum("pos", "cp")))
+          .select(col("bin"), col("n"), col("pos"), col("cn"), col("cp"))
           .localCheckpoint()
         val avgs = pre.as("i").join(pre.as("j"), col("j.bin") >= col("i.bin"))
           .select(col("i.bin").as("ib"), col("j.bin").as("jb"),

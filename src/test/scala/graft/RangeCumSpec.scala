@@ -75,7 +75,8 @@ class RangeCumSpec extends SparkSpec {
   // window: their grid cardinality scales with the data.
   private val rewritten =
     Seq("stats_ks_drift", "stats_mannwhitney_u", "stats_qq_deciles",
-      "stats_spearman", "sort_pareto_skyline")
+      "stats_spearman", "sort_pareto_skyline", "events_changepoint",
+      "stats_isotonic_calibration")
 
   rewritten.foreach { name =>
     test(s"$name: plan has no unpartitioned Window over row-scaling input") {
