@@ -21,6 +21,7 @@ object BenchReps {
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("REPS.json")
     val reps = if (args.length > 1) args(1).toInt else 5
+    require(reps >= 1, s"reps must be >= 1, got $reps")
     val queries = if (args.length > 2) args.drop(2).toSeq else defaultQueries
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,8 +49,10 @@ object BenchReps {
       val sorted = times.sorted
       // the median absorbs both rep-1 codegen/JIT cost and single-rep
       // host transients; the full rep list is kept so cold-vs-warm is
-      // visible in the artifact
-      val median = sorted(reps / 2)
+      // visible in the artifact (true median: middle-two mean when even)
+      val median =
+        if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
       System.err.println(
         s"[reps] $name: ${times.map(fmt).mkString(", ")} (median ${fmt(median)})")
       val repsJson = times.map(fmt).mkString("[", ",", "]")

@@ -80,7 +80,9 @@ object Multimodal {
               try reader.getNumImages(true) catch { case _: Exception => 1 }
             val img = reader.read(0)
             val w = img.getWidth; val h = img.getHeight
-            val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+            // ceil division: floor would sample 65..127-px dims at every
+            // pixel, 4x the documented <=64x64 budget
+            val sx = math.max(1, (w + 63) / 64); val sy = math.max(1, (h + 63) / 64)
             var sum = 0.0; var cnt = 0; var y = 0
             while (y < h) {
               var x = 0

@@ -240,8 +240,13 @@ object Curation {
       e = ss
       iter += 1
     }
-    nodes.join(e.select(col("u").as("node"), col("v").as("ctr")),
-        Seq("node"), "left")
+    // At the fixpoint every non-center node has exactly ONE star edge;
+    // if maxIter exhausted mid-convergence a node may still carry
+    // several candidate centers — take the min so the one-row-per-node
+    // contract holds unconditionally (labels are then stale the same
+    // way the min-label variant's are, never structurally duplicated).
+    val centers = e.groupBy(col("u").as("node")).agg(min(col("v")).as("ctr"))
+    nodes.join(centers, Seq("node"), "left")
       .select(col("node"), coalesce(col("ctr"), col("node")).as("cluster_id"))
   }
 

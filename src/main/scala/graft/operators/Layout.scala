@@ -60,18 +60,23 @@ object Layout {
   def rangeBucket(c: Column, lo: Column, hi: Column, order: Int): Column =
     // clamp to [0, 2^order): lo/hi routinely come from a stale reference
     // profile, and an out-of-range key would otherwise produce a bucket
-    // outside the bit walk's domain — exactly the wrap the doc warns of
-    least(greatest(
-        floor((c - lo).cast("double") * lit(math.pow(2.0, order.toDouble))
-          / (hi - lo + 1)).cast("long"),
-        lit(0L)),
-      lit((1L << order) - 1))
+    // outside the bit walk's domain — exactly the wrap the doc warns of.
+    // NULL inputs must stay NULL: least/greatest SKIP nulls (both
+    // engines), so the clamp alone would silently send null-keyed rows
+    // to bucket 0 instead of propagating.
+    when(c.isNull || lo.isNull || hi.isNull, lit(null).cast("long"))
+      .otherwise(least(greatest(
+          floor((c - lo).cast("double") * lit(math.pow(2.0, order.toDouble))
+            / (hi - lo + 1)).cast("long"),
+          lit(0L)),
+        lit((1L << order) - 1)))
 
   /** The DuckDB SQL text matching [[rangeBucket]]. */
   def rangeBucketSql(c: String, lo: String, hi: String, order: Int): String = {
     val n = (1L << order).toString
-    s"least(greatest(CAST(floor(($c - $lo) * CAST($n AS DOUBLE)" +
-      s" / ($hi - $lo + 1)) AS BIGINT), 0), $n - 1)"
+    s"CASE WHEN $c IS NULL OR $lo IS NULL OR $hi IS NULL THEN NULL" +
+      s" ELSE least(greatest(CAST(floor(($c - $lo) * CAST($n AS DOUBLE)" +
+      s" / ($hi - $lo + 1)) AS BIGINT), 0), $n - 1) END"
   }
 
   /** One Hilbert level: quadrant digit into the accumulator, then the

@@ -193,7 +193,10 @@ object Similarity {
     // uniform dimensionality up front: heterogeneous vector lengths would
     // silently mis-size mu/C below (max(j)+1 overstates d for the short
     // vectors, whose missing dimensions then read as mean-shifted zeros)
-    val dims = emb.select(size(col(vecCol)).as("d")).distinct().collect()
+    // null vectors: size() yields NULL — skip them (posexplode drops
+    // those rows below anyway), don't NPE in the unboxing collect
+    val dims = emb.select(size(col(vecCol)).as("d"))
+      .where(col("d").isNotNull).distinct().collect()
       .map(_.getInt(0)).filter(_ >= 0)
     require(dims.nonEmpty, "whiten: input has no vectors")
     require(dims.length == 1,

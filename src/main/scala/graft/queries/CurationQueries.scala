@@ -951,9 +951,14 @@ object CurationQueries {
             (col("cumt") * 2 - col("ct") + 1).as("r2"))
         ranked
           .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
-            sum(col("c1") * col("r2")).as("rs2"))
+            // rank-sum ~ 2n² wraps LongType near 2.1e9 rows/side; the
+            // DECIMAL(38,0) product+sum stays exact to ~1e38 (the same
+            // headroom as DuckDB's HUGEINT sum), matching stats_spearman
+            sum(col("c1").cast("decimal(38,0)") * col("r2")).as("rs2"))
           .select(col("n1"), col("n2"),
-            (col("rs2") / lit(2.0) - col("n1") * (col("n1") + 1) / lit(2.0)).as("u1"))
+            (col("rs2").cast("double") / lit(2.0)
+              - col("n1").cast("double") * (col("n1") + 1).cast("double")
+                / lit(2.0)).as("u1"))
           // widen to double BEFORE the products: n1·n2·(n1+n2+1) wraps
           // LongType silently past ~2M rows per side (1.6e19 > Long.Max)
           // while DuckDB's HUGEINT stays exact — the same latent-scale
@@ -973,12 +978,14 @@ object CurationQueries {
              |),
              |t AS (
              |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
-             |    CAST(SUM(c1 * r2) AS BIGINT) AS rs2
+             |    SUM(CAST(c1 AS HUGEINT) * r2) AS rs2
              |  FROM r
              |)
              |SELECT n1, n2,
-             |  rs2 / CAST(2.0 AS DOUBLE) - n1 * (n1 + 1) / CAST(2.0 AS DOUBLE) AS u1,
-             |  (rs2 / CAST(2.0 AS DOUBLE) - n1 * (n1 + 1) / CAST(2.0 AS DOUBLE)
+             |  CAST(rs2 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+             |    - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / CAST(2.0 AS DOUBLE) AS u1,
+             |  (CAST(rs2 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+             |     - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / CAST(2.0 AS DOUBLE)
              |     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(2.0 AS DOUBLE))
              |  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
              |      * CAST(n1 + n2 + 1 AS DOUBLE) / CAST(12.0 AS DOUBLE)) AS z

@@ -981,9 +981,11 @@ object DocQueries {
     // ---- Suffix-array span mining (Dedup.suffixSpanDuplicates): every
     //      maximal repeated span >= 4 tokens via sorted-suffix adjacent
     //      LCPs — the granularity-free upgrade of the k-gram span dedup
-    //      (NOTES.md round-4 candidate). First-token bucketing makes the
-    //      suffix-sort window distributed-exact (cross-bucket neighbors
-    //      share a 0-token prefix). Top-100 by span length. ----
+    //      (NOTES.md round-4 candidate). Two-token bucketing (min(minLen,2))
+    //      keeps the suffix-sort window distributed-exact while splitting
+    //      hot stopword-headed buckets; suffix payloads truncate at 256
+    //      tokens on BOTH engines (span_len saturates at the cap).
+    //      Top-100 by span length. ----
     QueryDef("dedup_span_suffix",
       (s, d) => Dedup.suffixSpanDuplicates(
           Tables.documents(s, d), "doc_id", "text", minLen = 4)
@@ -995,8 +997,9 @@ object DocQueries {
              |  FROM documents
              |),
              |suf AS (
-             |  SELECT doc_id, i AS pos, toks[i:] AS suf,
-             |    array_to_string(toks[i:], ' ') AS sstr, toks[i] AS bucket
+             |  SELECT doc_id, i AS pos, toks[i:i+255] AS suf,
+             |    array_to_string(toks[i:i+255], ' ') AS sstr,
+             |    array_to_string(toks[i:i+1], ' ') AS bucket
              |  FROM (SELECT doc_id, toks,
              |          unnest(generate_series(1, len(toks))) AS i FROM t)
              |),

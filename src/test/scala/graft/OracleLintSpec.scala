@@ -25,35 +25,48 @@ class OracleLintSpec extends SparkSpec {
 
   private val oracleDefs = SparkEntry.registry.filter(_.oracle.isDefined)
 
+  // Building a DataFrame can run real driver-side work (model-fit
+  // collects, localCheckpoints); both test families share one schema
+  // per query instead of paying that cost twice.
+  private val schemaCache =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
+  private def schemaOf(q: graft.QueryDef) =
+    schemaCache.getOrElseUpdate(q.name, {
+      val s = q.fn(spark, sf).schema
+      spark.catalog.clearCache()
+      s
+    })
+
   oracleDefs.foreach { q =>
     test(s"${q.name}: oracle-checked result has no array/map columns") {
-      val bad = q.fn(spark, sf).schema.fields.filter(f =>
+      val bad = schemaOf(q).fields.filter(f =>
         f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType])
       bad.map(_.name).toSeq shouldBe empty
-      spark.catalog.clearCache()
     }
   }
 
-  // `SUM(CASE ... END) AS <name>` with no CAST wrapper, matched on the
-  // whitespace-stripped upper-cased SQL so line breaks don't hide it.
-  private val UncastSum = raw"SUM\(CASE.*?END\)AS(\w+)".r
+  // `SUM(CASE ... END) AS <name>` with no CAST wrapper, matched on
+  // single-space-normalized upper-cased SQL. NOT fully whitespace-
+  // stripped: stripping would glue a final-position alias to the next
+  // keyword ("AS POS\nFROM" → "ASPOSFROM"), silently passing the exact
+  // position where both historical regressions sat.
+  private val UncastSum = raw"SUM\(CASE .*?END\) AS (\w+)".r
 
   oracleDefs.foreach { q =>
     test(s"${q.name}: final integer SUM(CASE) columns are CAST-wrapped") {
-      val outCols = q.fn(spark, sf).schema.fieldNames.map(_.toUpperCase).toSet
-      val norm = q.oracle.get.toUpperCase.replaceAll("\\s+", "")
+      val outCols = schemaOf(q).fieldNames.map(_.toUpperCase).toSet
+      val norm = q.oracle.get.toUpperCase.replaceAll("\\s+", " ")
       val offenders = UncastSum.findAllMatchIn(norm).filter { m =>
         val castPrefix =
           m.start >= 5 && norm.substring(m.start - 5, m.start) == "CAST("
         // a later CAST(... AS BIGINT) AS <name> re-projection fixes the
         // dtype before it reaches the driver (psi_drift's CTE pattern)
-        val recastElsewhere = norm.contains(s"ASBIGINT)AS${m.group(1)}")
+        val recastElsewhere = norm.contains(s"AS BIGINT) AS ${m.group(1)}")
         outCols.contains(m.group(1)) && !castPrefix && !recastElsewhere
       }.map(m => s"${m.group(1)} (offset ${m.start})").toSeq
       withClue(s"uncast integer SUM aliased to output column(s): ") {
         offenders shouldBe empty
       }
-      spark.catalog.clearCache()
     }
   }
 }
