@@ -229,4 +229,35 @@ object PropertySpec extends Properties("graft") {
       val want = xs.sortBy { case (v, id) => (-v, -id) }.take(k)
       got == want
     }
+
+  property("RangeCum == global-window cumulative for any keys/partitions") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L)).map(_.distinct),
+      Gen.listOfN(64, Gen.choose(-99L, 99L)),
+      Gen.choose(1, 9)) { (keys, vals, nParts) =>
+      val rows = keys.zip(vals ++ List.fill(keys.size)(0L)).map {
+        case (k, v) => (k, v)
+      }
+      val df = rows.toDF("k", "v")
+      val got = graft.operators.RangeCum.withCums(df, "k",
+          Seq(graft.operators.RangeCum.Cum("v", "cs"),
+            graft.operators.RangeCum.Cum("v", "pm", agg = "max",
+              inclusive = false)),
+          partitions = nParts)
+        .select(col("k"), col("cs"), col("pm"))
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+      // scalar reference: running sum + strict-predecessor running max
+      val sorted = rows.sortBy(_._1)
+      var acc = 0L
+      var mx: Option[Long] = None
+      val want = sorted.map { case (k, v) =>
+        acc += v
+        val out = (k, acc, mx)
+        mx = Some(mx.fold(v)(math.max(_, v)))
+        out
+      }
+      got == want
+    }
 }
