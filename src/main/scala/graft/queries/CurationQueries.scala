@@ -314,6 +314,36 @@ object CurationQueries {
            |  node = cluster_id AS is_representative
            |FROM lab ORDER BY vec_id""".stripMargin)),
 
+    // ---- per-group exact-k sampling: the k smallest hash-u PER LANG
+    //      (the grouped sibling of sample_exact_k). Plan shape is
+    //      WindowGroupLimit: each map task keeps ≤ k rows per group
+    //      BEFORE the shuffle, so the exchange carries ≤ k·|groups| rows
+    //      per partition regardless of corpus size — the distributed
+    //      replacement for per-group reservoir sampling, deterministic
+    //      and append-auditable like every sampler here. ----
+    QueryDef("sample_group_exact_k", {
+      val seed = 7L
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            Curation.hashU(col("doc_id"), seed).as("u"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("lang")).orderBy(col("u"), col("doc_id")))
+            .cast("long"))
+          .where(col("rn") <= 10)
+          .select(col("lang"), col("rn"), col("doc_id"), col("u"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      oracle = Some(
+        s"""SELECT lang, rn, doc_id, u FROM (
+           |  SELECT lang, doc_id, ${uSql("doc_id", 7L)} AS u,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY ${uSql("doc_id", 7L)}, doc_id) AS BIGINT) AS rn
+           |  FROM documents
+           |) WHERE rn <= 10 ORDER BY lang, rn""".stripMargin),
+      bench = false),
+
     // ---- same clustering through the O(log n)-round large-star/small-
     //      star alternation (Kiveris et al.) — the variant that survives
     //      large-diameter near-dup chains, where min-label propagation
@@ -354,6 +384,65 @@ object CurationQueries {
            |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            |  node = cluster_id AS is_representative
            |FROM lab ORDER BY vec_id""".stripMargin),
+      bench = false),
+
+    // ---- cluster resolution with a QUALITY tie-break: keep the
+    //      highest-quality member of each near-dup cluster (quality =
+    //      embedding L2 norm here; any per-doc score slots in), min-id
+    //      on ties — what a curation pipeline actually wants, vs the
+    //      arbitrary min-id representative. Argmax via the struct-max
+    //      aggregate (one grouped agg over the labeled nodes — no
+    //      per-cluster window over the corpus); quality rounded to a
+    //      fixed grid so the pick is engine-exact. ----
+    QueryDef("dedup_best_in_cluster",
+      (s, d) => {
+        val corpus = Tables.embeddings(s, d).where(col("vec_id") < 300)
+        val edges = Similarity.bruteForceNearDupPairs(corpus, threshold = 0.4)
+          .select(col("a"), col("b"))
+        val nodes = corpus.select(col("vec_id").as("node"))
+        val cc = Curation.connectedComponentsStar(edges, nodes)
+        val q = corpus.select(col("vec_id").as("node"),
+          Det.fixed(graft.functions.VectorExpressions.l2Norm(col("embedding")), 6)
+            .as("quality"))
+        val labeled = cc.join(q, Seq("node"))
+        val reps = labeled.groupBy(col("cluster_id"))
+          .agg(max(struct(col("quality"), (-col("node")).as("negid"))).as("b"))
+          .select(col("cluster_id"), (-col("b.negid")).as("keep_id"))
+        labeled.join(broadcast(reps), Seq("cluster_id"))
+          .select(col("node").as("vec_id"), col("cluster_id"), col("quality"),
+            col("keep_id"), (col("node") === col("keep_id")).as("kept"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE
+           |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+           |edges AS (
+           |  SELECT q.vec_id AS a, c.vec_id AS b
+           |  FROM e q JOIN e c ON q.vec_id < c.vec_id
+           |  WHERE ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} >= 0.4
+           |),
+           |sym AS (SELECT a AS x, b AS y FROM edges
+           |        UNION ALL SELECT b AS x, a AS y FROM edges),
+           |reach AS (
+           |  SELECT vec_id AS node, vec_id AS lab FROM e
+           |  UNION
+           |  SELECT s.y AS node, r.lab FROM reach r JOIN sym s ON s.x = r.node
+           |),
+           |lab AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+           |q AS (
+           |  SELECT vec_id AS node, ${Det.fixedSql(
+                "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))", 6)} AS quality
+           |  FROM e
+           |),
+           |j AS (SELECT lab.node, lab.cluster_id, q.quality
+           |      FROM lab JOIN q ON lab.node = q.node),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |        ORDER BY quality DESC, node) AS rk FROM j),
+           |reps AS (SELECT cluster_id, node AS keep_id FROM r WHERE rk = 1)
+           |SELECT j.node AS vec_id, j.cluster_id, j.quality, reps.keep_id,
+           |  j.node = reps.keep_id AS kept
+           |FROM j JOIN reps ON j.cluster_id = reps.cluster_id
+           |ORDER BY vec_id""".stripMargin),
       bench = false),
 
     // ---- data-quality profiling (Deequ-style audit): per-column nulls,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{SparkSpec, Tables}
+import graft.{SparkEntry, SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class CurationSpec extends SparkSpec {
@@ -157,6 +157,35 @@ class CurationSpec extends SparkSpec {
     val plain = Curation.connectedComponents(edges, nodes, maxIter = 10)
       .collect().map(r => r.getLong(1)).toSet
     plain should not be Set(0L)
+  }
+
+  test("sample_group_exact_k: <= k rows per group, stable under reordering") {
+    val out = SparkEntry.queries("sample_group_exact_k")(spark, sf).collect()
+    out.length should be > 0
+    val perGroup = out.groupBy(_.getAs[String]("lang"))
+    perGroup.values.foreach(_.length should be <= 10)
+    perGroup.values.foreach { rows =>
+      val rns = rows.map(_.getAs[Long]("rn")).sorted.toSeq
+      rns shouldBe (1L to rows.length.toLong)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("dedup_best_in_cluster: exactly one kept per cluster, and it has max quality") {
+    val out = SparkEntry.queries("dedup_best_in_cluster")(spark, sf).collect()
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.values.foreach { rows =>
+      val kept = rows.filter(_.getAs[Boolean]("kept"))
+      kept.length shouldBe 1
+      val maxQ = rows.map(_.getAs[Double]("quality")).max
+      kept.head.getAs[Double]("quality") shouldBe maxQ
+      // min-id tie-break among max-quality members
+      val tied = rows.filter(_.getAs[Double]("quality") == maxQ)
+      kept.head.getAs[Long]("vec_id") shouldBe tied.map(_.getAs[Long]("vec_id")).min
+      // every member points at the kept representative
+      rows.foreach(_.getAs[Long]("keep_id") shouldBe kept.head.getAs[Long]("vec_id"))
+    }
+    spark.catalog.clearCache()
   }
 
   test("connectedComponentsStar: empty edge set labels every node as itself") {
