@@ -408,7 +408,10 @@ object CurationQueries {
         val reps = labeled.groupBy(col("cluster_id"))
           .agg(max(struct(col("quality"), (-col("node")).as("negid"))).as("b"))
           .select(col("cluster_id"), (-col("b.negid")).as("keep_id"))
-        labeled.join(broadcast(reps), Seq("cluster_id"))
+        // NOT broadcast: reps is one row PER CLUSTER — corpus-scale at
+        // 100 TB. Hash join on cluster_id is the right shape; both sides
+        // already shuffle on that key.
+        labeled.join(reps, Seq("cluster_id"))
           .select(col("node").as("vec_id"), col("cluster_id"), col("quality"),
             col("keep_id"), (col("node") === col("keep_id")).as("kept"))
           .orderBy(col("vec_id"))
