@@ -1131,8 +1131,14 @@ object DocQueries {
         val toks = docs.select(col("doc_id"),
           explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
         val dfA = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val pairs = toks.as("x")
-          .join(toks.as("y"),
+        // df-floor BEFORE the per-doc self-join: dfab <= min(dfa, dfb),
+        // so tokens below the support floor can never form a surviving
+        // pair — identical results, and the O(v²)-per-doc pair space is
+        // bounded by the >= 5-df vocabulary instead of the full one
+        val toksF = toks.join(
+          dfA.where(col("df") >= 5).select(col("tok")), Seq("tok"))
+        val pairs = toksF.as("x")
+          .join(toksF.as("y"),
             col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
           .groupBy(col("x.tok").as("a"), col("y.tok").as("b"))
           .agg(count(lit(1)).as("dfab"))
