@@ -172,9 +172,9 @@ object Curation {
     * rounds). Returns (node, cluster_id = min node id of the component).
     *
     * Each round is one shuffle join + partial aggregate; `localCheckpoint`
-    * truncates the growing lineage. At 100 TB scale the round count is cut
-    * with large-star/small-star alternation (Kiveris et al., "Connected
-    * Components in MapReduce"), but the per-round dataflow is identical. */
+    * truncates the growing lineage. For large-diameter graphs use
+    * [[connectedComponentsStar]] — the Kiveris et al. large-star/small-
+    * star alternation, O(log n) rounds instead of O(diameter). */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
@@ -303,19 +303,21 @@ object Curation {
     * lexicographic max (shared, test_id) — deterministic tie-break —
     * and left-join back so clean docs survive with overlap 0.
     *
-    * Scale: the shuffle key is the shingle string; at 100 TB join on
-    * xxhash64(shingle) instead (8-byte shuffle rows, collision odds
-    * ~n²/2⁶⁴) and pre-aggregate the test side to distinct shingles —
-    * its size is the benchmark suite, usually broadcastable. The output
-    * is O(|train|). */
+    * Scale: the shuffle/join key is xxhash64(shingle) — 8-byte rows
+    * instead of ~6k-char strings (the [[graft.operators.Dedup]] span-key
+    * recipe; collision odds ~n²/2⁶⁴ and a collision only perturbs one
+    * overlap count). The test side is usually the benchmark suite —
+    * small enough to auto-broadcast. The output is O(|train|). */
   def crossCorpusOverlap(
       train: DataFrame, test: DataFrame,
       idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val trainSh = train.select(col(idCol).as("train_id"),
-      explode(TextAnalysis.wordShingles(col(textCol), k)).as("s"))
+        explode(TextAnalysis.wordShingles(col(textCol), k)).as("s0"))
+      .select(col("train_id"), xxhash64(col("s0")).as("s"))
     val testSh = test.select(col(idCol).as("test_id"),
-      explode(TextAnalysis.wordShingles(col(textCol), k)).as("s"))
+        explode(TextAnalysis.wordShingles(col(textCol), k)).as("s0"))
+      .select(col("test_id"), xxhash64(col("s0")).as("s"))
     val nSh = trainSh.groupBy(col("train_id")).agg(count(lit(1)).as("n_sh"))
     val best = trainSh.join(testSh, Seq("s"))
       .groupBy(col("train_id"), col("test_id"))
