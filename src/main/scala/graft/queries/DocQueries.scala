@@ -1187,17 +1187,25 @@ object DocQueries {
     //      misses when |A| ≪ |B|). Same shingle-join machinery as the
     //      symmetric dedups; containment is a ratio of exact integer
     //      counts so the threshold cut and ordering are engine-exact.
-    //      At corpus scale the shingle join runs behind LSH/band
-    //      candidate pruning like every other pairwise metric here. ----
+    //      Hot-shingle guard: shingles in > 100 docs are dropped on BOTH
+    //      engines before the self-join (stop-shingles carry no
+    //      containment signal, and one viral shingle is a quadratic
+    //      bucket — the simhash/minhash maxBucketSize story); the join
+    //      key is xxhash64(shingle), 8-byte shuffle rows. ----
     QueryDef("dedup_containment",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val sh = docs.select(col("doc_id"),
+        val sh0 = docs.select(col("doc_id"),
           explode(TextAnalysis.wordShingles(col("text"), 3)).as("s"))
+        val hot = sh0.groupBy(col("s"))
+          .agg(count_distinct(col("doc_id")).as("df"))
+          .where(col("df") > 100).select(col("s"))
+        val sh = sh0.join(hot, Seq("s"), "left_anti")
+          .select(col("doc_id"), xxhash64(col("s")).as("sk"))
         val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         val pairs = sh.as("x")
           .join(sh.as("y"),
-            col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
+            col("x.sk") === col("y.sk") && col("x.doc_id") =!= col("y.doc_id"))
           .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .agg(count(lit(1)).as("shared"))
         pairs
@@ -1211,7 +1219,7 @@ object DocQueries {
             col("containment"))
       },
       oracle = Some(
-        raw"""WITH sh AS (
+        raw"""WITH sh0 AS (
              |  SELECT doc_id, unnest(list_distinct(
              |    CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
              |    ELSE list_transform(range(1, len(t) - 1),
@@ -1219,6 +1227,11 @@ object DocQueries {
              |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
              |        FROM documents)
              |),
+             |hot AS (
+             |  SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+             |                 FROM sh0 GROUP BY s) WHERE df > 100
+             |),
+             |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
              |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
              |pairs AS (
              |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
