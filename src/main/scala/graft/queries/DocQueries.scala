@@ -485,6 +485,93 @@ object DocQueries {
              |ORDER BY doc_id""".stripMargin),
       bench = false),
 
+    // ---- the END-TO-END dedup pipeline, composed from the verified
+    //      stages: MinHash-LSH candidates (md5 family — exact-twin) →
+    //      shingle-Jaccard verify → large-star/small-star connected
+    //      components → keep the LONGEST doc per cluster (n_chars
+    //      quality, min-id ties, struct-max argmax). One query a corpus
+    //      owner actually runs: per doc, its cluster, the cluster size,
+    //      the survivor, and whether this doc is it. Every stage is the
+    //      already-oracle-checked operator; the pipeline pins their
+    //      composition cross-engine. ----
+    QueryDef("dedup_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val edges = Dedup.nearDuplicatePairsMd5(docs, "doc_id", "text",
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+          .select(col("a"), col("b"))
+        val nodes = docs.select(col("doc_id").as("node"))
+        val cc = graft.operators.Curation.connectedComponentsStar(edges, nodes)
+        val labeled = cc.join(
+          docs.select(col("doc_id").as("node"), col("n_chars")), Seq("node"))
+        val reps = labeled.groupBy(col("cluster_id"))
+          .agg(max(struct(col("n_chars"), (-col("node")).as("negid"))).as("b"))
+          .select(col("cluster_id"), (-col("b.negid")).as("keep_id"))
+        labeled.join(reps, Seq("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster_id"))))
+          .select(col("node").as("doc_id"), col("cluster_id"),
+            col("cluster_size"), col("n_chars"), col("keep_id"),
+            (col("node") === col("keep_id")).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        raw"""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(t) - 1),
+             |        i -> array_to_string(t[i:i+2], ' ')))
+             |    ELSE CAST([] AS VARCHAR[]) END AS sh
+             |  FROM toks
+             |), hs AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(sh, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS harr
+             |  FROM sh
+             |), sigs AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 16), i -> list_min(list_transform(harr,
+             |      h -> ((h >> 30) + i * (h & 1073741823)) % 1073741789))) AS sig
+             |  FROM hs WHERE len(sh) > 0
+             |), buckets AS (
+             |  SELECT s.doc_id, b.band,
+             |    array_to_string(s.sig[b.band*4+1 : b.band*4+4], ',') AS bucket
+             |  FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+             |), cand AS (
+             |  SELECT l.doc_id AS a, r.doc_id AS b
+             |  FROM buckets l JOIN buckets r USING (band, bucket)
+             |  WHERE l.doc_id < r.doc_id
+             |  GROUP BY 1, 2
+             |), ver AS (
+             |  SELECT c.a AS a, c.b AS b,
+             |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+             |  FROM cand c JOIN hs x ON x.doc_id = c.a JOIN hs y ON y.doc_id = c.b
+             |), kept_edges AS (
+             |  SELECT a, b FROM ver WHERE jaccard >= 0.5
+             |), sym2 AS (
+             |  SELECT a AS x, b AS y FROM kept_edges
+             |  UNION ALL SELECT b AS x, a AS y FROM kept_edges
+             |), reach AS (
+             |  SELECT doc_id AS node, doc_id AS lab FROM documents
+             |  UNION
+             |  SELECT s.y AS node, r.lab FROM reach r JOIN sym2 s ON s.x = r.node
+             |), lab AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+             |j AS (
+             |  SELECT lab.node, lab.cluster_id, d.n_chars
+             |  FROM lab JOIN documents d ON d.doc_id = lab.node
+             |), rk AS (
+             |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+             |    ORDER BY n_chars DESC, node) AS rn FROM j
+             |), reps AS (SELECT cluster_id, node AS keep_id FROM rk WHERE rn = 1)
+             |SELECT j.node AS doc_id, j.cluster_id,
+             |  count(*) OVER (PARTITION BY j.cluster_id) AS cluster_size,
+             |  j.n_chars, reps.keep_id, j.node = reps.keep_id AS kept
+             |FROM j JOIN reps ON j.cluster_id = reps.cluster_id
+             |ORDER BY doc_id""".stripMargin),
+      bench = false),
+
     // ---- SimHash oracle twin: 60-bit fingerprint over the md5-derived
     // token hash (bit b set iff tokens with bit b set outnumber those
     // without), chunk-blocked nearest neighbor (4 x 15-bit chunks),

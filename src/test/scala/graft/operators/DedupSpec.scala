@@ -189,6 +189,21 @@ class DedupSpec extends SparkSpec {
         minLen = 9, maxSuffixLen = 8)
   }
 
+  test("dedup_pipeline: survivor is the longest per cluster, sizes sum to corpus") {
+    val out = graft.SparkEntry.queries("dedup_pipeline")(spark, sf).collect()
+    out.length should be > 0
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.values.foreach { rows =>
+      rows.map(_.getAs[Long]("cluster_size")).toSet shouldBe Set(rows.length.toLong)
+      val kept = rows.filter(_.getAs[Boolean]("kept"))
+      kept.length shouldBe 1
+      kept.head.getAs[Long]("n_chars") shouldBe rows.map(_.getAs[Long]("n_chars")).max
+      rows.foreach(_.getAs[Long]("keep_id") shouldBe kept.head.getAs[Long]("doc_id"))
+    }
+    byCluster.values.map(_.length).sum shouldBe out.length
+    spark.catalog.clearCache()
+  }
+
   test("simhashNeighbors: maxBucketSize drops hot chunk buckets, keeps results") {
     // 30 identical docs -> every chunk bucket has 30 members; a cap of 10
     // drops all four buckets so no candidates form (each doc keeps its
