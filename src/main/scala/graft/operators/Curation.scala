@@ -250,6 +250,20 @@ object Curation {
       .select(col("node"), coalesce(col("ctr"), col("node")).as("cluster_id"))
   }
 
+  /** Representative per cluster: argmax of `qualityCol` with a MIN-NODE
+    * tie-break, via the deterministic struct-max aggregate (one grouped
+    * agg over the labeled nodes — no per-cluster window over the
+    * corpus). Input carries (node, cluster_id, qualityCol); output is
+    * every input row plus (keep_id, kept). The reps relation is joined
+    * by HASH, never broadcast — one row per cluster is corpus-scale. */
+  def bestInCluster(labeled: DataFrame, qualityCol: String): DataFrame = {
+    val reps = labeled.groupBy(col("cluster_id"))
+      .agg(max(struct(col(qualityCol), (-col("node")).as("negid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.negid")).as("keep_id"))
+    labeled.join(reps, Seq("cluster_id"))
+      .withColumn("kept", col("node") === col("keep_id"))
+  }
+
   /** Model-based quality scoring with a hashed linear classifier — the
     * fasttext-style quality filter of training pipelines (score a document
     * by a linear model over hashed bag-of-words features), expressed as

@@ -246,6 +246,36 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs: C(A→B) = |sh(A)∩sh(B)| /
+    * |sh(A)| — catches quotes/subsets that Jaccard misses when |A| ≪ |B|.
+    * Hot-shingle guard: shingles in > `maxShingleDf` docs are dropped
+    * BEFORE the self-join — stop-shingles carry no containment signal,
+    * and one viral shingle across M docs is an M² join bucket (the
+    * simhash/minhash maxBucketSize story). The join key is
+    * xxhash64(shingle): 8-byte shuffle rows, never the strings.
+    * Returns every pair with (a, b, shared, n_a, n_b, containment);
+    * callers apply their threshold. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxShingleDf: Long = 100): DataFrame = {
+    val sh0 = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.wordShingles(col(textCol), k)).as("s"))
+    val hot = sh0.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") > maxShingleDf).select(col("s"))
+    val sh = sh0.join(hot, Seq("s"), "left_anti")
+      .select(col("doc_id"), xxhash64(col("s")).as("sk"))
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sk") === col("y.sk") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(n.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "n_a"), "a")
+      .join(n.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "n_b"), "b")
+      .withColumn("containment", col("shared") / col("n_a"))
+  }
+
   /** Per-document SimHash fingerprints plus the nearest candidate within
     * `maxHamming` bits (candidates = documents sharing any 16-bit chunk
     * of the fingerprint — the standard chunk-blocking for Hamming space).

@@ -52,6 +52,27 @@ object CurationQueries {
       cums: Seq[RangeCum.Cum]): org.apache.spark.sql.DataFrame =
     RangeCum.withCums(grid, "value", cums)
 
+  /** Shared DuckDB CTE chain for the near-dup cluster oracles
+    * (dedup_clusters / dedup_clusters_star / dedup_best_in_cluster):
+    * cosine edges over the first 300 vectors, symmetric closure via a
+    * recursive CTE, min-label per node. Callers prepend WITH RECURSIVE
+    * and chain their own final SELECT. */
+  private lazy val ccOracleCtes: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+       |edges AS (
+       |  SELECT q.vec_id AS a, c.vec_id AS b
+       |  FROM e q JOIN e c ON q.vec_id < c.vec_id
+       |  WHERE ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} >= 0.4
+       |),
+       |sym AS (SELECT a AS x, b AS y FROM edges
+       |        UNION ALL SELECT b AS x, a AS y FROM edges),
+       |reach AS (
+       |  SELECT vec_id AS node, vec_id AS lab FROM e
+       |  UNION
+       |  SELECT s.y AS node, r.lab FROM reach r JOIN sym s ON s.x = r.node
+       |),
+       |lab AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
   /** The DuckDB CTE text matching [[twoSampleGrid]]. */
   private val twoSampleGridSql: String =
     """g AS (
@@ -295,20 +316,7 @@ object CurationQueries {
       },
       oracle = Some(
         s"""WITH RECURSIVE
-           |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
-           |edges AS (
-           |  SELECT q.vec_id AS a, c.vec_id AS b
-           |  FROM e q JOIN e c ON q.vec_id < c.vec_id
-           |  WHERE ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} >= 0.4
-           |),
-           |sym AS (SELECT a AS x, b AS y FROM edges
-           |        UNION ALL SELECT b AS x, a AS y FROM edges),
-           |reach AS (
-           |  SELECT vec_id AS node, vec_id AS lab FROM e
-           |  UNION
-           |  SELECT s.y AS node, r.lab FROM reach r JOIN sym s ON s.x = r.node
-           |),
-           |lab AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+           |$ccOracleCtes
            |SELECT node AS vec_id, cluster_id,
            |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            |  node = cluster_id AS is_representative
@@ -329,10 +337,14 @@ object CurationQueries {
             Curation.hashU(col("doc_id"), seed).as("u"))
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window
-              .partitionBy(col("lang")).orderBy(col("u"), col("doc_id")))
-            .cast("long"))
+              .partitionBy(col("lang")).orderBy(col("u"), col("doc_id"))))
+          // filter on the RAW row_number (the tfidf pattern), cast after:
+          // the WindowGroupLimit rewrite keys on the rank predicate, and
+          // a cast in between would leave it to UnwrapCastInBinary-
+          // Comparison to rescue (plan-asserted in CurationSpec)
           .where(col("rn") <= 10)
-          .select(col("lang"), col("rn"), col("doc_id"), col("u"))
+          .select(col("lang"), col("rn").cast("long").as("rn"),
+            col("doc_id"), col("u"))
           .orderBy(col("lang"), col("rn"))
       },
       oracle = Some(
@@ -366,20 +378,7 @@ object CurationQueries {
       },
       oracle = Some(
         s"""WITH RECURSIVE
-           |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
-           |edges AS (
-           |  SELECT q.vec_id AS a, c.vec_id AS b
-           |  FROM e q JOIN e c ON q.vec_id < c.vec_id
-           |  WHERE ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} >= 0.4
-           |),
-           |sym AS (SELECT a AS x, b AS y FROM edges
-           |        UNION ALL SELECT b AS x, a AS y FROM edges),
-           |reach AS (
-           |  SELECT vec_id AS node, vec_id AS lab FROM e
-           |  UNION
-           |  SELECT s.y AS node, r.lab FROM reach r JOIN sym s ON s.x = r.node
-           |),
-           |lab AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+           |$ccOracleCtes
            |SELECT node AS vec_id, cluster_id,
            |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            |  node = cluster_id AS is_representative
@@ -404,34 +403,14 @@ object CurationQueries {
         val q = corpus.select(col("vec_id").as("node"),
           Det.fixed(graft.functions.VectorExpressions.l2Norm(col("embedding")), 6)
             .as("quality"))
-        val labeled = cc.join(q, Seq("node"))
-        val reps = labeled.groupBy(col("cluster_id"))
-          .agg(max(struct(col("quality"), (-col("node")).as("negid"))).as("b"))
-          .select(col("cluster_id"), (-col("b.negid")).as("keep_id"))
-        // NOT broadcast: reps is one row PER CLUSTER — corpus-scale at
-        // 100 TB. Hash join on cluster_id is the right shape; both sides
-        // already shuffle on that key.
-        labeled.join(reps, Seq("cluster_id"))
+        Curation.bestInCluster(cc.join(q, Seq("node")), "quality")
           .select(col("node").as("vec_id"), col("cluster_id"), col("quality"),
-            col("keep_id"), (col("node") === col("keep_id")).as("kept"))
+            col("keep_id"), col("kept"))
           .orderBy(col("vec_id"))
       },
       oracle = Some(
         s"""WITH RECURSIVE
-           |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
-           |edges AS (
-           |  SELECT q.vec_id AS a, c.vec_id AS b
-           |  FROM e q JOIN e c ON q.vec_id < c.vec_id
-           |  WHERE ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} >= 0.4
-           |),
-           |sym AS (SELECT a AS x, b AS y FROM edges
-           |        UNION ALL SELECT b AS x, a AS y FROM edges),
-           |reach AS (
-           |  SELECT vec_id AS node, vec_id AS lab FROM e
-           |  UNION
-           |  SELECT s.y AS node, r.lab FROM reach r JOIN sym s ON s.x = r.node
-           |),
-           |lab AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+           |$ccOracleCtes,
            |q AS (
            |  SELECT vec_id AS node, ${Det.fixedSql(
                 "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))", 6)} AS quality

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object DocQueries {
 
+  /** ONE constant for text_pmi_pairs' vocabulary df-floor AND its pair
+    * support filter (Spark side + oracle HAVING): the floor's
+    * "results identical" guarantee is exactly floor <= support
+    * (dfab <= min(dfa, dfb)) — separate literals would let someone lower
+    * the support and silently lose pairs. */
+  private val pmiMinSupport = 5
+
   /** Chained-CTE DuckDB oracle for [[TextAnalysis.bpeTrainMerges]]: one
     * CTE block per merge round — pair counts → struct-max best pair →
     * candidate marking + greedy run parity → rebuild. Mirrors the Spark
@@ -504,16 +511,12 @@ object DocQueries {
         val cc = graft.operators.Curation.connectedComponentsStar(edges, nodes)
         val labeled = cc.join(
           docs.select(col("doc_id").as("node"), col("n_chars")), Seq("node"))
-        val reps = labeled.groupBy(col("cluster_id"))
-          .agg(max(struct(col("n_chars"), (-col("node")).as("negid"))).as("b"))
-          .select(col("cluster_id"), (-col("b.negid")).as("keep_id"))
-        labeled.join(reps, Seq("cluster_id"))
+        graft.operators.Curation.bestInCluster(labeled, "n_chars")
           .withColumn("cluster_size",
             count(lit(1)).over(org.apache.spark.sql.expressions.Window
               .partitionBy(col("cluster_id"))))
           .select(col("node").as("doc_id"), col("cluster_id"),
-            col("cluster_size"), col("n_chars"), col("keep_id"),
-            (col("node") === col("keep_id")).as("kept"))
+            col("cluster_size"), col("n_chars"), col("keep_id"), col("kept"))
           .orderBy(col("doc_id"))
       },
       oracle = Some(
@@ -1214,22 +1217,22 @@ object DocQueries {
     //      stays bounded; counts are exact integers, PMI integerized. ----
     QueryDef("text_pmi_pairs",
       (s, d) => {
+        val minSupport = pmiMinSupport
         val docs = Tables.documents(s, d)
         val toks = docs.select(col("doc_id"),
           explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
         val dfA = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        // df-floor BEFORE the per-doc self-join: dfab <= min(dfa, dfb),
-        // so tokens below the support floor can never form a surviving
-        // pair — identical results, and the O(v²)-per-doc pair space is
-        // bounded by the >= 5-df vocabulary instead of the full one
+        // df-floor BEFORE the per-doc self-join: bounds the O(v²)-per-doc
+        // pair space by the supported vocabulary instead of the full one
         val toksF = toks.join(
-          dfA.where(col("df") >= 5).select(col("tok")), Seq("tok"))
+          broadcast(dfA.where(col("df") >= minSupport).select(col("tok"))),
+          Seq("tok"))
         val pairs = toksF.as("x")
           .join(toksF.as("y"),
             col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
           .groupBy(col("x.tok").as("a"), col("y.tok").as("b"))
           .agg(count(lit(1)).as("dfab"))
-          .filter(col("dfab") >= 5)
+          .filter(col("dfab") >= minSupport)
         val n = docs.agg(count(lit(1)).as("n_docs"))
         pairs
           .join(broadcast(dfA.withColumnRenamed("tok", "a").withColumnRenamed("df", "dfa")), "a")
@@ -1256,7 +1259,7 @@ object DocQueries {
              |  SELECT x.tok AS a, y.tok AS b, count(*) AS dfab
              |  FROM toks x, toks y
              |  WHERE x.doc_id = y.doc_id AND x.tok < y.tok
-             |  GROUP BY 1, 2 HAVING count(*) >= 5
+             |  GROUP BY 1, 2 HAVING count(*) >= $pmiMinSupport
              |),
              |n AS (SELECT count(*) AS n_docs FROM documents)
              |SELECT p.a, p.b, p.dfab, fa.df AS dfa, fb.df AS dfb,
@@ -1280,31 +1283,14 @@ object DocQueries {
     //      bucket — the simhash/minhash maxBucketSize story); the join
     //      key is xxhash64(shingle), 8-byte shuffle rows. ----
     QueryDef("dedup_containment",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val sh0 = docs.select(col("doc_id"),
-          explode(TextAnalysis.wordShingles(col("text"), 3)).as("s"))
-        val hot = sh0.groupBy(col("s"))
-          .agg(count_distinct(col("doc_id")).as("df"))
-          .where(col("df") > 100).select(col("s"))
-        val sh = sh0.join(hot, Seq("s"), "left_anti")
-          .select(col("doc_id"), xxhash64(col("s")).as("sk"))
-        val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val pairs = sh.as("x")
-          .join(sh.as("y"),
-            col("x.sk") === col("y.sk") && col("x.doc_id") =!= col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .agg(count(lit(1)).as("shared"))
-        pairs
-          .join(n.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "n_a"), "a")
-          .join(n.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "n_b"), "b")
-          .withColumn("containment", col("shared") / col("n_a"))
+      (s, d) =>
+        Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+            k = 3, maxShingleDf = 100)
           .filter(col("containment") >= 0.5)
           .orderBy(col("containment").desc, col("a"), col("b"))
           .limit(50)
           .select(col("a"), col("b"), col("shared"), col("n_a"), col("n_b"),
-            col("containment"))
-      },
+            col("containment")),
       oracle = Some(
         raw"""WITH sh0 AS (
              |  SELECT doc_id, unnest(list_distinct(

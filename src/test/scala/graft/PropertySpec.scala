@@ -235,9 +235,7 @@ object PropertySpec extends Properties("graft") {
       Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L)).map(_.distinct),
       Gen.listOfN(64, Gen.choose(-99L, 99L)),
       Gen.choose(1, 9)) { (keys, vals, nParts) =>
-      val rows = keys.zip(vals ++ List.fill(keys.size)(0L)).map {
-        case (k, v) => (k, v)
-      }
+      val rows = keys.zip(vals ++ List.fill(keys.size)(0L))
       val df = rows.toDF("k", "v")
       val got = graft.operators.RangeCum.withCums(df, "k",
           Seq(graft.operators.RangeCum.Cum("v", "cs"),

@@ -160,7 +160,11 @@ class CurationSpec extends SparkSpec {
   }
 
   test("sample_group_exact_k: <= k rows per group, stable under reordering") {
-    val out = SparkEntry.queries("sample_group_exact_k")(spark, sf).collect()
+    val df = SparkEntry.queries("sample_group_exact_k")(spark, sf)
+    // the scale claim IS the plan: map-side per-group limit, not a full
+    // per-group window sort
+    df.queryExecution.executedPlan.toString should include ("WindowGroupLimit")
+    val out = df.collect()
     out.length should be > 0
     val perGroup = out.groupBy(_.getAs[String]("lang"))
     perGroup.values.foreach(_.length should be <= 10)

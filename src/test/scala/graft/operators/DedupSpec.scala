@@ -200,8 +200,24 @@ class DedupSpec extends SparkSpec {
       kept.head.getAs[Long]("n_chars") shouldBe rows.map(_.getAs[Long]("n_chars")).max
       rows.foreach(_.getAs[Long]("keep_id") shouldBe kept.head.getAs[Long]("doc_id"))
     }
-    byCluster.values.map(_.length).sum shouldBe out.length
+    // no document lost or duplicated across the CC + reps joins
+    out.length.toLong shouldBe graft.Tables.documents(spark, sf).count()
+    out.map(_.getAs[Long]("doc_id")).distinct.length shouldBe out.length
     spark.catalog.clearCache()
+  }
+
+  test("containmentPairs: maxShingleDf drops the viral shingle, keeps rare ones") {
+    // 120 docs all opening with the same 3-gram; everything else unique.
+    // With the guard at 100 the hot shingle is dropped and NO pairs
+    // remain; raising the guard past 120 restores the hot-shingle pairs.
+    val docs = (0L until 120L)
+      .map(i => (i, s"h h h u$i v$i w$i")).toDF("doc_id", "text")
+    Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 3, maxShingleDf = 100).count() shouldBe 0L
+    val uncapped = Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 3, maxShingleDf = 1000)
+    uncapped.count() shouldBe (120L * 119L)
+    uncapped.agg(max(col("shared"))).head().getLong(0) shouldBe 1L
   }
 
   test("simhashNeighbors: maxBucketSize drops hot chunk buckets, keeps results") {
