@@ -8,10 +8,11 @@ Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already produced
 Mimics the driver: registers each testdata table as a DuckDB view, runs the
 oracle SQL, sorts columns by name, compares cell values (exact + tolerance).
 """
-import json, sys, glob, math
+import json, sys, glob, math, os
 import duckdb
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with SF_DIR=/root/testdata/sf0.1 for 10x-scale spot checks
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
 
 con = duckdb.connect()
