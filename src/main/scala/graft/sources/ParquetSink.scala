@@ -25,7 +25,23 @@ object ParquetSink {
       filesPerPartition: Int = 1): Unit = {
     val repartitioned =
       if (partitionBy.isEmpty) df.repartition(filesPerPartition)
-      else df.repartition(filesPerPartition, partitionBy.map(col): _*)
+      else if (filesPerPartition <= 1)
+        df.repartition(partitionBy.map(col): _*)
+      else {
+        // hash-repartitioning on the partition columns ALONE puts every
+        // directory partition in ONE task — filesPerPartition would be a
+        // silent no-op and a skewed partition value a single-task OOM.
+        // A salt column spreads each directory partition over up to
+        // filesPerPartition writers. The partition count is EXPLICIT
+        // (REPARTITION_BY_NUM): AQE would otherwise coalesce a small
+        // shuffle back into one task and re-void the knob.
+        val n = df.sparkSession.conf.get(
+          "spark.sql.shuffle.partitions", "200").toInt
+        df.withColumn("_fpp_salt",
+            pmod(monotonically_increasing_id(), lit(filesPerPartition.toLong)))
+          .repartition(n, (partitionBy :+ "_fpp_salt").map(col): _*)
+          .drop("_fpp_salt")
+      }
     val sorted =
       if (sortBy.isEmpty) repartitioned
       else repartitioned.sortWithinPartitions(

@@ -80,23 +80,33 @@ class StagedWrite(path: String, schema: StructType) extends Write with BatchWrit
     val fields = schema.fields.map(_.dataType)
     (partitionId: Int, taskId: Long) =>
       new DataWriter[InternalRow] {
-        private val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-        override def write(row: InternalRow): Unit =
-          lines += fields.zipWithIndex.map { case (dt, i) =>
+        // rows stream straight to the attempt-unique staging file — O(1)
+        // task memory (buffering the partition would OOM on a multi-GB
+        // split). Two-phase safety is unchanged: the file is invisible
+        // until the DRIVER promotes it at job commit; abort() deletes
+        // the partial file, and stray files from dead attempts are swept
+        // by cleanupStaging at job commit/abort, never promoted.
+        private val staging = Paths.get(dest, "_staging")
+        Files.createDirectories(staging)
+        private val name = f"part-$partitionId%05d-$taskId"
+        private val out = Files.newBufferedWriter(staging.resolve(name),
+          java.nio.charset.StandardCharsets.UTF_8)
+        private var rows = 0L
+        override def write(row: InternalRow): Unit = {
+          out.write(fields.zipWithIndex.map { case (dt, i) =>
             if (row.isNullAt(i)) "" else String.valueOf(row.get(i, dt))
-          }.mkString("\t")
-        // nothing hits disk before task commit: a failed attempt stages no
-        // file, and the attempt-unique name keeps speculative twins apart
-        override def commit(): WriterCommitMessage = {
-          val staging = Paths.get(dest, "_staging")
-          Files.createDirectories(staging)
-          val name = f"part-$partitionId%05d-$taskId"
-          Files.write(staging.resolve(name),
-            lines.mkString("", "\n", if (lines.isEmpty) "" else "\n")
-              .getBytes("UTF-8"))
-          StagedFile(name, lines.size.toLong)
+          }.mkString("\t"))
+          out.write("\n")
+          rows += 1
         }
-        override def abort(): Unit = ()
+        override def commit(): WriterCommitMessage = {
+          out.close()
+          StagedFile(name, rows)
+        }
+        override def abort(): Unit = {
+          out.close()
+          Files.deleteIfExists(staging.resolve(name))
+        }
         override def close(): Unit = ()
       }
   }
@@ -112,9 +122,15 @@ class StagedWrite(path: String, schema: StructType) extends Write with BatchWrit
     // prior commit — otherwise a smaller re-write leaves the previous
     // run's extra part files under the new manifest.
     Files.deleteIfExists(destDir.resolve("_SUCCESS"))
-    Files.list(destDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .foreach(Files.delete)
+    // close the listing stream: an unclosed Files.list leaks a directory
+    // fd per write job on a long-lived driver
+    locally {
+      val listing = Files.list(destDir)
+      try listing.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .foreach(Files.delete)
+      finally listing.close()
+    }
     staged.foreach { m =>
       Files.move(destDir.resolve("_staging").resolve(m.name),
         destDir.resolve(m.name), StandardCopyOption.ATOMIC_MOVE)
@@ -129,7 +145,9 @@ class StagedWrite(path: String, schema: StructType) extends Write with BatchWrit
   private def cleanupStaging(): Unit = {
     val staging = Paths.get(path, "_staging")
     if (Files.exists(staging)) {
-      Files.list(staging).iterator().asScala.foreach(Files.delete)
+      val listing = Files.list(staging)
+      try listing.iterator().asScala.foreach(Files.delete)
+      finally listing.close()
       Files.delete(staging)
     }
   }

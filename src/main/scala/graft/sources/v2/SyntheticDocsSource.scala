@@ -60,6 +60,11 @@ class SyntheticDocsSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
     val chunk = Option(properties.get("chunk")).map(_.toLong).getOrElse(250L)
+    // a chunk becomes one reader partition whose row count must fit an
+    // Int ((end - start).toInt in the columnar factory) — reject instead
+    // of silently wrapping into an empty/corrupt scan
+    require(chunk >= 1 && chunk <= Int.MaxValue,
+      s"chunk must be in [1, ${Int.MaxValue}], got $chunk")
     val columnar = Option(properties.get("columnar")).forall(_.toBoolean)
     new SyntheticDocsTable(rows, chunk, columnar)
   }
@@ -73,10 +78,14 @@ object SyntheticDocs {
   private val vocab = Array("alpha", "bravo", "charlie", "delta", "echo",
     "foxtrot", "golf", "hotel", "india", "juliett", "kilo", "lima")
 
-  /** Deterministic 8-word pseudo-text (multiplicative hash of (id, pos)). */
+  /** Deterministic 8-word pseudo-text (multiplicative hash of (id, pos)).
+    * floorMod, not %: the hash product wraps Long past id ~4.3e8, and a
+    * negative remainder would index vocab out of bounds. */
   def textOf(id: Long): String =
     (0 until 8).map { w =>
-      vocab((((id * 8 + w) * 2654435761L + 17L) % 4294967296L % vocab.length).toInt)
+      vocab(java.lang.Math.floorMod(
+        java.lang.Math.floorMod((id * 8 + w) * 2654435761L + 17L, 4294967296L),
+        vocab.length.toLong).toInt)
     }.mkString(" ")
 }
 
@@ -140,12 +149,20 @@ class SyntheticDocsScanBuilder(rows: Long, chunk: Long, columnar: Boolean = true
       case EqualTo("doc_id", _: Long) => true
       case _ => false
     }
+    // v+1 at Long.MaxValue wraps to Long.MinValue — and these filters are
+    // CONSUMED (not residual), so the wrap would be silently-wrong rows,
+    // not a perf bug. Saturate instead: > MaxValue matches nothing
+    // (empty range), <= MaxValue matches everything (hi unchanged).
     supported.foreach {
-      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThan("doc_id", v: Long) =>
+        lo = if (v == Long.MaxValue) Long.MaxValue else math.max(lo, v + 1)
       case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
       case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
-      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case LessThanOrEqual("doc_id", v: Long) =>
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
+      case EqualTo("doc_id", v: Long) =>
+        lo = math.max(lo, v)
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
       case _ =>
     }
     pushed = supported

@@ -44,10 +44,19 @@ object StreamingOps {
   /** Stateful sessionization: per-user sessions closed after `gapMs` of
     * inactivity, emitted on state timeout. Custom state machine via
     * flatMapGroupsWithState — the streaming dual of the batch
-    * lag+running-sum sessionization in EventQueries. */
-  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[Session] = {
+    * lag+running-sum sessionization in EventQueries.
+    *
+    * Scope: exact for watermark lateness 0 (the spec's deployment).
+    * A gap crossed INSIDE one micro-batch emits the earlier session
+    * immediately; with lateness > 0 an admissible late event could have
+    * bridged that gap, so for late-tolerant pipelines use
+    * [[sessionizeWithTimers]], which never emits from input processing
+    * (its documented invariant) and holds sessions until the timer. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L,
+      lateness: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -65,7 +74,11 @@ object StreamingOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+                  // max, not t: an admissible late event (t < s.end)
+                  // merges but must never move the session end backward
+                  // (it would re-arm the timeout early and fragment)
+                  cur = Some(s.copy(end = math.max(s.end, t),
+                    n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.end), s.n, s.total)
@@ -149,6 +162,10 @@ object StreamingOps {
     require(refProbs.forall(_ > 0.0),
       s"reference probabilities must all be > 0 (smooth the reference " +
         s"histogram); got $refProbs")
+    // degenerate/inverted range: the bin division is NULL (non-ANSI) or
+    // a runtime divide-by-zero (ANSI) — garbage PSI either way; fail at
+    // construction like the refProbs check
+    require(hi > lo, s"need hi > lo, got lo=$lo hi=$hi")
     val bin = least(greatest(
       floor((col("value") - lit(lo)) * bins / lit(hi - lo)), lit(0.0)),
       lit(bins - 1.0))

@@ -56,4 +56,21 @@ class ParquetSinkSpec extends SparkSpec {
     pruned.count() shouldBe orders.where(col("o_orderpriority") === "1-URGENT").count()
     plan should include("o_orderpriority") // partition filter present in scan
   }
+
+  test("filesPerPartition > 1 actually yields multiple files per directory partition") {
+    val dir = Files.createTempDirectory("graft-sink-fpp").toString
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    ParquetSink.write(orders, dir,
+      partitionBy = Seq("o_orderpriority"), filesPerPartition = 3)
+    spark.read.parquet(dir).count() shouldBe orders.count()
+    // without the salt the partition-column hash put each directory
+    // partition in ONE task -> exactly one file, a silent no-op
+    val perDir = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("o_orderpriority="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    perDir.length should be >= 2
+    perDir.max should be > 1
+    perDir.foreach(_ should be <= 3)
+  }
 }

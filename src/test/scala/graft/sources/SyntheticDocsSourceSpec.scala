@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
-import graft.sources.v2.SyntheticDocsSource
+import graft.sources.v2.{SyntheticDocs, SyntheticDocsSource}
 import org.apache.spark.sql.functions._
 
 class SyntheticDocsSourceSpec extends SparkSpec {
@@ -119,5 +119,19 @@ class SyntheticDocsSourceSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
     plan should include("BroadcastExchange")
+  }
+
+  test("textOf survives ids past the Long-wrap point of the hash product") {
+    // (id*8+w)*2654435761 wraps Long near id ~4.3e8; floorMod keeps the
+    // vocab index non-negative (a bare % indexed vocab(-k) and threw)
+    val t = SyntheticDocs.textOf(500000000L)
+    t.split(" ").length shouldBe 8
+    // determinism across calls
+    SyntheticDocs.textOf(500000000L) shouldBe t
+    // oversized chunk is a loud construction error, not a corrupt scan
+    an[IllegalArgumentException] should be thrownBy
+      spark.read.format("graft.sources.v2.SyntheticDocsSource")
+        .option("rows", "10").option("chunk", (Int.MaxValue.toLong + 1).toString)
+        .load().count()
   }
 }

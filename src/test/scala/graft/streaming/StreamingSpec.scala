@@ -57,8 +57,7 @@ class StreamingSpec extends SparkSpec {
       Event(4, ts(5), 2, "view", 8.0))
 
     val in = MemoryStream[Event]
-    val sessions = StreamingOps.sessionize(
-      in.toDF().withWatermark("ts", "0 seconds").as[Event], gapMs)
+    val sessions = StreamingOps.sessionize(in.toDF().as[Event], gapMs)
     val q = sessions.writeStream.format("memory").queryName("sess")
       .outputMode("append").start()
     try {
@@ -75,6 +74,30 @@ class StreamingSpec extends SparkSpec {
       (1L, ts(1), ts(10), 2L, 3.0),
       (1L, ts(100), ts(100), 1L, 4.0),
       (2L, ts(5), ts(5), 1L, 8.0))
+  }
+
+  test("sessionize: admissible late event merges without moving the session end back") {
+    val gapMs = 30L * 60000
+    val in = MemoryStream[Event]
+    // lateness 60 min: the t=5 event in batch 2 is admissible after
+    // batch 1's max (t=20) and must merge into [1, 20] — the buggy
+    // end=t would re-arm the timeout at 5+gap and fragment the session
+    val sessions = StreamingOps.sessionize(in.toDF().as[Event], gapMs,
+      lateness = "60 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(1), 1, "view", 1.0),
+        Event(2, ts(20), 1, "view", 2.0)); q.processAllAvailable()
+      in.addData(Event(3, ts(5), 1, "view", 4.0)); q.processAllAvailable()
+      in.addData(flushA); q.processAllAvailable()
+      in.addData(flushB); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_late").where(col("user_id") < 999)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    got shouldBe Set((1L, ts(1), ts(20), 3L, 7.0))
   }
 
   test("stream-stream join: same output as the batch range join") {
