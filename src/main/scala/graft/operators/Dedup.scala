@@ -283,10 +283,14 @@ object Dedup {
     *        self-join: a near-duplicate-heavy corpus piles thousands of
     *        docs onto one 16-bit chunk value, and an uncapped bucket is
     *        quadratic (same guard as the MinHash-LSH path). Docs in a
-    *        dropped bucket can still pair through their 3 other chunks. */
+    *        dropped bucket can still pair through their 3 other chunks.
+    *        OPT-IN (default uncapped): the cap changes results, so the
+    *        default must match the pinned `dedup_simhash_oracle` twin,
+    *        which implements chunk blocking with no cap. Callers at
+    *        corpus scale should set it explicitly (e.g. 1000). */
   def simhashNeighbors(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+      maxHamming: Int = 8, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val fp = docs.select(
       col(idCol).as("id"),
       VectorExpressions.simhash(TextAnalysis.tokens(col(textCol))).as("simhash"))

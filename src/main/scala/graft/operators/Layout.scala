@@ -63,8 +63,11 @@ object Layout {
     // outside the bit walk's domain — exactly the wrap the doc warns of.
     // NULL inputs must stay NULL: least/greatest SKIP nulls (both
     // engines), so the clamp alone would silently send null-keyed rows
-    // to bucket 0 instead of propagating.
-    when(c.isNull || lo.isNull || hi.isNull, lit(null).cast("long"))
+    // to bucket 0 instead of propagating. A degenerate profile
+    // (hi < lo ⇒ divisor ≤ 0) folds into the same NULL branch: Spark's
+    // div-by-zero null and DuckDB's floor(inf) BIGINT-cast error would
+    // otherwise diverge between engines.
+    when(c.isNull || lo.isNull || hi.isNull || hi < lo, lit(null).cast("long"))
       .otherwise(least(greatest(
           floor((c - lo).cast("double") * lit(math.pow(2.0, order.toDouble))
             / (hi - lo + 1)).cast("long"),
@@ -74,7 +77,7 @@ object Layout {
   /** The DuckDB SQL text matching [[rangeBucket]]. */
   def rangeBucketSql(c: String, lo: String, hi: String, order: Int): String = {
     val n = (1L << order).toString
-    s"CASE WHEN $c IS NULL OR $lo IS NULL OR $hi IS NULL THEN NULL" +
+    s"CASE WHEN $c IS NULL OR $lo IS NULL OR $hi IS NULL OR $hi < $lo THEN NULL" +
       s" ELSE least(greatest(CAST(floor(($c - $lo) * CAST($n AS DOUBLE)" +
       s" / ($hi - $lo + 1)) AS BIGINT), 0), $n - 1) END"
   }

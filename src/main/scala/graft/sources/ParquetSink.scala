@@ -35,10 +35,17 @@ object ParquetSink {
         // filesPerPartition writers. The partition count is EXPLICIT
         // (REPARTITION_BY_NUM): AQE would otherwise coalesce a small
         // shuffle back into one task and re-void the knob.
+        // The salt must be a DETERMINISTIC function of row content: a
+        // positional salt (monotonically_increasing_id) recomputes
+        // differently on stage/task retry, so the retried map task feeds
+        // rows to different shuffle partitions than the original attempt
+        // and the write silently loses/duplicates rows (the SPARK-23207
+        // round-robin class). Content-hash salting reproduces identical
+        // shuffle output on every attempt.
         val n = df.sparkSession.conf.get(
           "spark.sql.shuffle.partitions", "200").toInt
         df.withColumn("_fpp_salt",
-            pmod(monotonically_increasing_id(), lit(filesPerPartition.toLong)))
+            pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition.toLong)))
           .repartition(n, (partitionBy :+ "_fpp_salt").map(col): _*)
           .drop("_fpp_salt")
       }

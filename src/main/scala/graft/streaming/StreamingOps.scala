@@ -70,23 +70,45 @@ object StreamingOps {
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var closed = List.empty[Session]
             var cur = state.getOption
+            // Late events > gapMs BEFORE the carried session can never
+            // merge with it. The single-session state can't hold a second
+            // open session, so they fold into their own earlier
+            // session(s), emitted this batch (an even-later arrival that
+            // would have extended one is lost to it — the same
+            // emit-on-gap tradeoff the in-batch gap case already makes).
+            var pre = Option.empty[SessionState]
+            def closeOut(s: SessionState): Unit =
+              closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.end), s.n, s.total)
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                case Some(s) if t < s.start - gapMs =>
+                  pre match {
+                    case Some(p) if t - p.end <= gapMs =>
+                      pre = Some(p.copy(start = math.min(p.start, t),
+                        end = math.max(p.end, t),
+                        n = p.n + 1, total = p.total + e.value))
+                    case other =>
+                      other.foreach(closeOut)
+                      pre = Some(SessionState(t, t, 1, e.value))
+                  }
                 case Some(s) if t - s.end <= gapMs =>
-                  // max, not t: an admissible late event (t < s.end)
-                  // merges but must never move the session end backward
-                  // (it would re-arm the timeout early and fragment)
-                  cur = Some(s.copy(end = math.max(s.end, t),
+                  // min/max, not t: an admissible late event (t inside or
+                  // within gap of the session) merges but must never move
+                  // end backward (re-arming the timeout early fragments)
+                  // nor leave start unextended (duration misreported)
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t),
                     n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
-                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  closeOut(s)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
+            pre.foreach(closeOut)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.end + gapMs)

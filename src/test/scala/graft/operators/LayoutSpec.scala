@@ -15,6 +15,24 @@ class LayoutSpec extends SparkSpec {
     got shouldBe Seq(0L, 39L, 2L, 1L, 0x55555555L, 0xAAAAAAAAL)
   }
 
+  test("rangeBucket: null inputs and degenerate hi < lo profile both yield NULL") {
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (5L, 0L, 9L),      // in range
+      (null, 0L, 9L),    // null key
+      (5L, 9L, 0L),      // degenerate profile: hi < lo
+      (5L, 5L, 5L))      // single-point profile (divisor 1, valid)
+      .toDF("c", "lo", "hi")
+    val got = rows.select(
+      Layout.rangeBucket(col("c"), col("lo"), col("hi"), 4).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    got(0) shouldBe Some(8L)  // floor(5 * 16 / 10)
+    got(1) shouldBe None
+    got(2) shouldBe None      // NOT bucket 0: engines diverge on div-by-neg
+    got(3) shouldBe Some(0L)
+    // the SQL twin carries the same guard textually
+    Layout.rangeBucketSql("c", "lo", "hi", 4) should include("hi < lo")
+  }
+
   test("mortonKey sort preserves locality in both dimensions") {
     // sorting by z-key then splitting into files: each half's min/max
     // envelope on EACH dim must be tighter than the full range (the

@@ -73,4 +73,24 @@ class ParquetSinkSpec extends SparkSpec {
     perDir.max should be > 1
     perDir.foreach(_ should be <= 3)
   }
+
+  test("filesPerPartition salt is a deterministic function of row content") {
+    // retry-safety contract: the salt must reproduce the same shuffle
+    // assignment on task re-execution. Observable consequence: rows with
+    // IDENTICAL content always carry the same salt, so duplicates of a
+    // row land in the SAME output file. A positional salt
+    // (monotonically_increasing_id — the SPARK-23207 class) spreads them.
+    val dir = Files.createTempDirectory("graft-sink-detsalt").toString
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority")).limit(200)
+    val dupd = base.union(base).union(base) // 3 copies of each row
+    ParquetSink.write(dupd, dir,
+      partitionBy = Seq("o_orderpriority"), filesPerPartition = 4)
+    val back = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+    back.count() shouldBe dupd.count()
+    back.groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(countDistinct(col("f")).as("nf"))
+      .agg(max(col("nf"))).head().getLong(0) shouldBe 1L
+  }
 }

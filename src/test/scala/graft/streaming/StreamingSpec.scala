@@ -100,6 +100,58 @@ class StreamingSpec extends SparkSpec {
     got shouldBe Set((1L, ts(1), ts(20), 3L, 7.0))
   }
 
+  test("sessionize: late event before session start extends start backward") {
+    val gapMs = 30L * 60000
+    val in = MemoryStream[Event]
+    // batch 1 opens [10, 20]; batch 2's admissible t=0 event is within
+    // gap of start and must extend the session to [0, 20] — the buggy
+    // start=s.start absorbed it with duration misreported
+    val sessions = StreamingOps.sessionize(in.toDF().as[Event], gapMs,
+      lateness = "120 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_prestart")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(10), 1, "view", 1.0),
+        Event(2, ts(20), 1, "view", 2.0)); q.processAllAvailable()
+      in.addData(Event(3, ts(2), 1, "view", 4.0)); q.processAllAvailable()
+      in.addData(flushA); q.processAllAvailable()
+      in.addData(flushB); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_prestart").where(col("user_id") < 999)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    got shouldBe Set((1L, ts(2), ts(20), 3L, 7.0))
+  }
+
+  test("sessionize: late events > gap before session start form their own earlier session") {
+    val gapMs = 30L * 60000
+    val in = MemoryStream[Event]
+    // batch 1 opens [100, 110]; batch 2 delivers t=5 and t=10 — both more
+    // than gap before start, so they must NOT be absorbed (the buggy
+    // t - s.end <= gapMs was trivially true for t < end); they merge with
+    // each other into an earlier session [5, 10] emitted that batch
+    val sessions = StreamingOps.sessionize(in.toDF().as[Event], gapMs,
+      lateness = "600 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_preold")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(100), 1, "view", 1.0),
+        Event(2, ts(110), 1, "view", 2.0)); q.processAllAvailable()
+      in.addData(Event(3, ts(5), 1, "view", 4.0),
+        Event(4, ts(10), 1, "view", 8.0)); q.processAllAvailable()
+      in.addData(flushA); q.processAllAvailable()
+      in.addData(flushB); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_preold").where(col("user_id") < 999)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    got shouldBe Set(
+      (1L, ts(5), ts(10), 2L, 12.0),
+      (1L, ts(100), ts(110), 2L, 3.0))
+  }
+
   test("stream-stream join: same output as the batch range join") {
     val clicks = Seq(
       Event(1, ts(10), 1, "click", 0.0),
