@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurationQueries, DocQueries, EmbedQueries, EventQueries, GmmQueries, GraphQueries, MultimodalQueries, TpchQueries}
+import graft.queries.{CurationQueries, DocQueries, EmbedQueries, EventQueries, GmmQueries, GraphQueries, MultimodalQueries, StreamQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     GmmQueries.defs ++ TpchQueries.defs ++ EventQueries.defs ++
       DocQueries.defs ++ EmbedQueries.defs ++ MultimodalQueries.defs ++
-      CurationQueries.defs ++ GraphQueries.defs
+      CurationQueries.defs ++ GraphQueries.defs ++ StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's whole program — an EM-GMM fit — as one table-valued

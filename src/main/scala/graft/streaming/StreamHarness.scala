@@ -35,6 +35,12 @@ object StreamHarness {
       outputMode: String,
       flushes: Seq[DataFrame] = Nil): DataFrame = {
     val spark = source.sparkSession
+    // transformWithState (ewma, running totals, timer sessions) requires
+    // the RocksDB state store; the default HDFSBackedStateStoreProvider
+    // rejects its multiple column families. Session-wide and harmless for
+    // the other state machines, which also run fine on RocksDB.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val root = Files.createTempDirectory("graft-stream").toString
     val in = s"$root/in"
     source.write.mode("overwrite").parquet(in)
