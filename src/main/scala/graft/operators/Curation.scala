@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.util.Stage.StageOps
 
 /** Training-corpus curation operators beyond dedup/similarity: sequence
   * packing, stratified sampling, PII scrubbing, and near-dup cluster
@@ -178,8 +179,8 @@ object Curation {
   def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint()
-    var labels = nodes.select(col("node"), col("node").as("lab")).localCheckpoint()
+      .stageCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("lab")).stageCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -189,7 +190,7 @@ object Curation {
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
-        .localCheckpoint()
+        .stageCheckpoint()
       changed = next.join(labels.withColumnRenamed("lab", "old"), Seq("node"))
         .where(col("lab") =!= col("old")).count()
       labels = next
@@ -218,7 +219,7 @@ object Curation {
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct().localCheckpoint()
+      .distinct().stageCheckpoint()
     var stable = e.isEmpty
     var iter = 0
     while (!stable && iter < maxIter) {
@@ -233,7 +234,7 @@ object Curation {
       val ss = ls.join(minsS, Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
-        .where(col("u") =!= col("v")).distinct().localCheckpoint()
+        .where(col("u") =!= col("v")).distinct().stageCheckpoint()
       // both sides are distinct sets: equal counts + empty one-sided
       // difference ⇔ fixpoint
       stable = ss.count() == e.count() && ss.exceptAll(e).isEmpty

@@ -3,6 +3,7 @@ package graft.operators
 import graft.util.Det
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Stage.StageOps
 
 /** Graph analytics over edge tables — the iterative-driver-loop shape the
   * reference uses for EM (`Main.scala:72-89`: driver loop, one distributed
@@ -47,15 +48,15 @@ object Graph {
     val unit = math.pow(10.0, contribScale.toDouble) // exactly 10^k for k<=15
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // big side: stage once, reuse the src partitioning across iterations
-    val outE = edges.join(deg, Seq("src")).localCheckpoint()
+    val outE = edges.join(deg, Seq("src")).stageCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().stageCheckpoint()
     val n = nodes.count()
     val base = lit(jump) / lit(n.toDouble)
     var ranks = nodes
       .select(col("node"), (lit(1.0) / lit(n.toDouble)).as("rank"))
-      .localCheckpoint()
+      .stageCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = outE
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -67,7 +68,7 @@ object Graph {
           (base + lit(damping) *
             (coalesce(col("acc"), lit(0L)).cast("double") / lit(unit)))
             .as("rank"))
-        .localCheckpoint()
+        .stageCheckpoint()
     }
     ranks
   }
@@ -84,8 +85,8 @@ object Graph {
   def minLabelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
-    val e = edges.localCheckpoint()
+      .distinct().stageCheckpoint()
+    val e = edges.stageCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("lab"))
     for (_ <- 1 to iters) {
       val nbr = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -94,7 +95,7 @@ object Graph {
       labels = labels.join(nbr, Seq("node"), "left")
         .select(col("node"),
           least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
-        .localCheckpoint()
+        .stageCheckpoint()
     }
     labels
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorExpressions._
 import graft.util.Det
+import graft.util.Stage.StageOps
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -105,7 +106,7 @@ object Similarity {
     val cm = upper.unionAll(
         upper.where(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("cov")))
-      .localCheckpoint()
+      .stageCheckpoint()
     var v = cm.select(col("i").as("j")).distinct()
       .select(col("j"), lit(1.0).as("v"))
     var norm: DataFrame = null
@@ -120,7 +121,7 @@ object Similarity {
         .select(sqrt(col("ss")).as("norm"))
       v = w.crossJoin(broadcast(norm))
         .select(col("i").as("j"), Det.fixed(col("w") / col("norm"), itScale).as("v"))
-        .localCheckpoint()
+        .stageCheckpoint()
     }
     v.crossJoin(broadcast(norm))
       .select(col("j").as("i"), col("v"), Det.fixed(col("norm"), 6).as("eigval"))
@@ -283,7 +284,7 @@ object Similarity {
     }: _*))
     val cells = corpus
       .select(col(idCol), col(vecCol), (-bestCell.getField("negCell")).as("cell"))
-      .localCheckpoint() // both sides of the self-join reuse the assignment
+      .stageCheckpoint() // both sides of the self-join reuse the assignment
     val l = cells.select(col("cell"), col(idCol).as("a"), col(vecCol).as("va"))
     val r = cells.select(col("cell"), col(idCol).as("b"), col(vecCol).as("vb"))
     val dups = l.join(r, Seq("cell"))

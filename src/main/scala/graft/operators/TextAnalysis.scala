@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.util.Stage.StageOps
 
 /** Text-pipeline primitives for large-scale corpus curation: tokenization,
   * normalization, fingerprinting, quality scoring, language ID heuristics.
@@ -188,7 +189,7 @@ object TextAnalysis {
       .select(col("word"), col("freq"),
         explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
       .withColumn("piece", col("word").substr(col("pos") + 1, lit(1)))
-      .localCheckpoint()
+      .stageCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
     var t = 1
@@ -224,7 +225,7 @@ object TextAnalysis {
             (row_number().over(wOrd) - 1).cast("int").as("pos"),
             when(col("merged"), concat(col("piece"), col("nxt")))
               .otherwise(col("piece")).as("piece"))
-          .localCheckpoint()
+          .stageCheckpoint()
         t += 1
       }
     }

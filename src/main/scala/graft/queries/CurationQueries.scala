@@ -6,6 +6,7 @@ import graft.util.Det
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Stage.StageOps
 
 /** Corpus-curation queries (training-data pipeline mandate): sequence
   * packing, auditable stratified sampling, PII scrubbing, near-dup
@@ -1256,7 +1257,7 @@ object CurationQueries {
         val pre = RangeCum.withCums(grid, "bin",
             Seq(RangeCum.Cum("n", "cn"), RangeCum.Cum("pos", "cp")))
           .select(col("bin"), col("n"), col("pos"), col("cn"), col("cp"))
-          .localCheckpoint()
+          .stageCheckpoint()
         val avgs = pre.as("i").join(pre.as("j"), col("j.bin") >= col("i.bin"))
           .select(col("i.bin").as("ib"), col("j.bin").as("jb"),
             ((col("j.cp") - col("i.cp") + col("i.pos")).cast("double") /

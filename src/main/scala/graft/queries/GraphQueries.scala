@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.operators.Graph
 import graft.util.Det
 import org.apache.spark.sql.functions._
+import graft.util.Stage.StageOps
 
 /** Graph analytics over the part–supplier bipartite graph induced by
   * lineitem (edges = distinct (l_partkey, l_suppkey) pairs, both
@@ -118,7 +119,7 @@ object GraphQueries {
             col("x.p") === col("y.p") && col("x.sup") < col("y.sup"))
           .select(col("x.sup").as("ea"), col("y.sup").as("eb"))
           .distinct()
-          .localCheckpoint()
+          .stageCheckpoint()
         val wedges = e.as("e1").join(e.as("e2"), col("e1.eb") === col("e2.ea"))
           .select(col("e1.ea").as("ta"), col("e1.eb").as("tb"),
             col("e2.eb").as("tc"))
