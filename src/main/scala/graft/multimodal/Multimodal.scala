@@ -60,8 +60,19 @@ object Multimodal {
     *    a full-pixel reduction would make one 8K image a stage straggler);
     *  - an undecodable payload yields width=height=n_frames=0 rather
     *    than throwing: one corrupt blob must not kill a 100 TB decode
-    *    job, and n_bytes/content_hash stay usable for exact dedup. */
+    *    job, and n_bytes/content_hash stay usable for exact dedup;
+    *  - a payload whose HEADER declares more than `MaxPixels` pixels is
+    *    never pixel-decoded (decompression-bomb guard: `reader.read`
+    *    allocates width x height ARGB ints for a file that can be a few
+    *    KB on disk — one hostile blob would stall or OOM the scan task).
+    *    Header dims/frames are still reported; brightness is the
+    *    documented `-1.0` skip sentinel (real luminance is >= 0), so
+    *    pipelines can count skips with `WHERE brightness < 0`. */
   object ImageIoCodec {
+    /** 2^26 pixels (~268 MB ARGB) — far above any legitimate training
+      * image, far below a crafted 100000x100000 header. */
+    val MaxPixels: Long = 1L << 26
+
     def decode(r: MediaRecord): DecodedMedia = {
       val n = r.payload.length.toLong
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -78,6 +89,12 @@ object Multimodal {
             reader.setInput(iis, false, false)
             val nFrames =
               try reader.getNumImages(true) catch { case _: Exception => 1 }
+            // header-only dims (no pixel allocation) gate the real decode
+            val hw = reader.getWidth(0).toLong
+            val hh = reader.getHeight(0).toLong
+            if (hw <= 0 || hh <= 0 || hw * hh > MaxPixels)
+              return DecodedMedia(r.doc_id, n, hash, hw.toInt, hh.toInt,
+                math.max(nFrames, 1), -1.0)
             val img = reader.read(0)
             val w = img.getWidth; val h = img.getHeight
             // ceil division: floor would sample 65..127-px dims at every

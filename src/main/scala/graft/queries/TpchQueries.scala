@@ -30,6 +30,27 @@ object TpchQueries {
   private val revenueExpr = col("l_extendedprice") * (lit(1) - col("l_discount"))
   private val revenueSql = "l_extendedprice * (1 - l_discount)"
 
+  /** Bucketed (hash-clustered) staging copies of orders/lineitem for the
+    * co-located join path, written once per (session, sf dir) — the
+    * in-memory catalog holds the bucket spec, so a fresh session
+    * recreates them. 16 buckets on the join key, sorted within buckets.
+    * Idempotent and safe to call from Bench's untimed warmup. */
+  def ensureBucketedFixtures(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) = {
+    val tag = d.split('/').filter(_.nonEmpty).last.replace('.', '_')
+    val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+      graft.sources.ParquetSink.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        ot, Seq("o_orderkey"), buckets = 16, sortCols = Seq("o_orderkey"))
+      graft.sources.ParquetSink.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice")),
+        lt, Seq("l_orderkey"), buckets = 16, sortCols = Seq("l_orderkey"))
+    }
+    (ot, lt)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- grouped aggregation (TPC-H Q1 shape): partial+final hash agg ----
@@ -842,6 +863,36 @@ object TpchQueries {
            |  ${Det.fixedSumSql("l_extendedprice", 2)} AS sum_price
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- bucketed fact-fact SMJ: both sides pre-hash-clustered into the
+    // same bucket layout on the join key, so the join (and the per-order
+    // aggregate that reuses its partitioning) plans with ZERO hash
+    // exchanges — pay the shuffle once at ingest, never per query. The
+    // bucketed staging tables are written once per (session, sf dir) by
+    // [[ensureBucketedFixtures]]; Bench pre-creates them in its untimed
+    // warmup so the timed number is the join, not the ingest write.
+    // BucketingSpec asserts the no-Exchange plan shape. ----
+    QueryDef("join_bucketed_smj",
+      (s, d) => {
+        val (ot, lt) = ensureBucketedFixtures(s, d)
+        // merge hint: at tiny SF Catalyst would broadcast the orders
+        // side; the shape under test is the fact-fact co-located SMJ
+        s.table(ot).hint("merge")
+          .join(s.table(lt).hint("merge"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_totalprice"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            Det.fixedSum(col("l_quantity"), 2).as("sum_qty"),
+            Det.fixedSum(col("l_extendedprice"), 2).as("sum_price"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some(
+        s"""SELECT o_orderkey, o_totalprice, count(*) AS n_lines,
+           |  ${Det.fixedSumSql("l_quantity", 2)} AS sum_qty,
+           |  ${Det.fixedSumSql("l_extendedprice", 2)} AS sum_price
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
     // ---- bloom-prefiltered semi join: build = urgent orders (selective),
     // probe = lineitem; probe rows are pruned by the bloom BEFORE the

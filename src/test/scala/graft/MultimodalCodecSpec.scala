@@ -74,4 +74,67 @@ class MultimodalCodecSpec extends SparkSpec {
     d.width shouldBe 1024
     d.brightness shouldBe 255.0 +- 0.5
   }
+
+  test("pathological blob fuzz: truncated, bit-flipped, empty — degraded rows, no exception") {
+    val good = imageBytes(40, 30, 0x123456, "png")
+    val fixtures = Seq(
+      MediaRecord(0L, good.take(24)),                       // truncated after IHDR start
+      MediaRecord(1L, good.take(good.length / 2)),          // truncated mid-stream
+      MediaRecord(2L, {                                     // bit-flipped body
+        val b = good.clone(); b(b.length / 2) = (b(b.length / 2) ^ 0xff).toByte; b
+      }),
+      MediaRecord(3L, Array.empty[Byte]),                   // empty payload
+      MediaRecord(4L, Array.fill(4096)(0x41.toByte)),       // 4 KB of 'A'
+      MediaRecord(5L, good))                                // control: still decodes
+    val out = fixtures.map(r =>
+      r.doc_id -> ImageIoCodec.decode(r)).toMap // must not throw
+    out(5L).width shouldBe 40
+    fixtures.foreach { r =>
+      out(r.doc_id).n_bytes shouldBe r.payload.length.toLong
+      out(r.doc_id).content_hash.length shouldBe 32
+    }
+    // degraded rows carry no phantom pixel stats
+    Seq(3L, 4L).foreach { id =>
+      out(id).width shouldBe 0
+      out(id).brightness shouldBe 0.0
+    }
+  }
+
+  test("decompression-bomb guard: huge declared dims are never pixel-decoded") {
+    // hand-crafted PNG signature + IHDR declaring 100000x100000 (1e10
+    // pixels from a <100-byte payload — reader.read would allocate ~40 GB)
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(ihdr)
+    dos.writeInt(100000); dos.writeInt(100000) // width, height
+    dos.writeByte(8); dos.writeByte(2)         // bit depth, RGB
+    dos.writeByte(0); dos.writeByte(0); dos.writeByte(0)
+    val body = ihdr.toByteArray
+    val chunk = new java.io.DataOutputStream(out)
+    chunk.writeInt(body.length)
+    out.write("IHDR".getBytes("US-ASCII"))
+    out.write(body)
+    val crc = new java.util.zip.CRC32()
+    crc.update("IHDR".getBytes("US-ASCII")); crc.update(body)
+    chunk.writeInt(crc.getValue.toInt)
+    val bomb = MediaRecord(9L, out.toByteArray)
+
+    val t0 = System.nanoTime()
+    val d = ImageIoCodec.decode(bomb)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    d.width shouldBe 100000     // header dims still reported
+    d.height shouldBe 100000
+    d.brightness shouldBe -1.0  // the documented pixel-decode-skip sentinel
+    elapsedMs should be < 2000.0 // and it returned immediately, no 40 GB read
+  }
+
+  test("oversize-skip sentinel is countable through the mapPartitions stage") {
+    val media = spark.createDataset(Seq(
+      MediaRecord(0L, imageBytes(10, 10, 0xffffff, "png")),
+      MediaRecord(1L, "garbage".getBytes("UTF-8"))))
+    val rows = Multimodal.decodeMedia(media, ImageIoCodec.decode).collect()
+    rows.count(_.brightness >= 0.0) shouldBe 2 // neither hits the cap
+    rows.count(_.width == 0) shouldBe 1        // corrupt row degraded
+  }
 }

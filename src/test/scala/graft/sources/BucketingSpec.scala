@@ -48,4 +48,27 @@ class BucketingSpec extends SparkSpec {
       spark.sql("USE default")
     }
   }
+
+  test("join_bucketed_smj catalog query: join + per-order agg with zero hash exchanges") {
+    val wh = Files.createTempDirectory("graft-warehouse2").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bucketing2 LOCATION '$wh'")
+    spark.sql("USE graft_bucketing2")
+    try {
+      val df = graft.SparkEntry.queries("join_bucketed_smj")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      // the ONLY exchange is the rangepartitioning for the presentation
+      // orderBy; join AND the per-order aggregate reuse the bucket layout
+      plan should not include "Exchange hashpartitioning"
+      df.count() shouldBe Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey")).distinct().count()
+    } finally {
+      val tag = sf.split('/').filter(_.nonEmpty).last.replace('.', '_')
+      spark.sql(s"DROP TABLE IF EXISTS graft_orders_b_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_lineitem_b_$tag")
+      spark.sql("USE default")
+    }
+  }
 }
