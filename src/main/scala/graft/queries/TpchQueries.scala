@@ -40,6 +40,17 @@ object TpchQueries {
     val tag = d.split('/').filter(_.nonEmpty).last.replace('.', '_')
     val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
     if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+      // the in-memory catalog is per-session but the warehouse DIRECTORY
+      // persists: a fresh session's saveAsTable would hit
+      // LOCATION_ALREADY_EXISTS on the previous run's files — clear both
+      // the (possibly absent) catalog entry and the stale location
+      Seq(ot, lt).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+      }
       graft.sources.ParquetSink.writeBucketed(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
         ot, Seq("o_orderkey"), buckets = 16, sortCols = Seq("o_orderkey"))
