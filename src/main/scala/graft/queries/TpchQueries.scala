@@ -1001,13 +1001,17 @@ object TpchQueries {
     // ---- sketch-based percentiles (single-pass mergeable sketch — the
     // 100 TB path; approximate, so no cross-engine oracle) ----
     // Sketch values differ across engines (Spark GK-summary vs DuckDB
-    // t-digest); the hashable contract is each sketch landing within 2%
+    // t-digest); the hashable contract is each sketch landing within 5%
     // of the exact interpolated percentile, next to the exact value.
+    // 5%, not 2%: DuckDB's t-digest on the sf0.1 integer-quantity column
+    // lands EXACTLY on the 2% boundary for one group (|25.5-25|/25) and
+    // the strict < flips only on the oracle side — the contract needs
+    // headroom for the oracle's own sketch error, not just Spark's.
     QueryDef("agg_approx_percentile",
       (s, d) => {
         def ok(approx: String, exact: String) =
           (abs(expr(approx) - expr(exact)) /
-            greatest(abs(expr(exact)), lit(1.0)) < 0.02)
+            greatest(abs(expr(exact)), lit(1.0)) < 0.05)
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
@@ -1023,10 +1027,10 @@ object TpchQueries {
         s"""SELECT l_returnflag,
            |  ${Det.fixedSql("quantile_cont(l_quantity, 0.5)", 6)} AS exact_median,
            |  (abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5))
-           |    / greatest(abs(quantile_cont(l_quantity, 0.5)), 1.0)) < 0.02 AS median_ok,
+           |    / greatest(abs(quantile_cont(l_quantity, 0.5)), 1.0)) < 0.05 AS median_ok,
            |  ${Det.fixedSql("quantile_cont(l_extendedprice, 0.99)", 6)} AS exact_price_p99,
            |  (abs(approx_quantile(l_extendedprice, 0.99) - quantile_cont(l_extendedprice, 0.99))
-           |    / greatest(abs(quantile_cont(l_extendedprice, 0.99)), 1.0)) < 0.02 AS p99_ok
+           |    / greatest(abs(quantile_cont(l_extendedprice, 0.99)), 1.0)) < 0.05 AS p99_ok
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- correlation/covariance via exact sufficient statistics: the
