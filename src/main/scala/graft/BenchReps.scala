@@ -12,7 +12,9 @@ import java.nio.file.{Files, Paths}
   * single-shot number the round's bench drew.
   *
   * Usage: `sbt "runMain graft.BenchReps [outFile] [reps] [query...]"`
-  * (defaults: stdout+REPS.json, 5 reps, the round-3 flagged five). */
+  * (defaults: stdout+REPS.json, 5 reps, the 17-query `defaultQueries`
+  * set below — top-15 by bench cost plus the r4 watch pair; a full
+  * default run is a ~2-minute sf0.1 session). */
 object BenchReps {
   /** Top-15 of the benched set by r4 single-shot cost plus the r4 watch
     * items (gamma_fixed, decontam_overlap) — the steady-state medians are

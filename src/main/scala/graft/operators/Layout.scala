@@ -67,19 +67,29 @@ object Layout {
     // (hi < lo ⇒ divisor ≤ 0) folds into the same NULL branch: Spark's
     // div-by-zero null and DuckDB's floor(inf) BIGINT-cast error would
     // otherwise diverge between engines.
+    // All arithmetic in DOUBLE space, clamp BEFORE the integer cast:
+    // Long subtraction (c - lo, hi - lo + 1) wraps for profiles spanning
+    // more than half the Long domain (Spark non-ANSI wraps silently,
+    // DuckDB raises — a cross-engine divergence), and casting an
+    // unclamped huge double to integer clamps in Spark but errors in
+    // DuckDB. Doubles never overflow at Long magnitudes, and the
+    // clamped value is always cast-safe in both engines.
     when(c.isNull || lo.isNull || hi.isNull || hi < lo, lit(null).cast("long"))
       .otherwise(least(greatest(
-          floor((c - lo).cast("double") * lit(math.pow(2.0, order.toDouble))
-            / (hi - lo + 1)).cast("long"),
-          lit(0L)),
-        lit((1L << order) - 1)))
+          floor((c.cast("double") - lo.cast("double"))
+            * lit(math.pow(2.0, order.toDouble))
+            / (hi.cast("double") - lo.cast("double") + 1)),
+          lit(0.0)),
+        lit(((1L << order) - 1).toDouble)).cast("long"))
 
   /** The DuckDB SQL text matching [[rangeBucket]]. */
   def rangeBucketSql(c: String, lo: String, hi: String, order: Int): String = {
     val n = (1L << order).toString
     s"CASE WHEN $c IS NULL OR $lo IS NULL OR $hi IS NULL OR $hi < $lo THEN NULL" +
-      s" ELSE least(greatest(CAST(floor(($c - $lo) * CAST($n AS DOUBLE)" +
-      s" / ($hi - $lo + 1)) AS BIGINT), 0), $n - 1) END"
+      s" ELSE CAST(least(greatest(floor((CAST($c AS DOUBLE) - CAST($lo AS DOUBLE))" +
+      s" * CAST($n AS DOUBLE)" +
+      s" / (CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE) + 1)), 0.0)," +
+      s" CAST($n AS DOUBLE) - 1) AS BIGINT) END"
   }
 
   /** One Hilbert level: quadrant digit into the accumulator, then the

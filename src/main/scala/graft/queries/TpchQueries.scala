@@ -37,17 +37,27 @@ object TpchQueries {
     * Idempotent and safe to call from Bench's untimed warmup. */
   def ensureBucketedFixtures(s: org.apache.spark.sql.SparkSession,
       d: String): (String, String) = {
-    val tag = d.split('/').filter(_.nonEmpty).last.replace('.', '_')
+    // Tag on the FULL path, not just the leaf dir: two datasets named
+    // .../a/sf0.1 and .../b/sf0.1 must not share (stale) fixtures. The
+    // leaf stays in the name for readability; the hash disambiguates.
+    val abs = new java.io.File(d).getAbsolutePath
+    val tag = d.split('/').filter(_.nonEmpty).last.replace('.', '_') +
+      "_" + java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(abs))
     val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
     if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
       // the in-memory catalog is per-session but the warehouse DIRECTORY
       // persists: a fresh session's saveAsTable would hit
       // LOCATION_ALREADY_EXISTS on the previous run's files — clear both
       // the (possibly absent) catalog entry and the stale location
+      // Resolve the managed-table location from the CURRENT database
+      // (not warehouse.dir directly — wrong when the session's database
+      // has its own LOCATION, as BucketingSpec's does).
+      val dbLoc = new org.apache.hadoop.fs.Path(
+        s.catalog.getDatabase(s.catalog.currentDatabase).locationUri)
       Seq(ot, lt).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
-        val wh = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t)
+        val wh = new org.apache.hadoop.fs.Path(dbLoc, t)
         val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(wh)) fs.delete(wh, true)
       }

@@ -41,7 +41,8 @@ object StreamHarness {
     // the other state machines, which also run fine on RocksDB.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val root = Files.createTempDirectory("graft-stream").toString
+    val rootPath = Files.createTempDirectory("graft-stream")
+    val root = rootPath.toString
     val in = s"$root/in"
     source.write.mode("overwrite").parquet(in)
     val stream = spark.readStream.schema(source.schema).parquet(in)
@@ -56,7 +57,18 @@ object StreamHarness {
         f.write.mode("append").parquet(in)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // The memory sink holds the committed result rows in the driver;
+      // the staged input copy + RocksDB checkpoint (a full source-table
+      // footprint per query) are dead weight once the query stops —
+      // delete, or certification runs accumulate them in tmp.
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(rootPath).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    }
     spark.table(name)
   }
 }

@@ -108,7 +108,20 @@ object StreamingOps {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
-            pre.foreach(closeOut)
+            // The carried session's start can move BACKWARD during this
+            // batch (admissible late merges), so an event routed to `pre`
+            // against the old start may now be within gap of the new one:
+            // merge instead of emitting a fragment (the batch dual yields
+            // one session there). Only the open `pre` can qualify — any
+            // earlier pre-session was closed because the next pre event
+            // was already > gap after it, and cur.start never drops below
+            // that boundary.
+            (pre, cur) match {
+              case (Some(p), Some(s)) if s.start - p.end <= gapMs =>
+                cur = Some(s.copy(start = math.min(p.start, s.start),
+                  n = s.n + p.n, total = s.total + p.total))
+              case _ => pre.foreach(closeOut)
+            }
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.end + gapMs)

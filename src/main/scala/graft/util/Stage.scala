@@ -21,6 +21,15 @@ import org.apache.spark.sql.Dataset
   * Both are EAGER, so the caller's contract — "this frame is
   * materialized once and every downstream branch reuses it" — is
   * identical either way; a spec asserts result equality across modes.
+  *
+  * Checkpoint-file lifecycle: Spark deletes a reliable checkpoint's
+  * files when its RDD is GC'd ONLY under
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+  * false — files persist until the app exits). A long-running cluster
+  * job staging dozens of iterations should set that conf at submit
+  * time so superseded iteration snapshots are reclaimed; reference
+  * tracking (not blind deletion) keeps any frame still in use safe.
+  * See SCALING.md.
   */
 object Stage {
   val ConfKey = "spark.graft.checkpointDir"
@@ -34,7 +43,14 @@ object Stage {
         // to be fixed for a job, not varied mid-query)
         if (spark.sparkContext.getCheckpointDir.isEmpty)
           spark.sparkContext.setCheckpointDir(dir)
-        ds.checkpoint()
+        // Reliable checkpoint runs TWO jobs: the eager count, then the
+        // checkpoint-file write — each recomputing the plan unless it is
+        // cached. Cache across the pair so the frame is computed once
+        // (the write job reads cache blocks), then release: downstream
+        // reads come from the checkpoint files, not the cache.
+        ds.persist()
+        try ds.checkpoint()
+        finally ds.unpersist()
       case None => ds.localCheckpoint()
     }
   }

@@ -20,7 +20,13 @@ class LayoutSpec extends SparkSpec {
       (5L, 0L, 9L),      // in range
       (null, 0L, 9L),    // null key
       (5L, 9L, 0L),      // degenerate profile: hi < lo
-      (5L, 5L, 5L))      // single-point profile (divisor 1, valid)
+      (5L, 5L, 5L),      // single-point profile (divisor 1, valid)
+      // profiles spanning > half the Long domain: Long subtraction
+      // would wrap (and DuckDB would raise) — the double-space
+      // arithmetic must bucket sanely instead
+      (Long.MaxValue, Long.MinValue, 0L),
+      (Long.MaxValue, 0L, 0L))  // out-of-range key, tiny range: clamp,
+                                // never an engine-divergent huge cast
       .toDF("c", "lo", "hi")
     val got = rows.select(
       Layout.rangeBucket(col("c"), col("lo"), col("hi"), 4).as("b"))
@@ -29,6 +35,8 @@ class LayoutSpec extends SparkSpec {
     got(1) shouldBe None
     got(2) shouldBe None      // NOT bucket 0: engines diverge on div-by-neg
     got(3) shouldBe Some(0L)
+    got(4) shouldBe Some(15L) // key above the (huge) range: top bucket
+    got(5) shouldBe Some(15L)
     // the SQL twin carries the same guard textually
     Layout.rangeBucketSql("c", "lo", "hi", 4) should include("hi < lo")
   }

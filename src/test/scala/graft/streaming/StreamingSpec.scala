@@ -152,6 +152,34 @@ class StreamingSpec extends SparkSpec {
       (1L, ts(100), ts(110), 2L, 3.0))
   }
 
+  test("sessionize: pre-start event rejoined when a later merge extends start back over it") {
+    val gapMs = 30L * 60000
+    val in = MemoryStream[Event]
+    // batch 1 opens [100, 110]; batch 2 delivers t=69 then t=71 in event
+    // order. t=69 is > gap before the OLD start (100) and routes to a
+    // pre-session, but t=71 then merges and extends start back to 71 —
+    // leaving t=69 within gap of the session. The batch dual yields ONE
+    // session [69, 110]; emitting [69, 69] separately would violate the
+    // "emitted sessions are > gap apart" invariant.
+    val sessions = StreamingOps.sessionize(in.toDF().as[Event], gapMs,
+      lateness = "600 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_rejoin")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(100), 1, "view", 1.0),
+        Event(2, ts(110), 1, "view", 2.0)); q.processAllAvailable()
+      in.addData(Event(3, ts(69), 1, "view", 4.0),
+        Event(4, ts(71), 1, "view", 8.0)); q.processAllAvailable()
+      in.addData(flushA); q.processAllAvailable()
+      in.addData(flushB); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_rejoin").where(col("user_id") < 999)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    got shouldBe Set((1L, ts(69), ts(110), 4L, 15.0))
+  }
+
   test("stream-stream join: same output as the batch range join") {
     val clicks = Seq(
       Event(1, ts(10), 1, "click", 0.0),
