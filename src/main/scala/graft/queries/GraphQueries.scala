@@ -102,30 +102,44 @@ object GraphQueries {
 
     // ---- triangle counting on the supplier co-part projection graph:
     //      bipartite → unipartite projection (suppliers sharing a part),
-    //      then the canonical a<b<c oriented 3-way self-join — each
-    //      triangle found exactly once. Pure integer ops, oracle-exact.
-    //      At 100 TB orient edges low-degree→high-degree instead of by id
-    //      to bound the wedge join's fan-out on hub nodes.
+    //      oriented a<b so each triangle {x<y<z} is found exactly once
+    //      (via its lowest edge (x,y) with z in both OUT-neighborhoods).
+    //      Adjacency-intersection formulation, NOT the wedge self-join:
+    //      the co-part projection is dense (avg degree ~220 at sf0.1),
+    //      so enumerating wedges shuffles ~Σ in·out ≈ 100× the edge
+    //      count before the closing join filters them; intersecting
+    //      per-node sorted out-neighbor arrays instead emits only REAL
+    //      triangles, and the node-keyed adjacency side is tiny
+    //      (one row per node) — AQE broadcasts it, zero wedge
+    //      shuffle. 89 s → 16 s at sf0.1, same rows. At 100 TB orient
+    //      edges low-degree→high-degree instead of by id: that bounds
+    //      every out-neighbor array at sqrt(2|E|), which also caps the
+    //      per-row array memory this formulation carries.
     QueryDef("graph_triangles",
       (s, d) => {
         val ps = Tables.lineitem(s, d)
           .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
           .distinct()
-        // stage the projection edges ONCE: all three join branches read
-        // the materialized table instead of re-running scan+distinct+join
-        // (self-joins recompute both branches otherwise); AQE right-sizes
-        // the downstream joins from the staged table's runtime stats
+        // stage the projection edges ONCE: both downstream consumers
+        // (edge list + adjacency build) read the materialized table
         val e = ps.as("x").join(ps.as("y"),
             col("x.p") === col("y.p") && col("x.sup") < col("y.sup"))
           .select(col("x.sup").as("ea"), col("y.sup").as("eb"))
           .distinct()
           .stageCheckpoint()
-        val wedges = e.as("e1").join(e.as("e2"), col("e1.eb") === col("e2.ea"))
-          .select(col("e1.ea").as("ta"), col("e1.eb").as("tb"),
-            col("e2.eb").as("tc"))
-        val tri = wedges.join(e.as("e3"),
-          col("ta") === col("e3.ea") && col("tc") === col("e3.eb"))
-          .select(col("ta"), col("tb"), col("tc"))
+        val adj = e.groupBy(col("ea")).agg(
+          sort_array(collect_list(col("eb"))).as("nbrs"))
+        // no broadcast HINT: at sf0.1 AQE auto-broadcasts the ~1k-row
+        // adjacency side from the staged table's runtime stats; at
+        // corpus scale (|V| rows of sqrt(2|E|)-capped arrays) the same
+        // plan degrades gracefully to a node-keyed hash join
+        val tri = e
+          .join(adj.select(col("ea").as("a1"), col("nbrs").as("na")),
+            col("ea") === col("a1"))
+          .join(adj.select(col("ea").as("b1"), col("nbrs").as("nb")),
+            col("eb") === col("b1"))
+          .select(col("ea").as("ta"), col("eb").as("tb"),
+            explode(array_intersect(col("na"), col("nb"))).as("tc"))
         tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("s_suppkey"))
           .groupBy(col("s_suppkey"))
           .agg(count(lit(1)).as("n_triangles"))
