@@ -41,6 +41,14 @@ object StreamHarness {
     // the other state machines, which also run fine on RocksDB.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // The state-store partition count is fixed per CHECKPOINT at first
+    // run; this harness creates a fresh checkpoint every call, so scope
+    // the shuffle width down for the run: 32 RocksDB instances per
+    // stateful operator over a staged sub-GB table is pure per-instance
+    // overhead (~3x the wall time of the same pipeline at 4). Results
+    // are partition-count-independent; restored in finally.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val rootPath = Files.createTempDirectory("graft-stream")
     val root = rootPath.toString
     val in = s"$root/in"
@@ -59,6 +67,7 @@ object StreamHarness {
       }
     } finally {
       q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // The memory sink holds the committed result rows in the driver;
       // the staged input copy + RocksDB checkpoint (a full source-table
       // footprint per query) are dead weight once the query stops —
