@@ -610,8 +610,16 @@ object TpchQueries {
     // ---- window: running sum (frame), exact via integer cents ----
     QueryDef("window_running_sum",
       (s, d) => {
+        // cents is the FINAL window-order key: the synthetic lineitem
+        // duplicates (l_orderkey, l_linenumber) (~118k groups at sf0.1),
+        // so the "PK" alone leaves ties whose running prefix depends on
+        // each engine's arbitrary tie order — a latent cross-engine
+        // flake (surfaced at sf0.1 round 5). Ordering ties by their own
+        // contribution pins the prefix; equal-cents ties are harmless
+        // (same multiset of running values either way).
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("cents"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.lineitem(s, d)
           .withColumn("cents", round(revenueExpr * lit(100), 0).cast("long"))
@@ -624,7 +632,8 @@ object TpchQueries {
         s"""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
            |  CAST(sum(CAST(round(($revenueSql) * 100, 0) AS BIGINT)) OVER (
            |    PARTITION BY l_suppkey
-           |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+           |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+           |      CAST(round(($revenueSql) * 100, 0) AS BIGINT)
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
            |    AS running_revenue
            |FROM lineitem
