@@ -699,9 +699,10 @@ object TpchQueries {
           |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- argmin/argmax aggregates (min_by / max_by). Single-key
-    // ordering: per-group max/min prices are unique in the sf0.01
-    // fixture (verified), so the argext is well-defined in both engines
-    // (DuckDB 1.0 arg_max has no composite-key overload). ----
+    // ordering: per-group max/min prices are unique in BOTH the sf0.01
+    // and sf0.1 fixtures (verified round 5 — the lineitem dup-key flake
+    // class does not apply here), so the argext is well-defined in both
+    // engines (DuckDB 1.0 arg_max has no composite-key overload). ----
     QueryDef("agg_minmax_by",
       (s, d) => Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
