@@ -24,6 +24,12 @@ object Curation {
     * scalable compromise (a document straddling a boundary overflows its
     * pack by < its own length). At 100 TB the shard column (here: lang)
     * bounds each window's partition, so packing parallelizes per shard.
+    *
+    * CONTRACT: `orderCol` must be a TOTAL order within each shard (a
+    * unique id). Ties would make the cumulative sum — and every pack
+    * assignment after the tie — depend on the engine's arbitrary tie
+    * order (the window_running_sum flake class; both catalog callers
+    * pass doc_id).
     */
   def packSequences(
       docs: DataFrame, tokenCol: Column, shardCol: Column, orderCol: Column,
