@@ -20,15 +20,25 @@ object Tables {
     if (name == "events") normalizeEventTs(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to map to
-    * TimestampType; read it as raw nanos (legacy conf) and convert to a
-    * micros TimestampType column with integer division (floor), matching
-    * DuckDB's ns->us truncation so oracle comparisons line up.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some generator
+    * versions (Spark 4 refuses to map that to TimestampType) and as plain
+    * TIMESTAMP(MICROS) without UTC adjustment (maps to TIMESTAMP_NTZ) in
+    * others. Normalize BOTH to a session-TZ TimestampType column: nanos
+    * are read as raw longs (legacy conf) and floor-divided to micros,
+    * matching DuckDB's ns->us truncation; NTZ micros are reinterpreted in
+    * the session time zone (always UTC here), which preserves wall-clock
+    * values and therefore oracle hashes.
     */
   private def normalizeEventTs(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
