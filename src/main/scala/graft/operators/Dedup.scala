@@ -433,23 +433,33 @@ object Dedup {
     require(minLen <= maxSuffixLen,
       s"minLen $minLen exceeds suffix cap $maxSuffixLen")
     val toksOf = split(trim(col(textCol)), "\\s+")
+    // The window sort is the expensive step: shuffle every suffix into its
+    // bucket and sort by the suffix STRING. Only the string rides through
+    // the sort — the token array is recovered by re-splitting after the
+    // lag (the join/split round-trip is exact because tokens come from a
+    // \s+ split, so they contain no spaces). Carrying the array too would
+    // double the sort payload (measured as the dominant cost + spill
+    // variance at sf0.1 on the 31-word-vocabulary corpus, where suffixes
+    // share long prefixes and compare deep).
     val suf = docs
       .select(col(idCol).as("doc_id"), toksOf.as("toks"))
       .select(col("doc_id"), explode(sequence(lit(1), size(col("toks")))).as("pos"),
         col("toks"))
       .select(col("doc_id"), col("pos"),
-        slice(col("toks"), col("pos"),
-          least(size(col("toks")) - col("pos") + 1, lit(maxSuffixLen))).as("suf"),
+        array_join(slice(col("toks"), col("pos"),
+          least(size(col("toks")) - col("pos") + 1, lit(maxSuffixLen))), " ")
+          .as("sstr"),
         array_join(slice(col("toks"), col("pos"),
           least(size(col("toks")) - col("pos") + 1,
             lit(math.min(minLen, 2)))), " ").as("bucket"))
-      .withColumn("sstr", array_join(col("suf"), " "))
     val w = Window.partitionBy(col("bucket"))
       .orderBy(col("sstr"), col("doc_id"), col("pos"))
     val adj = suf
-      .withColumn("psuf", lag(col("suf"), 1).over(w))
+      .withColumn("psstr", lag(col("sstr"), 1).over(w))
       .withColumn("pdoc", lag(col("doc_id"), 1).over(w))
-      .where(col("psuf").isNotNull)
+      .where(col("psstr").isNotNull)
+      .withColumn("suf", split(col("sstr"), " "))
+      .withColumn("psuf", split(col("psstr"), " "))
     // LCP: index of the first mismatch in the zipped equality vector
     // (zip_with pads the longer tail with nulls, which array_position
     // skips, so a missing `false` means the shorter suffix is a full
