@@ -56,34 +56,43 @@ object Similarity {
     * partitionings — DuckDB-oracle-hashable. */
   def covarianceUpperTriangle(
       emb: DataFrame, vecCol: String, scale: Int = 7): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val f = math.pow(10.0, scale.toDouble)
-    val v = col(vecCol).cast("array<double>")
-    val xi = emb.select(posexplode(v).as(Seq("i", "xi")), v.as("v"))
-    val pairs = xi
-      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
-      .where(col("j") >= col("i"))
-    pairs.groupBy(col("i"), col("j"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(Det.toFixed(col("xi") * col("xj"), scale)).as("sxy"),
-        sum(Det.toFixed(col("xi"), scale)).as("sx"),
-        sum(Det.toFixed(col("xj"), scale)).as("sy"))
-      .withColumn("cov",
-        (col("sxy").cast("double") / lit(f) / col("n").cast("double"))
-          - (col("sx").cast("double") / lit(f) / col("n").cast("double"))
-          * (col("sy").cast("double") / lit(f) / col("n").cast("double")))
-      .select(col("i"), col("j"), col("n"), col("cov"))
+    // ONE typed-aggregator pass: per-partition buffers of integerized
+    // pair sums, merged on the driver — no n·d(d+1)/2 row explosion, no
+    // pair-keyed shuffle (see [[CovSuffStatsAggregator]] for layout and
+    // the bit-exactness contract). The result is d×d model state (2080
+    // pairs at d = 64), returned as a local relation exactly like the
+    // k-means centroid and whitening-matrix fits.
+    val agg = new CovSuffStatsAggregator(scale)
+    val buf = emb.select(col(vecCol).cast("array<double>").as("v"))
+      .as[Seq[Double]].select(agg.toColumn).head()
+    val d = buf(0).toInt
+    val t = d * (d + 1) / 2
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+      p = i * d - i * (i - 1) / 2 + (j - i)
+      n = buf(1 + p) if n > 0L
+    } yield {
+      val nd = n.toDouble
+      val cov = (buf(1 + t + p).toDouble / f / nd) -
+        (buf(1 + 2 * t + p).toDouble / f / nd) *
+          (buf(1 + 3 * t + p).toDouble / f / nd)
+      (i, j, n, cov)
+    }
+    rows.toDF("i", "j", "n", "cov")
   }
 
   /** Dominant eigenvector of the embedding covariance matrix (the top
     * principal component — PCA pruning / whitening direction) by POWER
-    * ITERATION, entirely as dataflow.
+    * ITERATION.
     *
     * The heavy stage is the covariance pass ([[covarianceUpperTriangle]],
     * one scan of the corpus); each subsequent iteration touches only the
-    * d×d matrix (d = embedding dim, here 64), so iterating is O(d²) —
-    * negligible at any corpus scale. `v` is a d-row relation broadcast
-    * into the matrix join; nothing iterates over the corpus.
+    * d×d matrix (d = embedding dim, here 64), so the loop is O(d²) model
+    * state and runs on the driver — nothing iterates over the corpus.
     *
     * Determinism (the PageRank recipe, [[graft.operators.Graph]]):
     * per-term products `cov·v` are integerized ([[Det.toFixed]]) and
@@ -99,32 +108,51 @@ object Similarity {
   def powerIterationTopEigen(
       emb: DataFrame, vecCol: String, iters: Int = 4,
       covScale: Int = 7, itScale: Int = 9): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = emb.sparkSession
     val f = math.pow(10.0, itScale.toDouble)
-    val upper = covarianceUpperTriangle(emb, vecCol, covScale)
-      .select(col("i"), col("j"), col("cov"))
-    // mirror the triangle; localCheckpoint: every iteration reuses it
-    val cm = upper.unionAll(
-        upper.where(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("cov")))
-      .stageCheckpoint()
-    var v = cm.select(col("i").as("j")).distinct()
-      .select(col("j"), lit(1.0).as("v"))
-    var norm: DataFrame = null
-    for (_ <- 1 to iters) {
-      val w = cm.join(broadcast(v), Seq("j"))
-        .groupBy(col("i"))
-        .agg((sum(Det.toFixed(col("cov") * col("v"), itScale))
-          .cast("double") / lit(f)).as("w"))
-      norm = w
-        .agg((sum(Det.toFixed(col("w") * col("w"), itScale))
-          .cast("double") / lit(f)).as("ss"))
-        .select(sqrt(col("ss")).as("norm"))
-      v = w.crossJoin(broadcast(norm))
-        .select(col("i").as("j"), Det.fixed(col("w") / col("norm"), itScale).as("v"))
-        .stageCheckpoint()
+    // The corpus-scale work is the ONE covariance pass; everything after
+    // is d×d model state (d = embedding dim, 4096 doubles at d = 64) and
+    // runs on the DRIVER — the same boundary as the Cholesky factorization
+    // in [[choleskyWhitening]]. The previous formulation iterated the d×d
+    // matrix as dataflow: correct, but 4 iterations × (broadcast join +
+    // agg + checkpoint) of per-job fixed cost for O(d²) flops.
+    //
+    // Determinism contract unchanged (the PageRank recipe): per-term
+    // products are rounded to the itScale grid exactly as Spark's
+    // round(x·10^k, 0) does — BigDecimal(double) HALF_UP at scale 0 —
+    // and summed exactly in Long, so the driver loop is bit-identical to
+    // both the old dataflow loop and the chained-CTE DuckDB oracle.
+    def fixLong(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def fixDouble(x: Double): Double =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val upperRows = covarianceUpperTriangle(emb, vecCol, covScale)
+      .select(col("i"), col("j"), col("cov")).collect()
+    val d = upperRows.iterator.map(r => math.max(r.getInt(0), r.getInt(1))).max + 1
+    val cov = Array.ofDim[Double](d, d)
+    upperRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c
+      cov(j)(i) = c
     }
-    v.crossJoin(broadcast(norm))
-      .select(col("j").as("i"), col("v"), Det.fixed(col("norm"), 6).as("eigval"))
+    var v = Array.fill(d)(1.0)
+    var norm = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < d) { acc += fixLong(cov(i)(j) * v(j) * f); j += 1 }
+        acc.toDouble / f
+      }
+      val ss = w.foldLeft(0L)((a, x) => a + fixLong(x * x * f)).toDouble / f
+      norm = math.sqrt(ss)
+      v = w.map(x => fixDouble(x / norm * f) / f)
+    }
+    val eigval = fixDouble(norm * 1e6) / 1e6
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i, x, eigval) }.toSeq
+      .toDF("i", "v", "eigval")
   }
 
   /** PCA APPLY: every vector's score on the dominant component learned by
