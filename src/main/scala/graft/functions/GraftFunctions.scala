@@ -43,6 +43,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) =>
         MinHashSig(args(0), intArg(args(1), "minhash_sig", 2))),
+    (FunctionIdentifier("md5_minhash_sig"),
+      new ExpressionInfo(classOf[Md5MinHashSig].getName, "md5_minhash_sig"),
+      (args: Seq[Expression]) =>
+        Md5MinHashSig(args(0), intArg(args(1), "md5_minhash_sig", 2))),
     (FunctionIdentifier("hilbert_key"),
       new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
       (args: Seq[Expression]) =>

@@ -114,6 +114,22 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** [[VectorOps.md5MinhashSig]]: the DuckDB-reproducible md5 hash family
+    * fused into one codegen call (the HOF form it replaces ran
+    * numHashes × |shingles| interpreted lambda evals per row). */
+  case class Md5MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "md5_minhash_sig"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorOps.md5MinhashSig(a.asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.md5MinhashSig($a, $numHashes);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** planes: row-major [bits x dim] hyperplane normals; the literal matrix
     * rides inside the expression (referenced from codegen via ctx
     * references, not inlined source), so the plan stays self-contained. */
@@ -215,6 +231,8 @@ object VectorExpressions {
     GraftBridge.column(WordShingles(GraftBridge.expression(text), k))
   def minhashSig(shingles: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(shingles), numHashes))
+  def md5MinhashSig(shingles: Column, numHashes: Int): Column =
+    GraftBridge.column(Md5MinHashSig(GraftBridge.expression(shingles), numHashes))
   def hyperplaneSig(vec: Column, planes: Seq[Double], bits: Int): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes, bits))
   def quantStats(vec: Column): Column =

@@ -118,6 +118,55 @@ object VectorOps {
     new GenericArrayData(mins)
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** MinHash signature over the ORACLE-REPRODUCIBLE md5 hash family —
+    * the codegen kernel form of the HOF chain
+    * `transform(sig_i, array_min(transform(harr, h => (h>>30 + i*(h&2^30-1)) % p)))`
+    * with `harr = conv(substring(md5(shingle), 1, 15), 16, 10)` that
+    * [[graft.operators.Dedup.nearDuplicatePairsMd5]] shipped as
+    * interpreted Catalyst lambdas (numHashes × |sh| evals per row).
+    * Bit-identical by construction: h is the first 60 bits of the md5 of
+    * the shingle's UTF-8 bytes (= parsing the first 15 lowercase hex
+    * chars base-16, always positive), and every g_i term stays under
+    * 2^35, so the Long arithmetic cannot overflow and `%` operands are
+    * positive in both engines. Empty input yields all Long.MaxValue (the
+    * same sentinel as [[minhashSig]]; callers filter empty shingle sets
+    * before signing, as the HOF form did). */
+  def md5MinhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val prime = 1073741789L
+    val mask = 1073741823L // 2^30 - 1
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = md5Digest.get()
+    val n = shingles.numElements()
+    var t = 0
+    while (t < n) {
+      md.reset()
+      val d = md.digest(shingles.getUTF8String(t).getBytes)
+      // first 60 bits: 7 full bytes + the high nibble of byte 7
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((d(7) & 0xffL) >>> 4)
+      val base = h >>> 30
+      val step = h & mask
+      var g = base
+      var i = 0
+      while (i < numHashes) {
+        val v = g % prime
+        if (v < mins(i)) mins(i) = v
+        g += step
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Signed random-hyperplane signature: bit b of the result =
     * sign(dot(vec, planes[b])). `planes` is a row-major [bits x dim]
     * array baked into the (deterministically seeded) expression. */

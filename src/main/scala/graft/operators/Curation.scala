@@ -226,7 +226,11 @@ object Curation {
         least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct().stageCheckpoint()
-    var stable = e.isEmpty
+    // carried across rounds: |e| is last round's |ss|, so one count
+    // action per round suffices (the fixpoint check is count-equality
+    // with a short-circuited except, see below)
+    var eCount = e.count()
+    var stable = eCount == 0L
     var iter = 0
     while (!stable && iter < maxIter) {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -242,9 +246,12 @@ object Curation {
         .union(minsS.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct().stageCheckpoint()
       // both sides are distinct sets: equal counts + empty one-sided
-      // difference ⇔ fixpoint
-      stable = ss.count() == e.count() && ss.exceptAll(e).isEmpty
+      // difference ⇔ fixpoint (&& short-circuits: the except job only
+      // runs in the rare counts-equal rounds)
+      val ssCount = ss.count()
+      stable = ssCount == eCount && ss.exceptAll(e).isEmpty
       e = ss
+      eCount = ssCount
       iter += 1
     }
     // At the fixpoint every non-center node has exactly ONE star edge;

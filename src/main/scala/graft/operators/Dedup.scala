@@ -202,26 +202,23 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val prime = 1073741789L; val mask = 1073741823L // 2^30 - 1
-    val toks = split(trim(col(textCol)), "\\s+")
-    val shingles = when(size(toks) >= shingleK,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - lit(shingleK - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(shingleK))))))
-      .otherwise(array().cast("array<string>"))
-    def h60(x: Column): Column =
-      conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long")
-    // staged (id, sh, harr) persisted: one md5 per shingle, read by both
-    // sides of the bucket self-join and the verify join (see Cache
-    // ownership note above)
+    // identical semantics to array_distinct(transform(sequence…,
+    // concat_ws(" ", slice(toks…)))) over split(trim(text), "\s+") —
+    // one codegen loop instead of an interpreted per-shingle slice+concat
+    val shingles =
+      graft.functions.VectorExpressions.wordShingles(col(textCol), shingleK)
+    // staged (id, sh) persisted: read by both sides of the bucket
+    // self-join and the verify join (see Cache ownership note above).
+    // The signature — md5 per shingle + the numHashes-member hash family
+    // — is ONE codegen kernel call ([[graft.functions.VectorOps
+    // .md5MinhashSig]], bit-identical to the former
+    // conv(substring(md5…)) + nested-transform HOF chain that evaluated
+    // numHashes × |sh| interpreted lambdas per row).
     val staged = docs
       .select(col(idCol).as("id"), shingles.as("sh"))
-      .withColumn("harr", transform(col("sh"), x => h60(x)))
       .persist()
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(col("harr"),
-        h => (shiftright(h, 30) + i.cast("long") * h.bitwiseAND(lit(mask))) % lit(prime))))
-    val sigged = staged.where(size(col("sh")) > 0).withColumn("sig", sig)
+    val sigged = staged.where(size(col("sh")) > 0).withColumn("sig",
+      graft.functions.VectorExpressions.md5MinhashSig(col("sh"), numHashes))
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rowsPerBand).map(r =>
