@@ -114,6 +114,37 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** [[VectorOps.normSlice]]: normalized sub-slice of a float vector
+    * (0-based start), one norm pass instead of the O(d²) interpreted
+    * transform-with-nested-norm chain. */
+  case class NormSlice(child: Expression, start: Int, len: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "norm_slice"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorOps.normSlice(a.asInstanceOf[ArrayData], start, len)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.normSlice($a, $start, $len);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** [[VectorOps.l2sqDouble]]: ordered squared-L2 of two double vectors. */
+  case class L2Sq(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "l2_sq"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VectorOps.l2sqDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorOps.l2sqDouble($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** [[VectorOps.md5MinhashSig]]: the DuckDB-reproducible md5 hash family
     * fused into one codegen call (the HOF form it replaces ran
     * numHashes × |shingles| interpreted lambda evals per row). */
@@ -233,6 +264,10 @@ object VectorExpressions {
     GraftBridge.column(MinHashSig(GraftBridge.expression(shingles), numHashes))
   def md5MinhashSig(shingles: Column, numHashes: Int): Column =
     GraftBridge.column(Md5MinHashSig(GraftBridge.expression(shingles), numHashes))
+  def normSlice(vec: Column, start: Int, len: Int): Column =
+    GraftBridge.column(NormSlice(GraftBridge.expression(vec), start, len))
+  def l2Sq(a: Column, b: Column): Column =
+    GraftBridge.column(L2Sq(GraftBridge.expression(a), GraftBridge.expression(b)))
   def hyperplaneSig(vec: Column, planes: Seq[Double], bits: Int): Column =
     GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes, bits))
   def quantStats(vec: Column): Column =

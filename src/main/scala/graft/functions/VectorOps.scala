@@ -29,6 +29,42 @@ object VectorOps {
     math.sqrt(acc)
   }
 
+  /** Normalized sub-slice of a FLOAT vector as doubles:
+    * out(i) = vec(start+i) / ‖vec‖₂ for len elements (0-based start,
+    * truncated at the vector end like SQL `slice`). Replaces the HOF
+    * `slice(transform(vec, x -> x / l2_norm(vec)), …)` — which re-evaluated
+    * the O(d) norm once PER ELEMENT in interpreted lambdas (O(d²) per
+    * vector) — with one norm + one pass. Accumulation order matches
+    * [[normFloat]] / DuckDB's list arithmetic, so values are
+    * bit-identical. Zero norm divides through like the HOF did
+    * (IEEE Inf/NaN, no special case). */
+  def normSlice(vec: ArrayData, start: Int, len: Int): ArrayData = {
+    val nrm = normFloat(vec)
+    val n = vec.numElements()
+    val m = math.max(0, math.min(len, n - start))
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) { out(i) = vec.getFloat(start + i).toDouble / nrm; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Squared L2 distance between two DOUBLE vectors, accumulated in array
+    * order — the kernel form of
+    * `aggregate(zip_with(a, b, (x,y) -> (x-y)²), 0.0, acc+v)`.
+    * Equal-length inputs only (the HOF null-pads ragged pairs to NULL;
+    * every call site compares fixed-width sub-slices/codewords). */
+  def l2sqDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   def cosineFloat(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -519,11 +519,14 @@ object Similarity {
     require(dim % subspaces == 0, "subspaces must divide dim")
     val sub = dim / subspaces
     // L2-normalize first: on unit vectors L2² = 2 - 2·cos, so ADC ranks
-    // by (approximate) cosine. Norm via the native kernel (array-order
-    // double accumulation = DuckDB's list arithmetic, bit-identical).
-    def normalized(vec: Column): Column =
-      transform(vec, x => x.cast("double") / l2Norm(vec))
-    val sampled = corpus.select(col(idCol), normalized(col(vecCol)).as("nv"))
+    // by (approximate) cosine. Norm + slice as ONE kernel call
+    // ([[graft.functions.VectorOps.normSlice]]): the HOF form
+    // transform(vec, x -> x / l2_norm(vec)) re-evaluated the O(d) norm
+    // per element in interpreted lambdas — O(d²) per vector, and this
+    // runs once per (row, subspace). Array-order accumulation = DuckDB's
+    // list arithmetic, bit-identical.
+    import graft.functions.VectorExpressions.{normSlice, l2Sq}
+    val sampled = corpus.select(col(idCol), normSlice(col(vecCol), 0, dim).as("nv"))
       .orderBy(((col(idCol) * lit(2654435761L) + lit(seed)) % lit(4294967296L)).asc,
         col(idCol))
       .limit(codebookSize)
@@ -535,14 +538,11 @@ object Similarity {
     } yield (s, c, r.getSeq[Double](1).slice(s * sub, (s + 1) * sub))
     val cb = broadcast(spark.createDataFrame(cbRows).toDF("s", "code", "cw"))
     // L2² with the SAME accumulation order as DuckDB's list arithmetic.
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(
-        zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+    def l2sq(a: Column, b: Column): Column = l2Sq(a, b)
     def bySubspace(df: DataFrame, id: Column, vec: Column, idName: String): DataFrame =
       df.select(id.as(idName),
           explode(array((0 until subspaces).map(s =>
-            struct(lit(s).as("s"), slice(normalized(vec), s * sub + 1, sub).as("v"))): _*)).as("sv"))
+            struct(lit(s).as("s"), normSlice(vec, s * sub, sub).as("v"))): _*)).as("sv"))
         .select(col(idName), col("sv.s").as("s"), col("sv.v").as("v"))
     // argmin codeword as a HASH AGGREGATE, not a window: min(struct(d,
     // code)) combines map-side (partial agg), so the shuffle carries one
