@@ -129,6 +129,9 @@ object Similarity {
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
     val upperRows = covarianceUpperTriangle(emb, vecCol, covScale)
       .select(col("i"), col("j"), col("cov")).collect()
+    import spark.implicits._
+    if (upperRows.isEmpty) // empty corpus: empty result, like the dataflow form
+      return Seq.empty[(Int, Double, Double)].toDF("i", "v", "eigval")
     val d = upperRows.iterator.map(r => math.max(r.getInt(0), r.getInt(1))).max + 1
     val cov = Array.ofDim[Double](d, d)
     upperRows.foreach { r =>
@@ -150,7 +153,6 @@ object Similarity {
       v = w.map(x => fixDouble(x / norm * f) / f)
     }
     val eigval = fixDouble(norm * 1e6) / 1e6
-    import spark.implicits._
     v.zipWithIndex.map { case (x, i) => (i, x, eigval) }.toSeq
       .toDF("i", "v", "eigval")
   }
