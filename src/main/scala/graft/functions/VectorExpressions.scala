@@ -130,16 +130,20 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
-  /** [[VectorOps.l2sqDouble]]: ordered squared-L2 of two double vectors. */
+  /** [[VectorOps.l2sqDouble]]: ordered squared-L2 of two double vectors;
+    * NULL on ragged pairs (parity with the zip_with null-pad form). */
   case class L2Sq(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "l2_sq"
     override protected def nullSafeEval(a: Any, b: Any): Any =
       VectorOps.l2sqDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.functions.VectorOps.l2sqDouble($a, $b);")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double ${ev.value}$$r = graft.functions.VectorOps.l2sqDouble($a, $b);
+        if (${ev.value}$$r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}$$r.doubleValue(); }""")
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)

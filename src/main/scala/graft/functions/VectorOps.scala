@@ -51,10 +51,14 @@ object VectorOps {
   /** Squared L2 distance between two DOUBLE vectors, accumulated in array
     * order — the kernel form of
     * `aggregate(zip_with(a, b, (x,y) -> (x-y)²), 0.0, acc+v)`.
-    * Equal-length inputs only (the HOF null-pads ragged pairs to NULL;
-    * every call site compares fixed-width sub-slices/codewords). */
-  def l2sqDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * Ragged pairs return null exactly like the HOF (zip_with null-pads
+    * the shorter side, the lambda propagates it, and the aggregate
+    * collapses to NULL) — so a short vector is excluded from a ranking
+    * rather than handed a spuriously small partial distance. Returns a
+    * boxed java.lang.Double (null = ragged). */
+  def l2sqDouble(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -94,14 +98,30 @@ object VectorOps {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** EXACT replication of `split(trim(text), "\s+")` as both Spark and
+    * the DuckDB oracles (`string_split_regex(trim(text), '\s+')`) compute
+    * it: trim strips SPACES only (0x20 — NOT Java String.trim, which also
+    * strips \t/\n/\r), and the regex split keeps leading/trailing empty
+    * tokens (NOT Java split's default trailing-empty drop). Tab/newline-
+    * edged text therefore tokenizes with the same boundary "" tokens in
+    * kernel, Spark-expression and oracle forms. */
+  private def sqlWhitespaceTokens(
+      text: org.apache.spark.unsafe.types.UTF8String): Array[String] = {
+    val s0 = text.toString
+    var b = 0
+    var e = s0.length
+    while (b < e && s0.charAt(b) == ' ') b += 1
+    while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+    s0.substring(b, e).split("\\s+", -1)
+  }
+
   /** Distinct word k-shingles of a document, first-occurrence order —
     * semantics of `array_distinct(transform(...))` over whitespace tokens
-    * (matching Spark's `split(trim(text), "\s+")` tokenization), as one
-    * tight loop instead of an interpreted per-shingle slice+concat. */
+    * ([[sqlWhitespaceTokens]], identical to `split(trim(text), "\s+")`),
+    * as one tight loop instead of an interpreted per-shingle
+    * slice+concat. */
   def wordShingles(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
-    val s = text.toString.trim
-    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val toks = s.split("\\s+")
+    val toks = sqlWhitespaceTokens(text)
     if (toks.length < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]
     var i = 0
@@ -256,9 +276,7 @@ object VectorOps {
     * substring-span coverage arithmetic. Same tokenization contract as
     * [[wordShingles]] (trim + `\s+`); empty when fewer than k tokens. */
   def wordShinglesAll(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
-    val s = text.toString.trim
-    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val toks = s.split("\\s+")
+    val toks = sqlWhitespaceTokens(text)
     if (toks.length < k) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](toks.length - k + 1)
     var i = 0

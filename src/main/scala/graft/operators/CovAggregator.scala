@@ -38,22 +38,29 @@ import org.apache.spark.sql.expressions.Aggregator
   * longer vector or a wider merge partner arrives.
   */
 object CovSuffStatsAggregator {
-  /** Decimal HALF_UP (away from zero) of a double at scale 0, bit-equal to
-    * Spark's `round(v, 0)` / DuckDB's `ROUND(v, 0)` / BigDecimal.valueOf
-    * semantics, with a fast FP path. floor(v+0.5) (resp. ceil(v−0.5) for
-    * negatives) agrees with decimal HALF_UP everywhere EXCEPT when v lies
-    * within an ulp of a half boundary, where the +0.5 addition itself can
-    * round across it (the 0.49999999999999994 + 0.5 == 1.0 puzzler) — so
-    * within 4 ulps of the boundary (which includes exact halves) we defer
-    * to BigDecimal. Large magnitudes (≥ 2^52, ulp ≥ 0.5) also defer. */
+  /** Decimal HALF_UP (away from zero) of a double at scale 0 followed by
+    * a long cast, bit-equal to Spark's `round(v, 0).cast("long")` /
+    * DuckDB's `CAST(ROUND(v, 0) AS BIGINT)` on every input class:
+    *
+    *  - |v| < 2^52: fast FP path — floor(v+0.5) (resp. ceil(v−0.5) for
+    *    negatives) agrees with decimal HALF_UP everywhere EXCEPT within
+    *    an ulp of a half boundary, where the +0.5 addition itself can
+    *    round across it (the 0.49999999999999994 + 0.5 == 1.0 puzzler);
+    *    within 4 ulps of the boundary (includes exact halves) defer to
+    *    BigDecimal.
+    *  - |v| ≥ 2^52, NaN, ±Inf: `v.toLong` — v is already integral (ulp
+    *    ≥ 1) so round() is identity, and the JVM double→long conversion
+    *    has exactly Spark's non-ANSI cast semantics (NaN → 0, saturate
+    *    at Long.{Min,Max}Value — NOT BigDecimal.toLong, which wraps
+    *    modulo 2^64 and throws on non-finite). */
   private[graft] def fixHalfUp(v: Double): Long = {
     val av = math.abs(v)
     if (av < 4.503599627370496e15) { // 2^52: below this, w and ±0.5 are exact
       val w = if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
       val boundary = if (v >= 0) w - 0.5 else w + 0.5
-      if (math.abs(v - boundary) > 4 * math.ulp(av)) return w.toLong
-    }
-    BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      if (math.abs(v - boundary) > 4 * math.ulp(av)) w.toLong
+      else BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    } else v.toLong // integral, non-finite, or beyond long range: cast semantics
   }
 }
 

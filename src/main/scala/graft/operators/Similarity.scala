@@ -42,18 +42,25 @@ object Similarity {
     * pair i ≤ j, population covariance
     * `cov_ij = E[x_i·x_j] − E[x_i]·E[x_j]`.
     *
-    * Dataflow: double posexplode into (i, j, x_i, x_j) pairs, then ONE
-    * partial+final hash aggregate keyed on (i, j). The d² row expansion
-    * never materializes — Generate pipelines into the partial aggregate
-    * inside one codegen stage, and each task emits at most d(d+1)/2
-    * groups, so shuffle volume is O(d²·partitions) regardless of row
-    * count. (The d² multiply per row is the inherent FLOP cost of a Gram
-    * matrix; a specialized BLAS kernel would change the constant, not the
-    * dataflow.)
+    * Dataflow (round 6): ONE typed-Aggregator pass
+    * ([[CovSuffStatsAggregator]]) — each partition accumulates all
+    * d(d+1)/2 integerized pair sums in a flat long buffer, and only the
+    * per-partition buffers merge, so nothing row-scaled is shuffled.
+    * (The d² multiply per row is the inherent FLOP cost of a Gram
+    * matrix; a specialized BLAS kernel would change the constant, not
+    * the dataflow. The flat buffer is the scale bound: fine through
+    * d ≈ a few hundred, d = 1024 is a 33 MB buffer — at that point
+    * shard the pair space.)
     *
-    * Sums are integerized per pair ([[Det.toFixed]], exact BIGINT
-    * accumulation), so the matrix is bit-identical across engines and
-    * partitionings — DuckDB-oracle-hashable. */
+    * Sums are integerized per pair (exact BIGINT accumulation, same
+    * rounding as [[graft.util.Det.toFixed]]), so the matrix is
+    * bit-identical across engines and partitionings —
+    * DuckDB-oracle-hashable.
+    *
+    * NOTE: EAGER since round 6 — constructing the result runs the
+    * corpus-scale covariance action immediately (the same model-state-fit
+    * boundary as [[choleskyWhitening]] and the k-means trainers) and
+    * returns the d×d statistics as a driver-local relation. */
   def covarianceUpperTriangle(
       emb: DataFrame, vecCol: String, scale: Int = 7): DataFrame = {
     val spark = emb.sparkSession
@@ -123,10 +130,13 @@ object Similarity {
     // round(x·10^k, 0) does — BigDecimal(double) HALF_UP at scale 0 —
     // and summed exactly in Long, so the driver loop is bit-identical to
     // both the old dataflow loop and the chained-CTE DuckDB oracle.
-    def fixLong(x: Double): Long =
-      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // same non-finite/saturation contract as Spark round()+cast — see
+    // CovSuffStatsAggregator.fixHalfUp (fixDouble mirrors round() alone,
+    // which passes non-finite and >=2^52-integral doubles through)
+    def fixLong(x: Double): Long = CovSuffStatsAggregator.fixHalfUp(x)
     def fixDouble(x: Double): Double =
-      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (x.isNaN || x.isInfinite || math.abs(x) >= 4.503599627370496e15) x
+      else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
     val upperRows = covarianceUpperTriangle(emb, vecCol, covScale)
       .select(col("i"), col("j"), col("cov")).collect()
     import spark.implicits._
@@ -541,10 +551,16 @@ object Similarity {
     val cb = broadcast(spark.createDataFrame(cbRows).toDF("s", "code", "cw"))
     // L2² with the SAME accumulation order as DuckDB's list arithmetic.
     def l2sq(a: Column, b: Column): Column = l2Sq(a, b)
+    // normalize ONCE per row (one norm pass), then slice the normalized
+    // array per subspace with the built-in slice (plain codegen copy) —
+    // normSlice per subspace would recompute the O(d) norm `subspaces`
+    // times per row on the hot encode path
     def bySubspace(df: DataFrame, id: Column, vec: Column, idName: String): DataFrame =
-      df.select(id.as(idName),
+      df.select(id.as(idName), normSlice(vec, 0, dim).as("nv"))
+        .select(col(idName),
           explode(array((0 until subspaces).map(s =>
-            struct(lit(s).as("s"), normSlice(vec, s * sub, sub).as("v"))): _*)).as("sv"))
+            struct(lit(s).as("s"),
+              slice(col("nv"), s * sub + 1, sub).as("v"))): _*)).as("sv"))
         .select(col(idName), col("sv.s").as("s"), col("sv.v").as("v"))
     // argmin codeword as a HASH AGGREGATE, not a window: min(struct(d,
     // code)) combines map-side (partial agg), so the shuffle carries one

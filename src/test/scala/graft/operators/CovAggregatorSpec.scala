@@ -40,6 +40,50 @@ class CovAggregatorSpec extends SparkSpec {
     }
   }
 
+  test("fixHalfUp matches round()+cast(long) on non-finite and huge doubles") {
+    CovSuffStatsAggregator.fixHalfUp(Double.NaN) shouldBe 0L
+    CovSuffStatsAggregator.fixHalfUp(Double.PositiveInfinity) shouldBe Long.MaxValue
+    CovSuffStatsAggregator.fixHalfUp(Double.NegativeInfinity) shouldBe Long.MinValue
+    CovSuffStatsAggregator.fixHalfUp(1e300) shouldBe Long.MaxValue // saturate, not wrap
+    CovSuffStatsAggregator.fixHalfUp(-1e300) shouldBe Long.MinValue
+    CovSuffStatsAggregator.fixHalfUp(9.3e18) shouldBe Long.MaxValue
+  }
+
+  test("kernel tokenization matches the Spark expression on edge whitespace") {
+    import spark.implicits._
+    // tab/newline-edged and multi-space texts: the kernels must produce
+    // exactly what split(trim(text), "\s+")-based expressions produce
+    val texts = Seq("a b c d", "\ta b c", "a b c\n", "  a b c  ", "", " ",
+      "\t", "a b c d", "x  y\tz w")
+    val df = texts.toDF("text")
+    val viaKernel = df.select(
+      graft.functions.VectorExpressions.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    val sz = org.apache.spark.sql.functions.size _ // scalatest shadows `size`
+    val toks = split(trim(col("text")), "\\s+")
+    val viaExpr = df.select(
+      when(sz(toks) >= 3,
+        array_distinct(transform(
+          sequence(lit(1), sz(toks) - lit(2)),
+          i => concat_ws(" ", slice(toks, i, lit(3))))))
+        .otherwise(array().cast("array<string>")).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    viaKernel.zip(viaExpr).zip(texts).foreach { case ((k, e), t) =>
+      assert(k == e, s"tokenization diverged for ${t.replace("\t", "\\t")}: $k vs $e")
+    }
+  }
+
+  test("l2_sq is NULL on ragged pairs like the zip_with form") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 1.0)), (Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("a", "b")
+    val got = df.select(
+      graft.functions.VectorExpressions.l2Sq(col("a"), col("b")).as("d"))
+      .collect()
+    got(0).getDouble(0) shouldBe 1.0
+    got(1).isNullAt(0) shouldBe true
+  }
+
   test("aggregated covariance equals the exploded formulation, ragged input included") {
     val scale = 7
     val f = math.pow(10.0, scale.toDouble)
