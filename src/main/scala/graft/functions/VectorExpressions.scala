@@ -149,6 +149,30 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Decimal-HALF_UP round at scale 0 + long cast of a double — the
+    * codegen-kernel form of `round(x, 0).cast("long")` used in every
+    * integerized aggregate's per-row path ([[graft.util.Det.toFixed]]).
+    * Bit-equal on all input classes, including the ulp-adjacent half
+    * boundaries, non-finite and beyond-long magnitudes
+    * ([[graft.operators.CovSuffStatsAggregator.fixHalfUp]],
+    * CovAggregatorSpec) — Spark's Round allocates a BigDecimal per row,
+    * ~2-3x the per-row cost of the guarded FP path at corpus scale. */
+  case class FixedLong(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "fixed_long"
+    override protected def nullSafeEval(a: Any): Any =
+      graft.operators.CovSuffStatsAggregator.fixHalfUp(a.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        // MODULE$ call: the Scala-object static forwarder is not emitted
+        // for qualified-private members, but the module instance method
+        // is public bytecode Janino can reach
+        s"${ev.value} = graft.operators.CovSuffStatsAggregator$$.MODULE$$.fixHalfUp($a);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** [[VectorOps.md5MinhashSig]]: the DuckDB-reproducible md5 hash family
     * fused into one codegen call (the HOF form it replaces ran
     * numHashes × |shingles| interpreted lambda evals per row). */
@@ -270,6 +294,8 @@ object VectorExpressions {
     GraftBridge.column(Md5MinHashSig(GraftBridge.expression(shingles), numHashes))
   def normSlice(vec: Column, start: Int, len: Int): Column =
     GraftBridge.column(NormSlice(GraftBridge.expression(vec), start, len))
+  def fixedLong(c: Column): Column =
+    GraftBridge.column(FixedLong(GraftBridge.expression(c)))
   def l2Sq(a: Column, b: Column): Column =
     GraftBridge.column(L2Sq(GraftBridge.expression(a), GraftBridge.expression(b)))
   def hyperplaneSig(vec: Column, planes: Seq[Double], bits: Int): Column =

@@ -49,7 +49,9 @@ object Det {
     * inputs and hence bit-identical cross-engine). */
   def toFixed(c: Column, scale: Int): Column = {
     val f = math.pow(10.0, scale.toDouble)
-    round(c * lit(f), 0).cast("long")
+    // kernel form of round(c * f, 0).cast("long") — bit-equal on every
+    // input class (CovAggregatorSpec), without Round's per-row BigDecimal
+    graft.functions.VectorExpressions.fixedLong((c * lit(f)).cast("double"))
   }
 
   /** The DuckDB SQL text matching [[toFixed]]. */
