@@ -173,6 +173,24 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** The double-returning sibling of [[FixedLong]]: `round(x, 0)` on a
+    * double via the ulp-guarded FP path ([[graft.operators
+    * .CovSuffStatsAggregator.fixHalfUpDouble]]) — used by
+    * [[graft.util.Det.fixed]]'s presentation rounding on row-scaled
+    * outputs. */
+  case class FixedRound(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "fixed_round"
+    override protected def nullSafeEval(a: Any): Any =
+      graft.operators.CovSuffStatsAggregator.fixHalfUpDouble(a.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.operators.CovSuffStatsAggregator$$.MODULE$$.fixHalfUpDouble($a);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** [[VectorOps.md5MinhashSig]]: the DuckDB-reproducible md5 hash family
     * fused into one codegen call (the HOF form it replaces ran
     * numHashes × |shingles| interpreted lambda evals per row). */
@@ -296,6 +314,8 @@ object VectorExpressions {
     GraftBridge.column(NormSlice(GraftBridge.expression(vec), start, len))
   def fixedLong(c: Column): Column =
     GraftBridge.column(FixedLong(GraftBridge.expression(c)))
+  def fixedRound(c: Column): Column =
+    GraftBridge.column(FixedRound(GraftBridge.expression(c)))
   def l2Sq(a: Column, b: Column): Column =
     GraftBridge.column(L2Sq(GraftBridge.expression(a), GraftBridge.expression(b)))
   def hyperplaneSig(vec: Column, planes: Seq[Double], bits: Int): Column =

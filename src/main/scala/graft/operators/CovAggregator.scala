@@ -62,6 +62,23 @@ object CovSuffStatsAggregator {
       else BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     } else v.toLong // integral, non-finite, or beyond long range: cast semantics
   }
+
+  /** The double-returning sibling of [[fixHalfUp]]: bit-equal to Spark's
+    * `round(v, 0)` on DoubleType, which passes NaN/±Inf through unchanged
+    * and is the identity for |v| ≥ 2^52 (already integral). Same
+    * ulp-guarded fast path, BigDecimal only within 4 ulps of a half
+    * boundary. */
+  private[graft] def fixHalfUpDouble(v: Double): Double = {
+    val av = math.abs(v)
+    if (av < 4.503599627370496e15) {
+      val w = if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
+      val boundary = if (v >= 0) w - 0.5 else w + 0.5
+      // + 0.0 folds the fast path's −0.0 (e.g. ceil(−0.8)) to +0.0 —
+      // BigDecimal rounding never produces a negative zero
+      if (math.abs(v - boundary) > 4 * math.ulp(av)) w + 0.0
+      else BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    } else v // integral or non-finite: round(v, 0) is the identity
+  }
 }
 
 final class CovSuffStatsAggregator(scale: Int)

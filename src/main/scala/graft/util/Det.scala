@@ -33,7 +33,9 @@ object Det {
     * value feeds the oracle hash. */
   def fixed(c: Column, scale: Int): Column = {
     val f = math.pow(10.0, scale.toDouble)
-    round(c * lit(f), 0) / lit(f)
+    // kernel form of round(c * f, 0) / f — bit-equal on every input class
+    // (CovAggregatorSpec), without Round's per-row BigDecimal
+    graft.functions.VectorExpressions.fixedRound((c * lit(f)).cast("double")) / lit(f)
   }
 
   /** The DuckDB SQL text matching [[fixed]]. */

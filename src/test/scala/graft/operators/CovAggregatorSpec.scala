@@ -40,6 +40,33 @@ class CovAggregatorSpec extends SparkSpec {
     }
   }
 
+  test("fixHalfUpDouble matches Spark round(x, 0) on adversarial, random and non-finite doubles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val adversarial = Seq(
+      0.5, -0.5, 2.5, -2.5, -0.3, -0.8, // negatives: no -0.0 output
+      0.49999999999999994, -0.49999999999999994,
+      4503599627370495.5, 4.503599627370496e15, 1e300, -1e300,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, 0.0, -0.0)
+    val randoms = (1 to 5000).flatMap { _ =>
+      val v = (rnd.nextDouble() - 0.5) * math.pow(10.0, rnd.nextInt(10).toDouble)
+      val h = math.floor(v) + 0.5
+      Seq(v, h, math.nextAfter(h, Double.NegativeInfinity),
+        math.nextAfter(h, Double.PositiveInfinity))
+    }
+    val vals = adversarial ++ randoms
+    val rows = vals.toDF("v")
+      .select(round(col("v"), 0).as("spark"),
+        graft.functions.VectorExpressions.fixedRound(col("v")).as("kernel"))
+      .collect()
+    rows.zip(vals).foreach { case (r, v) =>
+      val (s, k) = (r.getDouble(0), r.getDouble(1))
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(k),
+        s"fixedRound($v) = $k, Spark round = $s")
+    }
+  }
+
   test("fixHalfUp matches round()+cast(long) on non-finite and huge doubles") {
     CovSuffStatsAggregator.fixHalfUp(Double.NaN) shouldBe 0L
     CovSuffStatsAggregator.fixHalfUp(Double.PositiveInfinity) shouldBe Long.MaxValue
