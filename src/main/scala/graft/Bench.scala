@@ -115,8 +115,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum, 2)
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // cap the list: a systemic failure (e.g. a fixture-schema surprise)
+    // could otherwise push the line past the driver's 2000-char stdout
+    // tail and null the whole round's bench record; the count preserves
+    // the magnitude, stderr has the per-query messages
     val failedJson =
-      if (failed.isEmpty) "" else failed.mkString(",\"failed\":[", ",", "]")
+      if (failed.isEmpty) ""
+      else s""","n_failed":${failed.size}""" +
+        failed.take(5).mkString(",\"failed\":[", ",", "]")
     val sfName = sfDir.split('/').last // basename keeps the line short
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfName"}""")
     spark.stop()
