@@ -92,16 +92,19 @@ object Bench {
         (sec, ok)
       }
       val (s1, ok1) = run()
-      val (sec, ok) =
-        if (!prime || !ok1) (s1, ok1)
+      val (sec, ok, flaky) =
+        if (!prime || !ok1) (s1, ok1, false)
         else {
           System.gc()
           val (s2, ok2) = run()
           // a run-2-only failure is a flake, not a query failure: run 1
-          // succeeded, so report its time (run() already logged the error)
-          if (ok2) (math.min(s1, s2), true) else (s1, true)
+          // succeeded, so report its time (run() already logged the
+          // error) — but PRESERVE the signal in the JSON line: a query
+          // failing ~50% of the time must not look permanently green in
+          // the machine-readable record
+          if (ok2) (math.min(s1, s2), true, false) else (s1, true, true)
         }
-      (name, sec, ok)
+      (name, sec, ok, flaky)
     }
     // Compact seconds (Locale.ROOT, trailing zeros stripped): the whole
     // line must stay well under the driver's 2000-char output-tail buffer
@@ -111,10 +114,10 @@ object Bench {
       val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, 1) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum, 2)
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
     // cap the list: a systemic failure (e.g. a fixture-schema surprise)
     // could otherwise push the line past the driver's 2000-char stdout
     // tail and null the whole round's bench record; the count preserves
@@ -123,8 +126,18 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","n_failed":${failed.size}""" +
         failed.take(5).mkString(",\"failed\":[", ",", "]")
+    // run-2-only failures: recorded as success (run 1 proved the query),
+    // but the flake signal rides in the line (capped like `failed`)
+    val flakyNames = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+    val flakyJson =
+      if (flakyNames.isEmpty) ""
+      else s""","n_flaky":${flakyNames.size}""" +
+        flakyNames.take(5).mkString(",\"flaky\":[", ",", "]")
     val sfName = sfDir.split('/').last // basename keeps the line short
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfName"}""")
+    // method marker makes each record self-describing: "min2" totals are
+    // not comparable to pre-round-6 single-shot lines (BASELINE.md)
+    val method = if (prime) "min2" else "single"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"$method","queries":$qs$failedJson$flakyJson,"sf":"$sfName"}""")
     spark.stop()
     if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries failed")
   }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -18,8 +19,40 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
+  /** Analysis-time input validation shared by every kernel expression.
+    *
+    * The kernels read Tungsten `ArrayData` (or a primitive slot) directly
+    * in generated code, so a wrong-typed child would otherwise surface as
+    * a Janino compile error or a misread buffer at RUNTIME. The standard
+    * `ExpectsInputTypes`/`ImplicitCastInputTypes` route is closed to
+    * library code (`AbstractDataType` is `private[sql]`), so each
+    * expression overrides `checkInputDataTypes()` instead — same
+    * analysis-phase failure point, explicit message, no implicit casts
+    * (callers that need a cast, e.g. [[graft.util.Det.toFixed]], insert
+    * it deliberately). Element-type matches ignore `containsNull`: the
+    * kernels are null-element-safe per their own contracts. */
+  private def expect(name: String, want: String, ok: Boolean,
+      got: DataType*): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires $want, got (${got.map(_.catalogString).mkString(", ")})")
+
+  private def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+  private def isDoubleArray(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true; case _ => false
+  }
+  private def isStringArray(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) => true; case _ => false
+  }
+
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "(array<float>, array<float>)",
+        isFloatArray(left.dataType) && isFloatArray(right.dataType),
+        left.dataType, right.dataType)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_sim"
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -38,6 +71,10 @@ object VectorExpressions {
     * order identical to [[CosineSim]]. */
   case class CosineSimFD(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "(array<float>, array<double>)",
+        isFloatArray(left.dataType) && isDoubleArray(right.dataType),
+        left.dataType, right.dataType)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_sim_fd"
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -52,6 +89,10 @@ object VectorExpressions {
 
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "(array<float>, array<float>)",
+        isFloatArray(left.dataType) && isFloatArray(right.dataType),
+        left.dataType, right.dataType)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_product"
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -66,6 +107,9 @@ object VectorExpressions {
 
   case class L2Norm(child: Expression)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "array<float>", isFloatArray(child.dataType),
+        child.dataType)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "l2_norm"
     override protected def nullSafeEval(a: Any): Any =
@@ -78,6 +122,9 @@ object VectorExpressions {
 
   case class SimHash64(child: Expression)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "array<string>", isStringArray(child.dataType),
+        child.dataType)
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
     override protected def nullSafeEval(a: Any): Any =
@@ -90,6 +137,8 @@ object VectorExpressions {
 
   case class WordShingles(child: Expression, k: Int)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "string", child.dataType == StringType, child.dataType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "word_shingles"
     override protected def nullSafeEval(a: Any): Any =
@@ -103,6 +152,9 @@ object VectorExpressions {
 
   case class MinHashSig(child: Expression, numHashes: Int)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "array<string>", isStringArray(child.dataType),
+        child.dataType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_sig"
     override protected def nullSafeEval(a: Any): Any =
@@ -119,6 +171,9 @@ object VectorExpressions {
     * transform-with-nested-norm chain. */
   case class NormSlice(child: Expression, start: Int, len: Int)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "array<float>", isFloatArray(child.dataType),
+        child.dataType)
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def prettyName: String = "norm_slice"
     override protected def nullSafeEval(a: Any): Any =
@@ -134,6 +189,10 @@ object VectorExpressions {
     * NULL on ragged pairs (parity with the zip_with null-pad form). */
   case class L2Sq(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "(array<double>, array<double>)",
+        isDoubleArray(left.dataType) && isDoubleArray(right.dataType),
+        left.dataType, right.dataType)
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def prettyName: String = "l2_sq"
@@ -159,6 +218,8 @@ object VectorExpressions {
     * ~2-3x the per-row cost of the guarded FP path at corpus scale. */
   case class FixedLong(child: Expression)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "double", child.dataType == DoubleType, child.dataType)
     override def dataType: DataType = LongType
     override def prettyName: String = "fixed_long"
     override protected def nullSafeEval(a: Any): Any =
@@ -180,6 +241,8 @@ object VectorExpressions {
     * outputs. */
   case class FixedRound(child: Expression)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "double", child.dataType == DoubleType, child.dataType)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "fixed_round"
     override protected def nullSafeEval(a: Any): Any =
@@ -196,6 +259,9 @@ object VectorExpressions {
     * numHashes × |shingles| interpreted lambda evals per row). */
   case class Md5MinHashSig(child: Expression, numHashes: Int)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "array<string>", isStringArray(child.dataType),
+        child.dataType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "md5_minhash_sig"
     override protected def nullSafeEval(a: Any): Any =
@@ -213,6 +279,9 @@ object VectorExpressions {
   case class HyperplaneSig(child: Expression, planes: Seq[Double], bits: Int)
       extends UnaryExpression {
     private lazy val planesArr: Array[Double] = planes.toArray
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "array<float>", isFloatArray(child.dataType),
+        child.dataType)
     override def dataType: DataType = IntegerType
     override def prettyName: String = "hyperplane_sig"
     override protected def nullSafeEval(a: Any): Any =
@@ -231,6 +300,8 @@ object VectorExpressions {
     * coverage. */
   case class WordShinglesAll(child: Expression, k: Int)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "string", child.dataType == StringType, child.dataType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "word_shingles_all"
     override protected def nullSafeEval(a: Any): Any =
@@ -249,6 +320,9 @@ object VectorExpressions {
     * the call (CollapseProject), so the kernel may run once per extracted
     * field — acceptable because a pass over a 64-float array is ~100 ns. */
   case class QuantStats(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "array<float>", isFloatArray(child.dataType),
+        child.dataType)
     override def dataType: DataType = StructType(Seq(
       StructField("absmax", DoubleType),
       StructField("q1", IntegerType),
@@ -281,6 +355,10 @@ object VectorExpressions {
     // inputs must already be LongType: the Column wrapper and the SQL
     // builder both insert explicit casts (AbstractDataType — the
     // ImplicitCastInputTypes route — is private[sql])
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "(bigint, bigint)",
+        left.dataType == LongType && right.dataType == LongType,
+        left.dataType, right.dataType)
     override def dataType: DataType = LongType
     override def prettyName: String = "hilbert_key"
     override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -17,13 +17,15 @@ import graft.util.Stage.StageOps
   * unlike a raw float formulation whose sum order drifts.
   *
   * Scale (100 TB design point): per iteration the plan is
-  * edges ⋈ ranks (shuffle keyed on src), groupBy dst (shuffle), and
-  * nodes ⟕ contributions (shuffle on node). The edge table — the big
-  * side — is checkpointed once and its partitioning on `src` is reused
-  * every iteration; only the nodes-sized rank table (orders of magnitude
-  * smaller) moves per step. `localCheckpoint` truncates lineage so the
-  * optimizer re-plans each iteration from a flat scan instead of a
-  * 5-deep nested join tree. Celebrity in-degree skew is AQE's skew-join
+  * edges ⋈ ranks (shuffle keyed on src) and ONE groupBy on dst — the
+  * per-node zero/self rows union into that same aggregate shuffle, so
+  * there is no separate nodes ⟕ contributions join stage (round 7; was
+  * a third shuffle). The edge table — the big side — is checkpointed
+  * once and its partitioning on `src` is reused every iteration; only
+  * the nodes-sized rank table (orders of magnitude smaller) moves per
+  * step. Lineage truncation runs every OTHER iteration (each eager
+  * checkpoint is a scheduler round-trip; a two-iteration lineage is
+  * still a shallow re-plan). Celebrity in-degree skew is AQE's skew-join
   * territory; the integerized contributions keep the hot-key sum exact.
   */
 object Graph {
@@ -46,29 +48,46 @@ object Graph {
       jump: Double = 0.15,
       contribScale: Int = 12): DataFrame = {
     val unit = math.pow(10.0, contribScale.toDouble) // exactly 10^k for k<=15
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // Stage the INPUT edge derivation once: deg, outE and nodes all read
+    // the staged frame, so an upstream scan+distinct pipeline (e.g. the
+    // bipartite projection in GraphQueries) runs one time, not once per
+    // consumer branch.
+    val e0 = edges.stageCheckpoint()
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // big side: stage once, reuse the src partitioning across iterations
-    val outE = edges.join(deg, Seq("src")).stageCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+    val outE = e0.join(deg, Seq("src")).stageCheckpoint()
+    val nodes = outE.select(col("src").as("node"))
+      .union(outE.select(col("dst").as("node")))
       .distinct().stageCheckpoint()
     val n = nodes.count()
     val base = lit(jump) / lit(n.toDouble)
+    // initial ranks: a constant projection over the staged nodes — no
+    // checkpoint of its own (it would only re-materialize nodes + 8 bytes)
     var ranks = nodes
       .select(col("node"), (lit(1.0) / lit(n.toDouble)).as("rank"))
-      .stageCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = outE
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           Det.toFixed(col("rank") / col("outdeg"), contribScale).as("c"))
+        // a zero contribution per node rides the SAME groupBy shuffle —
+        // this replaces the former `nodes ⟕ contributions` join (one
+        // fewer join stage per iteration) while guaranteeing in-degree-0
+        // nodes still appear with acc = 0; adding 0L to an exact BIGINT
+        // sum leaves every rank bit-identical
+        .unionByName(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy(col("node")).agg(sum(col("c")).as("acc"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = contrib
         .select(col("node"),
-          (base + lit(damping) *
-            (coalesce(col("acc"), lit(0L)).cast("double") / lit(unit)))
+          (base + lit(damping) * (col("acc").cast("double") / lit(unit)))
             .as("rank"))
-        .stageCheckpoint()
+      // Lineage truncation every OTHER iteration: each stageCheckpoint is
+      // an eager action — a full scheduler round-trip per call at cluster
+      // scale — and a two-iteration lineage is still a shallow re-plan.
+      // Halves the actions per fit vs checkpoint-every-step. The final
+      // iteration IS checkpointed: it pins the fitted ranks so however
+      // many actions the caller runs, the fit never re-executes.
+      if (i % 2 == 0 || i == iters) ranks = ranks.stageCheckpoint()
     }
     ranks
   }
@@ -83,19 +102,23 @@ object Graph {
     * is [[Curation.connectedComponents]].
     */
   def minLabelPropagation(edges: DataFrame, iters: Int): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct().stageCheckpoint()
+    // input staged first; nodes derives from it (upstream pipeline runs once)
     val e = edges.stageCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().stageCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("lab"))
-    for (_ <- 1 to iters) {
-      val nbr = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst")).agg(min(col("lab")).as("nbr_lab"))
-        .withColumnRenamed("dst", "node")
-      labels = labels.join(nbr, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
-        .stageCheckpoint()
+    for (i <- 1 to iters) {
+      // own label unions into the neighbor aggregate (same min, same
+      // groupBy shuffle) — replaces the former labels ⟕ nbr join, one
+      // fewer join stage per iteration; min(own ∪ in-neighbor labels) ≡
+      // least(lab, coalesce(nbr_lab, lab))
+      labels = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("lab"))
+        .unionByName(labels)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+      // same alternating truncation as pageRank: half the actions/fit
+      if (i % 2 == 0 || i == iters) labels = labels.stageCheckpoint()
     }
     labels
   }

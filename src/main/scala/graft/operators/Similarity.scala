@@ -73,7 +73,19 @@ object Similarity {
     // pairs at d = 64), returned as a local relation exactly like the
     // k-means centroid and whitening-matrix fits.
     val agg = new CovSuffStatsAggregator(scale)
-    val buf = emb.select(col(vecCol).cast("array<double>").as("v"))
+    // Null vector ELEMENTS are unsupported (null ROWS contribute nothing,
+    // matching posexplode-of-NULL): fail intentionally with a clear
+    // message instead of the Seq[Double] encoder's opaque "Null value
+    // appeared in non-nullable field" — a fixture regeneration that
+    // introduces null elements should surface as a semantic decision,
+    // not a deserializer crash. exists() short-circuits per row; cost is
+    // one codegen'd pass over the array.
+    val vRaw = col(vecCol).cast("array<double>")
+    val vChecked = when(exists(vRaw, _.isNull), raise_error(lit(
+        s"covarianceUpperTriangle: null element in '$vecCol' — null vector " +
+          "elements are unsupported (drop or impute them upstream)")))
+      .otherwise(vRaw)
+    val buf = emb.select(vChecked.as("v"))
       .as[Seq[Double]].select(agg.toColumn).head()
     val d = buf(0).toInt
     val t = d * (d + 1) / 2
@@ -134,9 +146,7 @@ object Similarity {
     // CovSuffStatsAggregator.fixHalfUp (fixDouble mirrors round() alone,
     // which passes non-finite and >=2^52-integral doubles through)
     def fixLong(x: Double): Long = CovSuffStatsAggregator.fixHalfUp(x)
-    def fixDouble(x: Double): Double =
-      if (x.isNaN || x.isInfinite || math.abs(x) >= 4.503599627370496e15) x
-      else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fixDouble(x: Double): Double = CovSuffStatsAggregator.fixHalfUpDouble(x)
     val upperRows = covarianceUpperTriangle(emb, vecCol, covScale)
       .select(col("i"), col("j"), col("cov")).collect()
     import spark.implicits._
@@ -297,37 +307,71 @@ object Similarity {
     * centroid literals — no shuffle); the pairwise stage is a self-join
     * keyed on the CELL, so cost is Σ|cell|² not |corpus|² — the
     * clustering IS the blocking structure, which is the whole point of
-    * SemDeDup. Size `nCells` so cells fit comfortably in a task
-    * (corpus/nCells rows each); skewed cells would be salted or
-    * sub-clustered at 100 TB.
+    * SemDeDup. Two scale guards (round 7):
+    *
+    *  - `nCells <= 0` (the default) sizes the quantizer as ⌈√n⌉ — the
+    *    SemDeDup-standard choice that keeps expected in-cell pair work
+    *    linear in the corpus (n/cells rows per cell × cells ≈ n·√n/n);
+    *    a fixed constant is a demo setting, quadratic death at corpus
+    *    scale. One count() action; the centroid fit already pays a pass.
+    *  - `maxCellSize` bounds the WORST cell, not just the average: any
+    *    cell above it is sub-split by a deterministic Knuth id-hash into
+    *    ⌈|cell|/maxCellSize⌉ sub-cells, capping any single task's pair
+    *    count at ~maxCellSize² regardless of quantizer skew (a hot cell
+    *    with 30% of the corpus otherwise re-creates the all-pairs join).
+    *    Near-duplicate pairs split across sub-cells are missed — the
+    *    standard recall-for-boundedness trade, same family as the LSH
+    *    band cap; the split count rides a broadcast of the (tiny)
+    *    cell-size table, no extra corpus shuffle.
     *
     * Centroids are a deterministic Knuth-hash sample of the corpus (same
     * trick as [[ivfTopK]] — SQL-expressible, so buckets, pairs and drops
-    * all reproduce in the DuckDB oracle).
+    * all reproduce in the DuckDB oracle; the sub-split hash is the same
+    * SQL-expressible family).
     *
     * Returns one row per vector: (vec_id, cell, dup_of, kept) where
     * dup_of = smallest same-cell id above threshold (NULL if none). */
   def semanticDedup(
       corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nCells: Int = 16, seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+      nCells: Int = 0, maxCellSize: Int = 4096,
+      seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
+    val k =
+      if (nCells > 0) nCells
+      else math.max(1, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
     val centroids = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(((col(idCol) * lit(2654435761L) + lit(seed)) % lit(4294967296L)).asc,
         col(idCol))
-      .limit(nCells)
+      .limit(k)
       .orderBy(col(idCol))
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1)) }
     val bestCell = array_max(array(centroids.map { case (i, c) =>
       struct(cosineSim(col(vecCol), typedlit(c)).as("cos"), lit(-i).as("negCell"))
     }: _*))
-    val cells = corpus
+    val assigned = corpus
       .select(col(idCol), col(vecCol), (-bestCell.getField("negCell")).as("cell"))
       .stageCheckpoint() // both sides of the self-join reuse the assignment
-    val l = cells.select(col("cell"), col(idCol).as("a"), col(vecCol).as("va"))
-    val r = cells.select(col("cell"), col(idCol).as("b"), col(vecCol).as("vb"))
-    val dups = l.join(r, Seq("cell"))
+    // Hot-cell guard: per-cell counts are quantizer-sized (≤ k rows) —
+    // broadcast them back and sub-split oversized cells row-locally.
+    // seed+1 decorrelates the sub-split hash from the centroid-sample
+    // hash (same id run through the same function would sort sub-cells
+    // by the sampling order, not spread them).
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val cells = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("nsub",
+        greatest(lit(1L),
+          ceil(col("cell_n").cast("double") / lit(maxCellSize.toDouble)).cast("long")))
+      .withColumn("subcell",
+        ((col(idCol) * lit(2654435761L) + lit(seed + 1L)) % lit(4294967296L)
+          % col("nsub")).cast("int"))
+    val l = cells.select(col("cell"), col("subcell"),
+      col(idCol).as("a"), col(vecCol).as("va"))
+    val r = cells.select(col("cell"), col("subcell"),
+      col(idCol).as("b"), col(vecCol).as("vb"))
+    val dups = l.join(r, Seq("cell", "subcell"))
       .where(col("a") < col("b") &&
         Det.fixed(cosineSim(col("va"), col("vb")), roundTo) >= threshold)
       .groupBy(col("b"))

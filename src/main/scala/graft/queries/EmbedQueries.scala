@@ -247,9 +247,15 @@ object EmbedQueries {
     // blocking structure, within-cell smaller-id near-dup drop. Cells,
     // pairs and drops all reproduce from the hash-sampled centroids in
     // SQL — full hash-match on a clustering-based dedup. ----
+    // Params PINNED (not the scale-aware defaults): the oracle below
+    // hardcodes this exact parameterization (LIMIT 16 centroid sample, no
+    // sub-split), so the hash is stable across fixture regens. The auto
+    // ⌈√n⌉ cells + maxCellSize hot-cell sub-split are the library
+    // defaults, exercised by SimilaritySpec's skew case.
     QueryDef("dedup_semantic",
       (s, d) => Similarity.semanticDedup(
-        Tables.embeddings(s, d), threshold = 0.35)
+        Tables.embeddings(s, d), threshold = 0.35,
+        nCells = 16, maxCellSize = Int.MaxValue)
         .orderBy(col("vec_id")),
       oracle = Some(
         s"""WITH cent AS (

@@ -232,6 +232,66 @@ class SimilaritySpec extends SparkSpec {
       cos(vecs(a), vecs(b)) should be < thr
   }
 
+  test("semanticDedup hot-cell guard: a skewed corpus is sub-split to bounded in-cell pair work") {
+    // Adversarial quantizer skew: every vector is a tiny perturbation of
+    // one direction, so cosine-argmax assignment drops the WHOLE corpus
+    // into a handful of cells — the O((n/cells)²) worst case the
+    // maxCellSize guard exists for. Perturbations are deterministic
+    // (hash-derived), magnitudes small enough that all pairs stay above
+    // any sane threshold.
+    val n = 600
+    val dim = 8
+    val cap = 40
+    val skewed = (0 until n).map { i =>
+      val v = Array.tabulate(dim) { d =>
+        val noise = ((i * 31 + d * 7) % 13).toFloat / 1000f
+        if (d == 0) 1f else noise
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Similarity.semanticDedup(
+      skewed, threshold = 0.9, nCells = 4, maxCellSize = cap)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    rows.length shouldBe n // one row per vector survives the guard path
+    rows.foreach { case (_, _, dupOf, k2) => k2 shouldBe dupOf.isEmpty }
+    // Reconstruct the guarded join's group key (cell, subcell) exactly as
+    // the operator computes it and assert the per-group bound that caps a
+    // task's pair count: with the corpus concentrated in ≤ 4 cells,
+    // ⌈|cell|/cap⌉-way hash splitting must keep every group near cap
+    // (2× slack for multinomial imbalance of the deterministic hash) —
+    // vs the unguarded worst case of a single ~600-row group.
+    val cellSizes = rows.groupBy(_._2).map { case (c, rs) => c -> rs.length }
+    cellSizes.values.max should be > cap // the skew is real: guard engaged
+    val groupSizes = rows.groupBy { case (id, cell, _, _) =>
+      val nsub = math.max(1L, math.ceil(
+        cellSizes(cell).toDouble / cap).toLong)
+      (cell, ((id * 2654435761L + 43L) % 4294967296L % nsub).toInt)
+    }.map(_._2.size)
+    groupSizes.max should be <= 2 * cap
+    // Precision is preserved under the guard: every reported dup pair is
+    // a genuine same-cell near-duplicate (sub-splitting may MISS pairs —
+    // the documented recall trade — but must never invent one).
+    val vecMap = skewed.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (b, _, dupOf, _) =>
+      dupOf.foreach { a =>
+        a should be < b
+        cellOf(a) shouldBe cellOf(b)
+        cos(vecMap(a), vecMap(b)) should be >= 0.9
+      }
+    }
+  }
+
   test("whiten: whitened covariance is the identity (diag ~1, off-diag ~0)") {
     val w = Similarity.whiten(graft.Tables.embeddings(spark, sf))
     val cells = w.as("p")
