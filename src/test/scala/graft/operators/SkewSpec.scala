@@ -33,6 +33,41 @@ class SkewSpec extends SparkSpec {
     two shouldBe plain
   }
 
+  test("saltedEquiJoin bounds per-reducer rows under a power-law key (one key = 30% of rows)") {
+    // The scale claim behind Skew.saltedEquiJoin and Graph.scala's
+    // "celebrity skew" note, asserted at the shuffle-unit level: after
+    // salting, the unit of shuffle distribution is (key, salt), so the
+    // hot key's rows MUST spread over `buckets` bounded slices instead
+    // of landing on one reducer. 30% of the probe on a single key is the
+    // power-law shape a corpus-scale join sees (one viral document, one
+    // celebrity node).
+    val n = 60000L
+    val buckets = 16
+    val probe = spark.range(0, n)
+      .select(when(col("id") % 10 < 3, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("rid"))
+    val build = spark.range(0, n).select(col("id").as("k"), (col("id") % 7).as("tag"))
+    // result parity first: salt must never change the answer
+    val salted = Skew.saltedEquiJoin(probe, build, "k", saltFrom = col("rid"), buckets)
+    val plainCount = probe.join(build, Seq("k")).count()
+    salted.count() shouldBe plainCount
+    // the join itself must be keyed on the salted pair, not the raw key
+    salted.queryExecution.optimizedPlan.toString should include("_salt")
+    val hotRows = (n * 3 / 10).toLong // 18k rows on key 0
+    // unsalted shuffle unit: the entire hot key on ONE reducer
+    val unsaltedMax = probe.groupBy(col("k")).count()
+      .agg(max("count")).head().getLong(0)
+    unsaltedMax shouldBe hotRows
+    // salted shuffle unit (k, salt), recomputed exactly as saltedEquiJoin
+    // derives it: every unit is a bounded slice — 2x the ideal split
+    // absorbs hash imbalance, still 8x better than the unsalted unit
+    val saltedMax = probe
+      .withColumn("_salt", pmod(xxhash64(col("rid")), lit(buckets.toLong)))
+      .groupBy(col("k"), col("_salt")).count()
+      .agg(max("count")).head().getLong(0)
+    saltedMax should be <= hotRows / buckets * 2
+  }
+
   test("AQE skew-join splits a hot partition at runtime (skew=true in the final plan)") {
     import spark.implicits._
     // one hot key carrying ~5 MB vs 8 KB advisory/skew thresholds: AQE

