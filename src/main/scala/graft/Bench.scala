@@ -92,8 +92,8 @@ object Bench {
         (sec, ok)
       }
       val (s1, ok1) = run()
-      val (sec, ok, flaky) =
-        if (!prime || !ok1) (s1, ok1, false)
+      val (sec, ok, flaky, runs) =
+        if (!prime || !ok1) (s1, ok1, false, Seq(s1))
         else {
           System.gc()
           val (s2, ok2) = run()
@@ -102,9 +102,10 @@ object Bench {
           // error) — but PRESERVE the signal in the JSON line: a query
           // failing ~50% of the time must not look permanently green in
           // the machine-readable record
-          if (ok2) (math.min(s1, s2), true, false) else (s1, true, true)
+          if (ok2) (math.min(s1, s2), true, false, Seq(s1, s2))
+          else (s1, true, true, Seq(s1))
         }
-      (name, sec, ok, flaky)
+      (name, sec, ok, flaky, runs)
     }
     // Compact seconds (Locale.ROOT, trailing zeros stripped): the whole
     // line must stay well under the driver's 2000-char output-tail buffer
@@ -114,10 +115,22 @@ object Bench {
       val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v, 1) }
+    // Min-of-two auditability: the stdout line must stay inside the
+    // driver's 2000-char tail, so the RAW RUN PAIRS go to a sidecar file
+    // instead (committed per round as BENCH_DETAIL) — every recorded min
+    // stays checkable against both underlying runs.
+    sys.env.get("SPARK_GRAFT_BENCH_DETAIL").filter(_.nonEmpty).foreach { path =>
+      val detail = results.map { case (k, v, ok, flaky, runs) =>
+        val rs = runs.map(r => fmt(r, 2)).mkString("[", ",", "]")
+        s""""$k":{"min":${fmt(v, 2)},"runs":$rs,"ok":$ok,"flaky":$flaky}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        detail + "\n")
+    }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum, 2)
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
     // cap the list: a systemic failure (e.g. a fixture-schema surprise)
     // could otherwise push the line past the driver's 2000-char stdout
     // tail and null the whole round's bench record; the count preserves
@@ -128,7 +141,7 @@ object Bench {
         failed.take(5).mkString(",\"failed\":[", ",", "]")
     // run-2-only failures: recorded as success (run 1 proved the query),
     // but the flake signal rides in the line (capped like `failed`)
-    val flakyNames = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+    val flakyNames = results.collect { case (k, _, _, true, _) => "\"" + k + "\"" }
     val flakyJson =
       if (flakyNames.isEmpty) ""
       else s""","n_flaky":${flakyNames.size}""" +
