@@ -18,12 +18,23 @@ import org.apache.spark.sql.functions._
   *
   * Content perturbations keep the scaled corpus non-degenerate without
   * inventing a new generator:
-  *  - documents: copy c drops the first c tokens of each text — every
-  *    copy is a realistic NEAR-duplicate of its original (shared spans,
-  *    high Jaccard) rather than a bit-exact duplicate, so dedup operators
-  *    do real 10× work instead of collapsing trivially;
+  *  - documents: copies form bounded NEAR-DUPLICATE groups of
+  *    `DupGroup` (= 10). Within a group, variant v drops the first v
+  *    tokens (shared spans, high Jaccard — same as the original 10×
+  *    scheme). ACROSS groups, group g > 0 suffixes "~g" onto ~3/7 of
+  *    token positions, which drives cross-group shingle Jaccard below
+  *    any LSH threshold. This mirrors how real corpora scale — more
+  *    duplicate clusters, not bigger ones — so dedup work grows
+  *    linearly with mult instead of quadratically (a 100-copy cluster
+  *    would mean O(mult²) candidate pairs per original, a workload no
+  *    production corpus exhibits). For mult ≤ 10 there is a single
+  *    group (g = 0, no salt): bit-identical to the round-7 SCALE10X
+  *    slice.
   *  - embeddings: a deterministic per-(vec, dim, copy) ±5e-3 jitter so
-  *    copies are near-neighbors, not exact ties.
+  *    copies are near-neighbors, not exact ties. The base formula has
+  *    period 11 in the copy index, so copies ≥ 10 add a second
+  *    decorrelating term (gated on copy ≥ 10 — mult ≤ 10 output is
+  *    unchanged) to keep far-apart copies from colliding bit-exactly.
   * Both run as pure column expressions over the base parquet — the
   * output is a plain parquet dir that `graft.Tables` reads unchanged,
   * and DuckDB reads the same files for the oracle, so hash checks work
@@ -32,6 +43,12 @@ import org.apache.spark.sql.functions._
   * Usage: `sbt "runMain graft.ScaleGen <baseSfDir> <outDir> [mult]"`.
   */
 object ScaleGen {
+  /** Near-duplicate cluster size for documents (and the decorrelation
+    * stride for embedding jitter): copies [g·10, g·10+9] form one
+    * near-dup group. Bounded cluster size is what keeps dedup work
+    * linear in `mult` — see the class doc. */
+  val DupGroup: Int = 10
+
   def main(args: Array[String]): Unit = {
     val base = args(0)
     val out = args(1)
@@ -111,26 +128,40 @@ object ScaleGen {
       .withColumn("event_id", off("event_id", evStride))
       .withColumn("user_id", off("user_id", usStride)))
 
-    // documents: copy c is a near-duplicate (first c tokens dropped) —
-    // n_chars re-derived so profile/quality queries stay consistent
-    val toks = split(trim(col("text")), "\\s+")
+    // documents: bounded near-dup groups of DupGroup. grp = copy / 10
+    // (cross-group token salt), variant = copy % 10 (first-v-token drop,
+    // the 10× scheme). n_chars re-derived so profile/quality queries
+    // stay consistent.
+    val grp = (col("_copy") / DupGroup).cast("int")
+    val variant = pmod(col("_copy"), lit(DupGroup.toLong)).cast("int")
+    val salted = when(grp === 0, split(trim(col("text")), "\\s+"))
+      .otherwise(transform(split(trim(col("text")), "\\s+"), (t, p) =>
+        when(pmod(p * 3 + 1, lit(7)) < 3, concat(t, lit("~"), grp))
+          .otherwise(t)))
     save("documents", replicate(Tables.documents(spark, base))
       .withColumn("text",
         when(col("_copy") === 0, col("text"))
           .otherwise(array_join(
-            slice(toks, (col("_copy") + 1).cast("int"), greatest(
-              size(toks) - col("_copy").cast("int"), lit(1))), " ")))
+            slice(salted, variant + 1, greatest(
+              size(salted) - variant, lit(1))), " ")))
       .withColumn("doc_id", off("doc_id", docStride))
       .withColumn("n_chars", length(col("text"))))
 
     // embeddings: deterministic ±5e-3 jitter per (vec, dim, copy) keeps
-    // copies near (not equal to) their originals in cosine space
+    // copies near (not equal to) their originals in cosine space. The
+    // first term has period 11 in _copy; the second (copies ≥ 10 only,
+    // so mult ≤ 10 slices are unchanged) breaks that period so distant
+    // copies don't collide into bit-exact ties.
     save("embeddings", replicate(Tables.embeddings(spark, base))
       .withColumn("embedding",
         when(col("_copy") === 0, col("embedding"))
           .otherwise(transform(col("embedding"), (x, i) =>
             (x + ((pmod(col("vec_id") * 31 + i * 7 + col("_copy"), lit(11)) - 5)
-              .cast("double") * 0.001)).cast("float"))))
+              .cast("double") * 0.001)
+              + when(col("_copy") < DupGroup, lit(0.0)).otherwise(
+                (pmod(col("vec_id") * 17 + i * 3
+                  + (col("_copy") / DupGroup).cast("long") * 5, lit(9)) - 4)
+                  .cast("double") * 0.0008)).cast("float"))))
       .withColumn("vec_id", off("vec_id", vecStride)))
   }
 }
