@@ -14,6 +14,11 @@ per-job overhead still amortizing; the slope is fitted on
 import json, math, re, sys
 
 reps100_path, scale10x_path, duck_log, out_path = sys.argv[1:5]
+# optional args 5-7: BenchMetrics JSONs at sf0.1 / 10x / 100x — adds a
+# host-noise-immune data_movement block per operator (shuffle records /
+# input records at each decade + growth ratios)
+metrics = [json.load(open(p))["queries"] for p in sys.argv[5:8]] \
+    if len(sys.argv) > 5 else None
 
 reps100 = json.load(open(reps100_path))["queries"]
 s10 = json.load(open(scale10x_path))["queries"]
@@ -60,6 +65,19 @@ for q, v in reps100.items():
             entry["oracle_via_twin"] = oq
     if q in CAPPED:
         entry["caveat"] = CAPPED[q]
+    if metrics and all(q in m for m in metrics):
+        m1x, m10x, m100x = (m[q] for m in metrics)
+        dm = {}
+        for key, label in [("shuffle_write_records", "shuffle_records"),
+                           ("input_records", "input_records"),
+                           ("shuffle_write_bytes", "shuffle_bytes")]:
+            vals = [m1x[key], m10x[key], m100x[key]]
+            dm[label] = vals
+            if vals[0] > 0:
+                dm[label + "_growth"] = [round(vals[1] / vals[0], 2),
+                                         round(vals[2] / vals[0], 2)]
+        dm["disk_spill_bytes_x100"] = m100x["disk_spill_bytes"]
+        entry["data_movement"] = dm
     out[q] = entry
 
 json.dump({"slice": "100x of sf0.1 (ScaleGen v2: 60M lineitem, 10M "
