@@ -24,6 +24,14 @@ object Bench {
       // transients). 1000 entries fits the whole catalog.
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's pre-coalesce shuffle width. Unset = the session's 32-wide
+      // gate default; the 10x/100x slice runs set it wider (e.g. 256) so
+      // per-partition sort buffers stay in memory and AQE coalesces the
+      // small stages back down — the knob a cluster job sizes to its
+      // input, exposed so partition-sizing at scale is measured, not
+      // assumed (SCALING.md).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -42,6 +42,9 @@ object BenchReps {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.adaptive.enabled", "true")
+      // see Bench.scala: scale-run pre-coalesce shuffle width
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
