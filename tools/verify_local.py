@@ -1,12 +1,20 @@
 #!/usr/bin/env python3
 """Local pre-check of the driver's DuckDB-oracle comparison.
 
-Usage: python3 tools/verify_local.py [outDir]
+Usage: python3 tools/verify_local.py [outDir] [query ...]
 Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already produced
-<outDir>/<query>/ parquet dirs + oracle_sql.json.
+<outDir>/<query>/ parquet dirs + oracle_sql.json. Optional query-name args
+restrict the compare to that subset (scale runs dump only a few queries).
 
 Mimics the driver: registers each testdata table as a DuckDB view, runs the
 oracle SQL, sorts columns by name, compares cell values (exact + tolerance).
+
+Env knobs for large-slice (10x/100x) compares:
+  SF_DIR       parquet table dir (default /root/testdata/sf0.01)
+  DUCK_TMP     DuckDB temp_directory (default: DuckDB's cwd-relative .tmp —
+               set this to a spacious filesystem; the 100x pagerank oracle
+               needs tens of GB of sort temp)
+  DUCK_MEM     DuckDB memory_limit, e.g. '24GB'
 """
 import json, sys, glob, math, os
 import duckdb
@@ -14,13 +22,21 @@ import duckdb
 # override with SF_DIR=/root/testdata/sf0.1 for 10x-scale spot checks
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
+ONLY = set(sys.argv[2:])
 
 con = duckdb.connect()
+if os.environ.get("DUCK_TMP"):
+    os.makedirs(os.environ["DUCK_TMP"], exist_ok=True)
+    con.sql(f"SET temp_directory = '{os.environ['DUCK_TMP']}'")
+if os.environ.get("DUCK_MEM"):
+    con.sql(f"SET memory_limit = '{os.environ['DUCK_MEM']}'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+if ONLY:
+    oracle = {k: v for k, v in oracle.items() if k in ONLY}
 fail = 0
 for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{OUT}/{name}/*.parquet")
