@@ -57,15 +57,20 @@ object CurationQueries {
     * (dedup_clusters / dedup_clusters_star / dedup_best_in_cluster):
     * cosine edges over the first 300 vectors, symmetric closure via a
     * recursive CTE, min-label per node. Callers prepend WITH RECURSIVE
-    * and chain their own final SELECT. */
+    * and chain their own final SELECT. The non-recursive CTEs are
+    * MATERIALIZED: DuckDB inlines single-reference CTEs, and an inlined
+    * `sym` is re-evaluated on EVERY iteration of the recursive `reach`
+    * (see GraphQueries.graphCtes for the measured 100×-slice blowup of
+    * the same pattern; here the vec_id<300 cap keeps it small, but the
+    * hint makes the oracle's cost independent of iteration count). */
   private lazy val ccOracleCtes: String =
-    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
-       |edges AS (
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+       |edges AS MATERIALIZED (
        |  SELECT q.vec_id AS a, c.vec_id AS b
        |  FROM e q JOIN e c ON q.vec_id < c.vec_id
        |  WHERE ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} >= 0.4
        |),
-       |sym AS (SELECT a AS x, b AS y FROM edges
+       |sym AS MATERIALIZED (SELECT a AS x, b AS y FROM edges
        |        UNION ALL SELECT b AS x, a AS y FROM edges),
        |reach AS (
        |  SELECT vec_id AS node, vec_id AS lab FROM e

@@ -500,7 +500,11 @@ object DocQueries {
     //      owner actually runs: per doc, its cluster, the cluster size,
     //      the survivor, and whether this doc is it. Every stage is the
     //      already-oracle-checked operator; the pipeline pins their
-    //      composition cross-engine. ----
+    //      composition cross-engine. Oracle CTEs are MATERIALIZED:
+    //      inlined, DuckDB re-evaluates the whole LSH+verify chain on
+    //      every iteration of the recursive reach CTE (>70 min
+    //      unconverged at the 100× slice; 192 s materialized, same
+    //      500k rows hash-exact — see GraphQueries.graphCtes). ----
     QueryDef("dedup_pipeline",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -520,54 +524,54 @@ object DocQueries {
           .orderBy(col("doc_id"))
       },
       oracle = Some(
-        raw"""WITH RECURSIVE toks AS (
+        raw"""WITH RECURSIVE toks AS MATERIALIZED (
              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-             |), sh AS (
+             |), sh AS MATERIALIZED (
              |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
              |      list_distinct(list_transform(range(1, len(t) - 1),
              |        i -> array_to_string(t[i:i+2], ' ')))
              |    ELSE CAST([] AS VARCHAR[]) END AS sh
              |  FROM toks
-             |), hs AS (
+             |), hs AS MATERIALIZED (
              |  SELECT doc_id, sh,
              |    list_transform(sh, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS harr
              |  FROM sh
-             |), sigs AS (
+             |), sigs AS MATERIALIZED (
              |  SELECT doc_id,
              |    list_transform(range(0, 16), i -> list_min(list_transform(harr,
              |      h -> ((h >> 30) + i * (h & 1073741823)) % 1073741789))) AS sig
              |  FROM hs WHERE len(sh) > 0
-             |), buckets AS (
+             |), buckets AS MATERIALIZED (
              |  SELECT s.doc_id, b.band,
              |    array_to_string(s.sig[b.band*4+1 : b.band*4+4], ',') AS bucket
              |  FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
-             |), cand AS (
+             |), cand AS MATERIALIZED (
              |  SELECT l.doc_id AS a, r.doc_id AS b
              |  FROM buckets l JOIN buckets r USING (band, bucket)
              |  WHERE l.doc_id < r.doc_id
              |  GROUP BY 1, 2
-             |), ver AS (
+             |), ver AS MATERIALIZED (
              |  SELECT c.a AS a, c.b AS b,
              |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
              |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
              |  FROM cand c JOIN hs x ON x.doc_id = c.a JOIN hs y ON y.doc_id = c.b
-             |), kept_edges AS (
+             |), kept_edges AS MATERIALIZED (
              |  SELECT a, b FROM ver WHERE jaccard >= 0.5
-             |), sym2 AS (
+             |), sym2 AS MATERIALIZED (
              |  SELECT a AS x, b AS y FROM kept_edges
              |  UNION ALL SELECT b AS x, a AS y FROM kept_edges
              |), reach AS (
              |  SELECT doc_id AS node, doc_id AS lab FROM documents
              |  UNION
              |  SELECT s.y AS node, r.lab FROM reach r JOIN sym2 s ON s.x = r.node
-             |), lab AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
-             |j AS (
+             |), lab AS MATERIALIZED (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+             |j AS MATERIALIZED (
              |  SELECT lab.node, lab.cluster_id, d.n_chars
              |  FROM lab JOIN documents d ON d.doc_id = lab.node
-             |), rk AS (
+             |), rk AS MATERIALIZED (
              |  SELECT *, row_number() OVER (PARTITION BY cluster_id
              |    ORDER BY n_chars DESC, node) AS rn FROM j
-             |), reps AS (SELECT cluster_id, node AS keep_id FROM rk WHERE rn = 1)
+             |), reps AS MATERIALIZED (SELECT cluster_id, node AS keep_id FROM rk WHERE rn = 1)
              |SELECT j.node AS doc_id, j.cluster_id,
              |  count(*) OVER (PARTITION BY j.cluster_id) AS cluster_size,
              |  j.n_chars, reps.keep_id, j.node = reps.keep_id AS kept
