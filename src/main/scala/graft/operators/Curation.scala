@@ -372,4 +372,59 @@ object Curation {
         frac.as("overlap_frac"),
         (frac >= threshold).as("contaminated"))
   }
+
+  /** Cross-source contamination matrix: for every unordered source pair
+    * (a < b), how many distinct word-k-shingles they share, each side's
+    * distinct total, both containment directions ("this fraction of A's
+    * n-grams also appears in B") and the shingle-set Jaccard — the
+    * corpus-mixing diagnostic run before blending crawl snapshots /
+    * dumps into one training set.
+    *
+    * Dataflow: one distinct over (source, shingle-hash) — 8-byte
+    * xxhash64 keys, the [[crossCorpusOverlap]] recipe — then ONE
+    * aggregation per hash collecting the source set, pairs expanded
+    * from the sorted array IN PLACE. Deliberately not a shingle-keyed
+    * self-join: corpus-wide shingles (stopword n-grams) appear in
+    * every source, so the self-join's hottest keys produce |sources|²
+    * rows per shingle under a skewed shuffle, whereas the collect_set
+    * group is bounded at |sources| elements per hash by construction.
+    * Everything after the per-hash aggregate is O(|sources|²) — the
+    * totals join is a broadcast of |sources| rows. The full matrix
+    * (including zero-overlap pairs) is emitted so the output schema is
+    * data-independent. */
+  def sourceOverlapMatrix(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = docs.select(col(sourceCol).as("src"),
+        explode(graft.operators.TextAnalysis.wordShingles(col(textCol), k))
+          .as("s0"))
+      .select(col("src"), xxhash64(col("s0")).as("s"))
+      .distinct()
+    val totals = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    // per-hash source set (≤ |sources| elements), ordered pairs expanded
+    // from the sorted array: x at index i pairs with every later element
+    val srcs = col("srcs")
+    val pairs = sh.groupBy(col("s"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .select(explode(flatten(transform(srcs, (x, i) =>
+        transform(slice(srcs, i + lit(2), size(srcs)), y =>
+          struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    val ta = totals.select(col("src").as("src_a"), col("n").as("n_a"))
+    val tb = totals.select(col("src").as("src_b"), col("n").as("n_b"))
+    val sharedC = coalesce(col("shared"), lit(0L))
+    ta.join(tb, col("src_a") < col("src_b"))
+      .join(pairs, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), sharedC.as("shared"),
+        col("n_a"), col("n_b"),
+        (sharedC.cast("double") / col("n_a").cast("double"))
+          .as("containment_a"),
+        (sharedC.cast("double") / col("n_b").cast("double"))
+          .as("containment_b"),
+        (sharedC.cast("double")
+          / (col("n_a") + col("n_b") - sharedC).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

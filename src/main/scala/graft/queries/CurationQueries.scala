@@ -732,6 +732,48 @@ object CurationQueries {
              |WHERE d.source <> 'src0'
              |ORDER BY train_id""".stripMargin)),
 
+    // ---- cross-source contamination matrix: distinct-shingle overlap
+    //      between every source pair (containments both ways + Jaccard)
+    //      — the mixing diagnostic before blending dumps into one
+    //      training set. Spark side pairs sources inside a per-shingle
+    //      collect_set (bounded at |sources|) instead of a shingle-keyed
+    //      self-join whose hottest keys (corpus-wide n-grams) would
+    //      explode |sources|² rows each; oracle joins raw shingle
+    //      strings — same counts, Spark just ships 8-byte hashes. ----
+    QueryDef("curation_source_overlap",
+      (s, d) => Curation.sourceOverlapMatrix(
+        Tables.documents(s, d), "source", "text", k = 3),
+      oracle = Some(
+        raw"""WITH sh AS (
+             |  SELECT DISTINCT source AS src, s FROM (
+             |    SELECT source, unnest(list_distinct(
+             |      CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+             |      ELSE list_transform(range(1, len(t) - 1),
+             |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS s
+             |    FROM (SELECT source, string_split_regex(trim(text), '\s+') AS t
+             |          FROM documents))
+             |),
+             |totals AS (SELECT src, count(*) AS n FROM sh GROUP BY 1),
+             |shared AS (
+             |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src
+             |  GROUP BY 1, 2
+             |)
+             |SELECT ta.src AS src_a, tb.src AS src_b,
+             |  coalesce(sh2.shared, 0) AS shared,
+             |  ta.n AS n_a, tb.n AS n_b,
+             |  CAST(coalesce(sh2.shared, 0) AS DOUBLE) / CAST(ta.n AS DOUBLE)
+             |    AS containment_a,
+             |  CAST(coalesce(sh2.shared, 0) AS DOUBLE) / CAST(tb.n AS DOUBLE)
+             |    AS containment_b,
+             |  CAST(coalesce(sh2.shared, 0) AS DOUBLE)
+             |    / CAST(ta.n + tb.n - coalesce(sh2.shared, 0) AS DOUBLE)
+             |    AS jaccard
+             |FROM totals ta JOIN totals tb ON ta.src < tb.src
+             |LEFT JOIN shared sh2 ON sh2.src_a = ta.src AND sh2.src_b = tb.src
+             |ORDER BY src_a, src_b""".stripMargin),
+      bench = false),
+
     // ---- DSIR-style importance weights (data selection for LMs): score
     //      each doc by the mean unigram log-ratio of a target domain
     //      (lang='en' here) vs the whole corpus, add-1 smoothed. The

@@ -239,4 +239,41 @@ class CurationSpec extends SparkSpec {
     d(4L) shouldBe ("changed", List("s"))
     d(5L) shouldBe ("added", Nil)
   }
+
+  test("sourceOverlapMatrix: known pair counts, full matrix, short docs drop") {
+    // src A: shingles {a b c, b c d}; src B: {b c d, c d e}; src C
+    // shares nothing; src D only short (<3-token) docs -> no shingles
+    val docs = Seq(
+      ("A", "a b c d"),          // {a b c, b c d}
+      ("B", "b c d e"),          // {b c d, c d e}
+      ("C", "x y z w"),          // {x y z, y z w}
+      ("D", "a b")               // too short, no shingles
+    ).toDF("source", "text")
+    val m = Curation.sourceOverlapMatrix(docs, "source", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(7))).toMap
+    // D has no shingle rows: matrix covers the 3 shingled sources = 3 pairs
+    m.keySet shouldBe Set(("A", "B"), ("A", "C"), ("B", "C"))
+    m(("A", "B")) shouldBe ((1L, 2L, 2L, 0.5, 1.0 / 3.0)) // share "b c d"
+    m(("A", "C")) shouldBe ((0L, 2L, 2L, 0.0, 0.0))       // zero pair emitted
+    m(("B", "C")) shouldBe ((0L, 2L, 2L, 0.0, 0.0))
+  }
+
+  test("sourceOverlapMatrix on the corpus: bounds, symmetry of totals") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Curation.sourceOverlapMatrix(docs, "source", "text").collect()
+    val nSrc = docs.select(col("source")).distinct().count()
+    rows.length shouldBe (nSrc * (nSrc - 1) / 2)
+    rows.foreach { r =>
+      val (shared, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      shared should be <= math.min(na, nb)
+      r.getDouble(5) should (be >= 0.0 and be <= 1.0) // containment_a
+      r.getDouble(6) should (be >= 0.0 and be <= 1.0) // containment_b
+      r.getDouble(7) should (be >= 0.0 and be <= 1.0) // jaccard
+    }
+    // n_a for a given source is the same in every row it appears in
+    val asA = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(3)).toSet)
+    asA.values.foreach(_.size shouldBe 1)
+  }
 }
