@@ -281,6 +281,43 @@ object StreamQueries {
            |  (ROUND(($terms) * 1000000, 0) / 1000000) AS psi
            |FROM c ORDER BY window_start""".stripMargin
       },
+      bench = false),
+
+    // ---- stream-stream watermarked interval join (the attribution
+    //      pattern): one file stream split into a click side and a
+    //      purchase side, inner-joined on user within (click_ts,
+    //      click_ts + 1h]. Both sides watermarked and the condition
+    //      time-bounds both event times, so join state is evictable —
+    //      the state-bounded streaming dual of the batch
+    //      events_range_join. Inner-join matches emit eagerly (no flush
+    //      batches needed); value integerized so the hash is exact. ----
+    QueryDef("stream_join_attribution",
+      (s, d) => {
+        StreamHarness.run(fixedEvents(s, d),
+          st => StreamingOps.clickPurchaseJoin(
+            st.where(col("event_type") === "click"),
+            st.where(col("event_type") === "purchase"),
+            window = "1 hour", lateness = "10 minutes"),
+          "append")
+          .select(col("click_event_id"), col("p_event_id"), col("user_id"),
+            col("click_ts"), col("p_ts"),
+            col("purchase_value").cast("long").as("purchase_value_fx"))
+          .orderBy(col("click_event_id"), col("p_event_id"))
+      },
+      oracle = Some(
+        s"""WITH e AS (
+           |  SELECT event_id, $tsMsSql AS ts, user_id, event_type,
+           |    CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+           |  FROM events
+           |)
+           |SELECT c.event_id AS click_event_id, p.event_id AS p_event_id,
+           |  c.user_id, c.ts AS click_ts, p.ts AS p_ts,
+           |  p.v AS purchase_value_fx
+           |FROM e c JOIN e p
+           |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+           | AND p.user_id = c.user_id
+           | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+           |ORDER BY click_event_id, p_event_id""".stripMargin),
       bench = false)
   )
 }

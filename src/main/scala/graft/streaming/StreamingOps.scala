@@ -441,15 +441,16 @@ object StreamingOps {
         col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", lateness)
     val p = purchases
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      .select(col("event_id").as("p_event_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("value").as("purchase_value"))
       .withWatermark("p_ts", lateness)
     c.join(p,
       col("user_id") === col("p_user") &&
         col("p_ts") > col("click_ts") &&
         col("p_ts") <= col("click_ts") + expr(s"INTERVAL $window"))
-      .select(col("click_event_id"), col("user_id"), col("click_ts"),
-        col("p_ts"), col("purchase_value"))
+      .select(col("click_event_id"), col("p_event_id"), col("user_id"),
+        col("click_ts"), col("p_ts"), col("purchase_value"))
   }
 
   /** Streaming sufficient statistics — the reference's M-step inputs
