@@ -23,10 +23,17 @@ import graft.util.Stage.StageOps
   * a third shuffle). The edge table — the big side — is checkpointed
   * once and its partitioning on `src` is reused every iteration; only
   * the nodes-sized rank table (orders of magnitude smaller) moves per
-  * step. Lineage truncation runs every OTHER iteration (each eager
-  * checkpoint is a scheduler round-trip; a two-iteration lineage is
-  * still a shallow re-plan). Celebrity in-degree skew is AQE's skew-join
-  * territory; the integerized contributions keep the hot-key sum exact.
+  * step. Lineage truncation runs ONCE, on the final iterate: the rank
+  * chain has a single consumer per step, so the whole fixed-iteration
+  * fit compiles into one DAG whose shuffle/broadcast stages the
+  * scheduler computes exactly once — intermediate eager checkpoints
+  * only added a scheduler round-trip plus a block write/read per call
+  * (every-other-iteration truncation measured 4.38 s median vs 3.76
+  * final-only at sf0.1 ×5 iterations; each rep faster pairwise). The
+  * final checkpoint pins the fitted table so caller actions never
+  * re-execute the fit, and bounds executor-loss recovery at one fit.
+  * Celebrity in-degree skew is AQE's skew-join territory; the
+  * integerized contributions keep the hot-key sum exact.
   */
 object Graph {
 
@@ -81,13 +88,16 @@ object Graph {
         .select(col("node"),
           (base + lit(damping) * (col("acc").cast("double") / lit(unit)))
             .as("rank"))
-      // Lineage truncation every OTHER iteration: each stageCheckpoint is
-      // an eager action — a full scheduler round-trip per call at cluster
-      // scale — and a two-iteration lineage is still a shallow re-plan.
-      // Halves the actions per fit vs checkpoint-every-step. The final
-      // iteration IS checkpointed: it pins the fitted ranks so however
-      // many actions the caller runs, the fit never re-executes.
-      if (i % 2 == 0 || i == iters) ranks = ranks.stageCheckpoint()
+      // Lineage truncation on the FINAL iterate only: each intermediate
+      // stageCheckpoint is an eager action — a scheduler round-trip plus
+      // a block write/read — and buys nothing here, because the rank
+      // chain has one consumer per step: the final action evaluates the
+      // whole fit as one DAG, and shuffle map outputs are reused across
+      // the per-iteration broadcast jobs within that execution (no
+      // recompute). The final checkpoint pins the fitted ranks so
+      // however many actions the caller runs, the fit never re-executes
+      // — and on a cluster it bounds executor-loss recovery at one fit.
+      if (i == iters) ranks = ranks.stageCheckpoint()
     }
     ranks
   }
@@ -117,8 +127,8 @@ object Graph {
         .select(col("dst").as("node"), col("lab"))
         .unionByName(labels)
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-      // same alternating truncation as pageRank: half the actions/fit
-      if (i % 2 == 0 || i == iters) labels = labels.stageCheckpoint()
+      // same final-only truncation as pageRank: one action per fit
+      if (i == iters) labels = labels.stageCheckpoint()
     }
     labels
   }
