@@ -395,12 +395,20 @@ object Curation {
   def sourceOverlapMatrix(
       docs: DataFrame, sourceCol: String, textCol: String,
       k: Int = 3): DataFrame = {
+    // The scan→shingle→distinct pipeline is the corpus-scale work and
+    // has THREE consumers (both totals sides + the pair expansion):
+    // staged once so the plan runs it once — unstaged, each consumer
+    // re-derived it from the raw scan (3× the dominant cost). totals is
+    // |sources| rows; staging it too makes ta/tb broadcast reads of one
+    // tiny materialized table instead of two more aggregations over sh.
     val sh = docs.select(col(sourceCol).as("src"),
         explode(graft.operators.TextAnalysis.wordShingles(col(textCol), k))
           .as("s0"))
       .select(col("src"), xxhash64(col("s0")).as("s"))
       .distinct()
+      .stageCheckpoint()
     val totals = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .stageCheckpoint()
     // per-hash source set (≤ |sources| elements), ordered pairs expanded
     // from the sorted array: x at index i pairs with every later element
     val srcs = col("srcs")
