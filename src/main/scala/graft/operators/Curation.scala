@@ -340,6 +340,10 @@ object Curation {
       train: DataFrame, test: DataFrame,
       idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // trainSh has two consumers (per-doc totals + the overlap join) but
+    // is a map-only explode+hash LARGER than its source text — by the
+    // Stage.share rule the codegen'd recompute beats a cache round-trip
+    // at two consumers (measured neutral at sf0.1)
     val trainSh = train.select(col(idCol).as("train_id"),
         explode(TextAnalysis.wordShingles(col(textCol), k)).as("s0"))
       .select(col("train_id"), xxhash64(col("s0")).as("s"))
@@ -406,9 +410,9 @@ object Curation {
           .as("s0"))
       .select(col("src"), xxhash64(col("s0")).as("s"))
       .distinct()
-      .stageCheckpoint()
+      .stageShare()
     val totals = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
-      .stageCheckpoint()
+      .stageShare()
     // per-hash source set (≤ |sources| elements), ordered pairs expanded
     // from the sorted array: x at index i pairs with every later element
     val srcs = col("srcs")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorExpressions
+import graft.util.Stage.StageOps
 
 /** Deduplication family for corpus curation at scale:
   *
@@ -249,18 +250,26 @@ object Dedup {
     * BEFORE the self-join — stop-shingles carry no containment signal,
     * and one viral shingle across M docs is an M² join bucket (the
     * simhash/minhash maxBucketSize story). The join key is
-    * xxhash64(shingle): 8-byte shuffle rows, never the strings.
+    * xxhash64(shingle): 8-byte shuffle rows, never the strings — the df
+    * count runs on the same hashed keys (a 64-bit collision merging two
+    * shingles' df is the same accepted odds as the join itself).
     * Returns every pair with (a, b, shared, n_a, n_b, containment);
     * callers apply their threshold. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, maxShingleDf: Long = 100): DataFrame = {
-    val sh0 = docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.wordShingles(col(textCol), k)).as("s"))
-    val hot = sh0.groupBy(col("s"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .where(col("df") > maxShingleDf).select(col("s"))
-    val sh = sh0.join(hot, Seq("s"), "left_anti")
+    // Shingles are hashed at the explode and the (doc, key) table staged
+    // immediately: the hot-shingle df count, the per-doc totals and BOTH
+    // self-join sides read the staged 8-byte-key table, so the corpus
+    // scan+explode runs exactly once (unstaged it ran four times — four
+    // Generates over four parquet scans in the physical plan).
+    val shk = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.wordShingles(col(textCol), k)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sk"))
+      .stageShare()
+    val hot = shk.groupBy(col("sk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") > maxShingleDf).select(col("sk"))
+    val sh = shk.join(hot, Seq("sk"), "left_anti").stageShare()
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("x")
       .join(sh.as("y"),

@@ -784,11 +784,17 @@ object CurationQueries {
     QueryDef("curation_dsir_weights",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // corpus/target (vocab-sized, ≪ the token stream) each feed two
+        // consumers (totals + ratio): shared so each vocab aggregation
+        // runs once; the token explode recomputes per consumer (larger
+        // than its source, see Stage.share)
         val tok = docs.select(col("doc_id"), col("lang"),
           explode(TextAnalysis.tokens(col("text"))).as("tok"))
         val corpus = tok.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
+          .stageShare()
         val target = tok.filter(col("lang") === "en")
           .groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+          .stageShare()
         val totals = corpus.agg(
           sum(col("cc")).as("tot_c"),
           count(lit(1)).as("vocab")).crossJoin(
@@ -879,9 +885,12 @@ object CurationQueries {
           .select(col("lang"),
             floor((col("n_chars") - col("lo")) * 10 / (col("hi") - col("lo")))
               .cast("long").as("bin"))
+        // observed (≤10 rows) feeds the totals AND the final projection:
+        // staged so the corpus binning pass runs once, not per consumer
         val observed = binned.groupBy(col("bin")).agg(
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
           sum(when(col("lang") === "de", 1L).otherwise(0L)).as("c2"))
+          .stageShare()
         // all 10 bins ALWAYS present: an interior bin empty in both
         // groups still carries a nonzero smoothed term when n1 != n2,
         // and consumers rely on the fixed 10-row shape.
@@ -935,8 +944,13 @@ object CurationQueries {
     QueryDef("stats_chisq_independence",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // observed (L×S aggregated rows) feeds SIX consumers (both
+        // distincts, the grid join, both marginals, tot): staged so the
+        // corpus groupBy runs once — unstaged, every consumer re-derived
+        // it from the raw scan (12 scans in the physical plan).
         val observed = docs.groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("n"))
+          .stageShare()
         // FULL L×S grid: a (lang, source) pair with zero documents still
         // contributes (0-E)²/E = E to the statistic — groupBy alone
         // would silently drop it (and dof would overstate the table).

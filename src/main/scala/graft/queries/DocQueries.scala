@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.operators.{Dedup, TextAnalysis}
 import graft.util.Det
+import graft.util.Stage.StageOps
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -823,9 +824,14 @@ object DocQueries {
     //      (broadcast below ~GB vocab, else a shuffle join on token). ----
     QueryDef("text_unigram_surprisal",
       (s, d) => {
+        // cnt (vocab-sized, ≪ the token stream) feeds the total AND the
+        // score join — shared so the vocab aggregation runs once; the
+        // token explode recomputes (larger than its source, see
+        // Stage.share)
         val toks = Tables.documents(s, d).select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("tok"))
         val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .stageShare()
         val tot = cnt.agg(sum(col("c")).as("t"))
         toks.join(cnt, Seq("tok"))
           .crossJoin(broadcast(tot))
@@ -925,9 +931,15 @@ object DocQueries {
     QueryDef("text_bm25_topk",
       (s, d) => {
         val terms = Seq("join", "hash", "scan")
+        // dl (one row/doc, ≪ the token stream) feeds corpus AND the
+        // score join — shared so it aggregates once. toks itself is
+        // deliberately NOT materialized: the exploded stream is larger
+        // than the source text, so recomputing the codegen'd tokenize
+        // for tf is cheaper than writing/reading the cache.
         val toks = Tables.documents(s, d).select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("tok"))
         val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+          .stageShare()
         val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
         val tf = toks.where(col("tok").isin(terms: _*))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -988,6 +1000,12 @@ object DocQueries {
     //      per-bigram logprobs are integerized then summed exactly. ----
     QueryDef("text_bigram_lm",
       (s, d) => {
+        // base (token arrays) feeds bg AND vocab; bg feeds c2 AND the
+        // c2 (bigram-vocab counts, ≪ the bigram stream) feeds c1 AND
+        // the score join — shared so the count aggregation runs once.
+        // base/bg are NOT materialized: token arrays and the exploded
+        // bigram stream are larger than the source text, so the
+        // codegen'd tokenize+explode recompute beats a cache round-trip.
         val base = Tables.documents(s, d)
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         val bg = base.select(col("doc_id"),
@@ -997,6 +1015,7 @@ object DocQueries {
               (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
           .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+          .stageShare()
         val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
         val vocab = base.select(explode(col("toks")).as("tok"))
           .agg(count_distinct(col("tok")).as("v"))
@@ -1180,9 +1199,12 @@ object DocQueries {
     QueryDef("text_tfidf_topk",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // tf feeds dfT AND the score join — staged so the tokenize +
+        // (doc, term) aggregation run once
         val tf = docs
           .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .stageShare()
         val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val scored = tf.join(broadcast(dfT), "term")
@@ -1231,6 +1253,10 @@ object DocQueries {
       (s, d) => {
         val minSupport = pmiMinSupport
         val docs = Tables.documents(s, d)
+        // toksF (the df-floored subset) feeds BOTH self-join sides —
+        // shared so the floor join runs once. The raw token explode is
+        // NOT materialized (larger than the source text; codegen'd
+        // recompute for dfA is cheaper than a cache round-trip).
         val toks = docs.select(col("doc_id"),
           explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
         val dfA = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -1239,6 +1265,7 @@ object DocQueries {
         val toksF = toks.join(
           broadcast(dfA.where(col("df") >= minSupport).select(col("tok"))),
           Seq("tok"))
+          .stageShare()
         val pairs = toksF.as("x")
           .join(toksF.as("y"),
             col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))

@@ -55,8 +55,40 @@ object Stage {
     }
   }
 
+  /** Share a multi-consumer frame WITHIN one query's DAG: lazy
+    * `persist()`, so the expensive derivation (a tokenize/shingle
+    * explode, a corpus aggregation) is computed once by the first
+    * consumer and read from block storage by the rest — Catalyst does
+    * not share duplicated subtrees across plan branches, so without
+    * this each consumer re-derives the frame from the scan.
+    *
+    * Versus [[apply]] (stageCheckpoint): no eager action, no lineage
+    * truncation — the right trade for SHALLOW dags consumed a handful
+    * of times inside one query (an eager checkpoint is an extra
+    * scheduler round-trip plus a mandatory block write even when the
+    * first consumer could have pipelined). Iterative loops keep
+    * `stageCheckpoint`, which they need for the lineage cut. Callers
+    * that run the query as a standalone job can rely on job teardown
+    * (or `clearCache`) to release the blocks; long-lived sessions
+    * should `unpersist` after the consuming action.
+    *
+    * WHEN to share — the materialization-vs-recompute rule:
+    *  - share any frame whose derivation crosses a SHUFFLE or
+    *    aggregation (distinct, groupBy, join): recomputing a shuffle
+    *    per consumer is never right, and agg outputs are small;
+    *  - share map-only derivations when they are allocation-heavy and
+    *    read ≥3 times (k-gram string construction: sharing
+    *    containmentPairs' 4-consumer shingle table measured −21% at
+    *    sf0.1);
+    *  - RECOMPUTE a cheap codegen'd explode with ~2 consumers whose
+    *    output is LARGER than its source (token/bigram streams:
+    *    caching bm25's token explode measured +0.3 s at sf0.1 vs
+    *    re-tokenizing — the cache write+read costs more than the map). */
+  def share[T](ds: Dataset[T]): Dataset[T] = ds.persist()
+
   /** Postfix syntax so call sites read like the built-in they replace. */
   implicit class StageOps[T](private val ds: Dataset[T]) extends AnyVal {
     def stageCheckpoint(): Dataset[T] = Stage(ds)
+    def stageShare(): Dataset[T] = share(ds)
   }
 }
