@@ -142,8 +142,11 @@ object Curation {
       seed: Long): DataFrame = {
     val shareMap = map(targetShares.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // counts (#domains rows) feeds the grand total AND the rate table —
+    // shared so the corpus count aggregation runs once
     val counts = df.groupBy(domainCol.as("dom"))
       .agg(count(lit(1)).as("n_dom"))
+      .stageShare()
     val total = counts.agg(sum(col("n_dom")).as("n_total"))
     val rates = counts.crossJoin(broadcast(total))
       .withColumn("share", coalesce(element_at(shareMap, col("dom")), lit(0.0)))

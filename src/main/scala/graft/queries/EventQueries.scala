@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.operators.AsOfJoin
 import graft.util.Det
+import graft.util.Stage.StageOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -433,11 +434,15 @@ object EventQueries {
     QueryDef("events_funnel",
       (s, d) => {
         val ev = Tables.events(s, d)
+        // v and c (user-keyed aggregates) each feed the next stage AND
+        // the final join — shared so each stage's scan+agg runs once
         val v = ev.where(col("event_type") === "view")
           .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+          .stageShare()
         val c = ev.where(col("event_type") === "click")
           .join(v, Seq("user_id")).where(col("ts") > col("v_ts"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+          .stageShare()
         val p = ev.where(col("event_type") === "purchase")
           .join(c, Seq("user_id")).where(col("ts") > col("c_ts"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
