@@ -318,6 +318,34 @@ object StreamQueries {
            | AND p.user_id = c.user_id
            | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
            |ORDER BY click_event_id, p_event_id""".stripMargin),
+      bench = false),
+
+    // ---- stream-static enrichment (the dimension-join class): each
+    //      micro-batch broadcast-joins the static customer dim onto the
+    //      event stream — stateless, append-mode, no watermark needed.
+    //      Left join keeps events whose user has no dim row (NULL
+    //      attributes), the standard enrich contract. ----
+    QueryDef("stream_enrich_dim",
+      (s, d) => {
+        val dim = Tables.customer(s, d).select(
+          col("c_custkey").cast("long").as("user_id"),
+          col("c_nationkey").as("nation_key"),
+          col("c_mktsegment").as("segment"))
+        StreamHarness.run(fixedEvents(s, d),
+          st => StreamingOps.enrichWithDim(st, dim, "user_id"),
+          "append")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value").cast("long").as("value_fx"),
+            col("nation_key"), col("segment"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(
+        """SELECT e.event_id, e.user_id, e.event_type,
+          |  CAST(ROUND(e.value * 100, 0) AS BIGINT) AS value_fx,
+          |  c.c_nationkey AS nation_key, c.c_mktsegment AS segment
+          |FROM events e
+          |LEFT JOIN customer c ON e.user_id = c.c_custkey
+          |ORDER BY e.event_id""".stripMargin),
       bench = false)
   )
 }
