@@ -146,6 +146,97 @@ object EventQueries {
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
           |ORDER BY p.event_id""".stripMargin)),
 
+    // ---- FORWARD as-of: each purchase matched to the user's EARLIEST
+    //      click at-or-after it (the "next event" lookup; pandas
+    //      merge_asof direction='forward'). Same one-shuffle union +
+    //      window pattern, mirrored; oracle = decorrelated min-struct
+    //      scalar subquery. ----
+    QueryDef("events_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev.where(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts").as("click_ts"))
+          .agg(max(col("event_id")).as("click_event_id"))
+        AsOfJoin.leftAsOfForward(
+          left = purchases, right = clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+          payload = Seq("click_ts", "click_event_id"),
+          tiebreakCol = "click_event_id", outPrefix = "")
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(
+        """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+          |           WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, ts AS cts, max(event_id) AS cid
+          |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          |j AS (
+          |  SELECT p.*,
+          |    (SELECT min(struct_pack(t := c.cts, tb := c.cid)) FROM c
+          |     WHERE c.user_id = p.user_id AND c.cts >= p.ts) AS m
+          |  FROM p)
+          |SELECT event_id, user_id, ts, value,
+          |  struct_extract(m, 't') AS click_ts,
+          |  struct_extract(m, 'tb') AS click_event_id
+          |FROM j ORDER BY event_id""".stripMargin)),
+
+    // ---- NEAREST as-of with tolerance: each purchase matched to the
+    //      click with the smallest |gap| within 30 minutes, past or
+    //      future; exact-distance ties resolve backward (the pandas
+    //      direction='nearest' convention). One shuffle, one sort, two
+    //      window frames. ----
+    QueryDef("events_asof_nearest",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev.where(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts").as("click_ts"))
+          .agg(max(col("event_id")).as("click_event_id"))
+        AsOfJoin.leftAsOfNearest(
+          left = purchases, right = clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+          payload = Seq("click_ts", "click_event_id"),
+          tiebreakCol = "click_event_id",
+          tolerance = Some(1800000000.0), // 30 min in micros
+          outPrefix = "")
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(
+        """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+          |           WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, ts AS cts, max(event_id) AS cid
+          |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          |j AS (
+          |  SELECT p.*,
+          |    (SELECT max(struct_pack(t := c.cts, tb := c.cid)) FROM c
+          |     WHERE c.user_id = p.user_id AND c.cts <= p.ts) AS b,
+          |    (SELECT min(struct_pack(t := c.cts, tb := c.cid)) FROM c
+          |     WHERE c.user_id = p.user_id AND c.cts > p.ts) AS f
+          |  FROM p),
+          |g AS (
+          |  SELECT *,
+          |    CASE WHEN b IS NOT NULL AND epoch_us(ts)
+          |           - epoch_us(struct_extract(b, 't')) <= 1800000000
+          |         THEN b END AS bv,
+          |    CASE WHEN f IS NOT NULL AND epoch_us(struct_extract(f, 't'))
+          |           - epoch_us(ts) <= 1800000000
+          |         THEN f END AS fv
+          |  FROM j),
+          |pick AS (
+          |  SELECT *,
+          |    CASE WHEN fv IS NULL THEN bv
+          |         WHEN bv IS NULL THEN fv
+          |         WHEN epoch_us(ts) - epoch_us(struct_extract(bv, 't'))
+          |           <= epoch_us(struct_extract(fv, 't')) - epoch_us(ts)
+          |         THEN bv ELSE fv END AS m
+          |  FROM g)
+          |SELECT event_id, user_id, ts, value,
+          |  struct_extract(m, 't') AS click_ts,
+          |  struct_extract(m, 'tb') AS click_event_id
+          |FROM pick ORDER BY event_id""".stripMargin)),
+
     // ---- native session windows (session_window): same 30-min-gap
     // semantics as events_sessionize but via Spark's built-in session
     // operator (merging-window aggregation, also the streaming form).
