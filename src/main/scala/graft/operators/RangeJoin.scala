@@ -39,4 +39,55 @@ object RangeJoin {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $widthSec SECOND"))
       .drop("_band")
   }
+
+  /** INTERVAL × INTERVAL overlap join: every (a, b) pair with
+    * `aStart < bEnd && bStart < aEnd` (half-open [start, end) overlap
+    * semantics) and equal `keys`.
+    *
+    * Banding rewrite: each interval replicates to every width-`bandSec`
+    * band it touches (`sequence(floor(start/w), floor((end-ε)/w))`), the
+    * join runs on (keys..., band), and the exact predicate filters band
+    * collisions. A pair overlapping across k shared bands would emit k
+    * times; instead of a `distinct` (an extra shuffle of the OUTPUT,
+    * which is the largest frame in the query), each true pair is
+    * attributed to exactly ONE canonical band — the band containing
+    * `max(aStart, bStart)`, the start of the overlap region, which both
+    * rows' band ranges always cover. Cost: one shuffle of
+    * Σ(interval_len/band + 1) rows per side; replication is bounded by
+    * `maxBands` (intervals longer than maxBands·bandSec are truncated to
+    * their first maxBands bands for CANDIDATE generation — pick bandSec
+    * of the order of typical interval length so replication stays a
+    * small constant; a pathological monster interval is then still
+    * matched for overlaps beginning in its first maxBands bands).
+    *
+    * Both ts columns are compared in whole epoch seconds (cast
+    * truncates) — band math and the exact predicate use the same
+    * truncated values, so banding can never drop a pair the predicate
+    * would keep. */
+  def intervalOverlapJoin(
+      a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      keys: Seq[String], bandSec: Long, maxBands: Int = 64): DataFrame = {
+    require(bandSec > 0, "bandSec must be positive")
+    require(maxBands > 0, "maxBands must be positive")
+    def bands(s: String, e: String): Column = {
+      val lo = floor(col(s).cast("long") / bandSec)
+      // end is exclusive: an interval ending exactly on a band boundary
+      // does not touch the next band
+      val hi = floor((col(e).cast("long") - 1) / bandSec)
+      sequence(lo, least(hi, lo + (maxBands - 1)))
+    }
+    val a2 = a.withColumn("_band", explode(bands(aStart, aEnd)))
+    val b2 = b.withColumn("_band", explode(bands(bStart, bEnd)))
+    a2.join(b2, keys :+ "_band")
+      .where(
+        col(aStart).cast("long") < col(bEnd).cast("long") &&
+          col(bStart).cast("long") < col(aEnd).cast("long") &&
+          // canonical-band attribution: emit the pair only from the band
+          // where the overlap region begins
+          col("_band") === floor(
+            greatest(col(aStart).cast("long"), col(bStart).cast("long"))
+              / bandSec))
+      .drop("_band")
+  }
 }

@@ -387,6 +387,51 @@ object EventQueries {
            |  ON p.p_ts > c.click_ts AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR
            |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // ---- INTERVAL × INTERVAL overlap join (banded): heavy lineitems of
+    //      the same supplier whose shipping windows [ship, ship+qty days)
+    //      overlap — logistics-contention pairs. Each interval lands in
+    //      ≤2 fifty-day bands; the exact predicate filters band
+    //      collisions and the canonical-band rule (emit where the
+    //      overlap region begins) makes each pair appear exactly once
+    //      WITHOUT a distinct over the output — the output is the
+    //      largest frame in the query, so that saved shuffle is the
+    //      point. Oracle = the quadratic theta join (exact). ----
+    QueryDef("join_interval_overlap",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).where(col("l_quantity") >= 45)
+          .select(
+            (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+            col("l_suppkey").as("supp"),
+            col("l_shipdate").cast("timestamp").cast("long").as("st"),
+            (col("l_shipdate").cast("timestamp").cast("long")
+              + col("l_quantity").cast("long") * 86400L).as("en"))
+        val a = li.select(col("id").as("a_id"), col("supp"),
+          col("st").as("a_s"), col("en").as("a_e"))
+        val b = li.select(col("id").as("b_id"), col("supp"),
+          col("st").as("b_s"), col("en").as("b_e"))
+        graft.operators.RangeJoin.intervalOverlapJoin(
+          a, b, "a_s", "a_e", "b_s", "b_e",
+          keys = Seq("supp"), bandSec = 50L * 86400L)
+          .where(col("a_id") < col("b_id"))
+          .select(col("supp"), col("a_id"), col("b_id"),
+            (least(col("a_e"), col("b_e"))
+              - greatest(col("a_s"), col("b_s"))).as("overlap_sec"))
+          .orderBy(col("supp"), col("a_id"), col("b_id"))
+      },
+      oracle = Some(
+        """WITH li AS (
+          |  SELECT l_orderkey * 10 + l_linenumber AS id, l_suppkey AS supp,
+          |    epoch(l_shipdate) AS st,
+          |    epoch(l_shipdate) + CAST(l_quantity AS BIGINT) * 86400 AS en
+          |  FROM lineitem WHERE l_quantity >= 45
+          |)
+          |SELECT a.supp AS supp, a.id AS a_id, b.id AS b_id,
+          |  least(a.en, b.en) - greatest(a.st, b.st) AS overlap_sec
+          |FROM li a JOIN li b
+          |  ON a.supp = b.supp AND a.id < b.id
+          | AND a.st < b.en AND b.st < a.en
+          |ORDER BY a.supp, a_id, b_id""".stripMargin)),
+
     // ---- VARIANT (Spark 4 semi-structured type): parse once, extract
     // typed paths. At scale VARIANT beats per-path get_json_object — the
     // binary encoding parses the JSON once per row instead of once per

@@ -43,4 +43,54 @@ class RangeJoinSpec extends SparkSpec {
     pairs(RangeJoin.bandedIntervalAfter(l, r, "click_ts", "p_ts", 3600L)) shouldBe
       Set((1L, 11L))
   }
+
+  private def opairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("intervalOverlapJoin: half-open semantics, one row per pair across bands") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "k", 0L, 100L),    // long interval spanning many bands
+      (2L, "k", 50L, 60L),
+      (3L, "k", 100L, 110L),  // touches 1 only at the boundary -> no overlap
+      (4L, "x", 0L, 10L))     // different key, never pairs with "k"
+      .toDF("a_id", "key", "a_s", "a_e")
+    val b = Seq(
+      (10L, "k", 90L, 150L),  // overlaps 1 ([90,100)) and 3
+      (11L, "k", 55L, 58L),   // nested in 1 and 2
+      (12L, "k", 100L, 101L), // boundary-touches 1 -> excluded
+      (13L, "x", 5L, 6L))     // pairs with 4 on key x
+      .toDF("b_id", "key", "b_s", "b_e")
+    val got = opairs(RangeJoin.intervalOverlapJoin(
+      a, b, "a_s", "a_e", "b_s", "b_e", Seq("key"), bandSec = 10L))
+    // each pair exactly once despite multi-band replication
+    got.size shouldBe got.toSet.size
+    got.toSet shouldBe Set(
+      (1L, 10L), (1L, 11L), (3L, 10L), (3L, 12L), (2L, 11L), (4L, 13L))
+  }
+
+  test("intervalOverlapJoin == theta join on real shipping windows") {
+    val li = Tables.lineitem(spark, sf).where(col("l_quantity") >= 45)
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+        col("l_suppkey").as("supp"),
+        col("l_shipdate").cast("timestamp").cast("long").as("st"),
+        (col("l_shipdate").cast("timestamp").cast("long")
+          + col("l_quantity").cast("long") * 86400L).as("en"))
+    val a = li.select(col("id").as("a_id"), col("supp"),
+      col("st").as("a_s"), col("en").as("a_e"))
+    val b = li.select(col("id").as("b_id"), col("supp"),
+      col("st").as("b_s"), col("en").as("b_e"))
+    val banded = RangeJoin.intervalOverlapJoin(
+      a, b, "a_s", "a_e", "b_s", "b_e", Seq("supp"), bandSec = 50L * 86400L)
+      .where(col("a_id") < col("b_id"))
+    val theta = a.join(b, Seq("supp"))
+      .where(col("a_id") < col("b_id") &&
+        col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+    val got = opairs(banded).toSet
+    got shouldBe opairs(theta).toSet
+    got.size should be > 0
+    banded.count() shouldBe got.size // no per-band duplicates
+  }
 }
