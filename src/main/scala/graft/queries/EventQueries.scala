@@ -432,6 +432,37 @@ object EventQueries {
           | AND a.st < b.en AND b.st < a.en
           |ORDER BY a.supp, a_id, b_id""".stripMargin)),
 
+    // ---- OHLC resampling (time-series downsample to 6h bars): open =
+    //      value at the earliest event in the bar, close = at the
+    //      latest, plus min/max/count — min_by/max_by keyed on (ts,
+    //      event_id) so bars are deterministic under ts ties. ONE
+    //      grouped aggregation; DuckDB dual via arg_min/arg_max on the
+    //      same composite key. ----
+    QueryDef("events_ohlc_bars",
+      (s, d) => Tables.events(s, d)
+        .groupBy(
+          timestamp_seconds(
+            floor(unix_seconds(col("ts")) / 21600L).cast("long") * 21600L)
+            .as("bar_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+        .orderBy(col("bar_start"), col("event_type")),
+      oracle = Some(
+        """SELECT make_timestamp((epoch_us(ts) // 21600000000)
+          |    * 21600000000) AS bar_start,
+          |  event_type, count(*) AS n_events,
+          |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 100000000
+          |    + event_id) AS open,
+          |  max(value) AS high, min(value) AS low,
+          |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 100000000
+          |    + event_id) AS close
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = false),
+
     // ---- VARIANT (Spark 4 semi-structured type): parse once, extract
     // typed paths. At scale VARIANT beats per-path get_json_object — the
     // binary encoding parses the JSON once per row instead of once per
