@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Stage.StageOps
 
 /** Data-quality profiling (the Deequ-style audit pass every ingest
   * pipeline runs before trusting a table): per-column row count, null
@@ -42,5 +43,49 @@ object Profile {
         ((col("n_rows") - col("n_nulls")).cast("double")
           / col("n_rows").cast("double")).as("completeness"),
         (col("n_distinct") === col("n_rows") - col("n_nulls")).as("is_unique"))
+  }
+
+  /** EXACT weighted quantiles: for each requested q, the smallest value
+    * v such that `Σ weight over rows with value ≤ v  ≥  q · Σ weight` —
+    * the lower weighted-quantile (type-1) definition, which is exact
+    * integer arithmetic when weights are integers (no interpolation, no
+    * sketch error). The curation use: "token-weighted p50/p90 of
+    * document length" — what length bounds half / 90% of the TOKENS
+    * (approx_percentile is row-weighted and sketched; this is neither).
+    *
+    * Scale shape: ONE groupBy to the distinct-value grid (|grid| rows,
+    * ≪ corpus), a range-partitioned prefix sum over the grid
+    * ([[RangeCum]] — no unpartitioned window), and a |qs|-row
+    * broadcast-threshold aggregation. Weights must be non-negative;
+    * zero-weight values cannot be selected unless they tie a boundary.
+    *
+    * Returns one row per q: (q, value, cum_weight, total_weight). */
+  def weightedQuantiles(
+      df: DataFrame, valueCol: String, weightCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // grid (agg-derived, |grid| rows) feeds the prefix sum AND the
+    // total — shared so the corpus groupBy runs once (Stage.share rule)
+    val grid = df.groupBy(col(valueCol).as("value"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .stageShare()
+    val cum = RangeCum.withCums(grid, "value",
+      Seq(RangeCum.Cum("w", "cw")))
+    val total = grid.agg(sum(col("w")).as("tw"))
+    val qDf = qs.sorted.toDF("q")
+    // threshold rule in exact integer space: cw * 1 >= q * tw — compare
+    // as doubles of exact longs (both sides < 2^53 for realistic
+    // corpora; at larger totals scale weights down upstream)
+    cum.crossJoin(broadcast(total)).crossJoin(broadcast(qDf))
+      .where(col("cw").cast("double") >= col("q") * col("tw").cast("double"))
+      .groupBy(col("q"))
+      .agg(min(col("value")).as("value"))
+      .join(cum.select(col("value"), col("cw").as("cum_weight")), Seq("value"))
+      .crossJoin(broadcast(total.select(col("tw").as("total_weight"))))
+      .select(col("q"), col("value"), col("cum_weight"), col("total_weight"))
+      .orderBy(col("q"))
   }
 }

@@ -465,6 +465,44 @@ object CurationQueries {
       },
       bench = false),
 
+    // ---- EXACT token-weighted length quantiles: the smallest n_chars
+    //      bounding q of the corpus's TOKENS (not rows) — the "how long
+    //      are the documents most tokens live in" curation question
+    //      that row-weighted sketched approx_percentile cannot answer.
+    //      Distinct-value grid + RangeCum prefix (no unpartitioned
+    //      window), integer cumulative weights, DOUBLE q literals on
+    //      both engines so the q·total threshold is bit-identical. ----
+    QueryDef("profile_weighted_quantiles",
+      (s, d) => graft.operators.Profile.weightedQuantiles(
+        Tables.documents(s, d)
+          .select(col("n_chars"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("wt")),
+        "n_chars", "wt", qs = Seq(0.25, 0.5, 0.9, 0.99)),
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT n_chars AS value,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wt
+          |  FROM documents
+          |),
+          |grid AS (SELECT value, CAST(sum(wt) AS BIGINT) AS w
+          |         FROM t GROUP BY 1),
+          |c AS (SELECT value, CAST(sum(w) OVER (ORDER BY value
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |        AS BIGINT) AS cw
+          |      FROM grid),
+          |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM grid),
+          |qs(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+          |                 (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+          |pick AS (
+          |  SELECT q, min(value) AS value
+          |  FROM c CROSS JOIN tot CROSS JOIN qs
+          |  WHERE CAST(cw AS DOUBLE) >= q * CAST(tw AS DOUBLE)
+          |  GROUP BY q)
+          |SELECT p.q, p.value, c.cw AS cum_weight, tot.tw AS total_weight
+          |FROM pick p JOIN c ON p.value = c.value CROSS JOIN tot
+          |ORDER BY p.q""".stripMargin),
+      bench = false),
+
     // ---- token-count histogram (bucket width 20) ----
     QueryDef("tokens_hist",
       (s, d) => Tables.documents(s, d)

@@ -240,6 +240,37 @@ class CurationSpec extends SparkSpec {
     d(5L) shouldBe ("added", Nil)
   }
 
+  test("weightedQuantiles: exact type-1 picks on hand-checkable weights") {
+    // values 10,20,30,40 with weights 1,4,3,2 (total 10); cumulative
+    // 1,5,8,10 -> q=.1->10, .2->20 (cw 5>=2), .5->20, .8->30, 1.0->40
+    val df = Seq((10L, 1L), (20L, 4L), (30L, 3L), (40L, 2L))
+      .toDF("v", "w")
+    val got = Profile.weightedQuantiles(df, "v", "w",
+      Seq(0.1, 0.2, 0.5, 0.8, 1.0))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    got shouldBe Map(
+      0.1 -> ((10L, 1L, 10L)), 0.2 -> ((20L, 5L, 10L)),
+      0.5 -> ((20L, 5L, 10L)), 0.8 -> ((30L, 8L, 10L)),
+      1.0 -> ((40L, 10L, 10L)))
+  }
+
+  test("weightedQuantiles: weight-1 equals classic lower quantile; monotone in q") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("n_chars"), lit(1L).as("one"))
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val got = Profile.weightedQuantiles(docs, "n_chars", "one", qs)
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    got.map(_._1) shouldBe qs // one row per q, ordered
+    got.map(_._2) shouldBe got.map(_._2).sorted // monotone values
+    // classic check against a full sort on the driver (small fixture)
+    val vals = docs.select(col("n_chars")).collect().map(_.getLong(0)).sorted
+    qs.zip(got.map(_._2)).foreach { case (q, v) =>
+      val idx = math.ceil(q * vals.length).toInt - 1
+      v shouldBe vals(idx)
+    }
+  }
+
   test("sourceOverlapMatrix: known pair counts, full matrix, short docs drop") {
     // src A: shingles {a b c, b c d}; src B: {b c d, c d e}; src C
     // shares nothing; src D only short (<3-token) docs -> no shingles
