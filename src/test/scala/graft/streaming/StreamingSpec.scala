@@ -427,6 +427,80 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("crash-resume: stream-stream JOIN state survives the restart (pre-kill clicks join post-kill purchases)") {
+    // The join-state half of the recovery contract: clickPurchaseJoin
+    // buffers unmatched rows in the state store until the watermark
+    // evicts them. A click that arrived BEFORE the kill must still join
+    // a purchase that arrives only AFTER the restart — that join can
+    // only come from RESTORED RocksDB join state, not from reprocessing
+    // (offsets resume past the click's file). Sink exactly-once across
+    // the boundary rides the same batch-id-partitioned parquet sink.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft-ssj-resume").toString
+      // f1: clicks only (users 1..3). f2: their purchases 40 min later
+      // (inside the 1 h horizon) + one user-4 purchase with no click.
+      val f1 = Seq(
+        Event(1, ts(10), 1, "click", 0.0),
+        Event(2, ts(20), 2, "click", 0.0),
+        Event(3, ts(30), 3, "click", 0.0))
+      val f2 = Seq(
+        Event(11, ts(50), 1, "purchase", 5.0),
+        Event(12, ts(60), 2, "purchase", 6.0),
+        Event(13, ts(70), 3, "purchase", 7.0),
+        Event(14, ts(70), 4, "purchase", 8.0))
+      // f3: watermark pushers on both sides so all matches flush
+      val f3 = Seq(flushA, flushA.copy(event_type = "purchase"))
+
+      def runPipeline(inDir: String, outDir: String, ckpt: String) = {
+        val stream = spark.readStream.schema(f1.toDF().schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+        val joined = StreamingOps.clickPurchaseJoin(
+          stream.where(col("event_type") === "click"),
+          stream.where(col("event_type") === "purchase"),
+          window = "1 hour", lateness = "1 hour")
+        StreamingOps.foreachBatchParquetSink(joined, outDir, "user_id")
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+
+      val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+      f1.toDF().write.mode("append").parquet(inDir)
+      val q1 = runPipeline(inDir, outDir, ckpt)
+      q1.processAllAvailable() // clicks are buffered join state now
+      q1.stop()                // kill before any purchase is seen
+      f2.toDF().write.mode("append").parquet(inDir)
+      f3.toDF().write.mode("append").parquet(inDir)
+      val q2 = runPipeline(inDir, outDir, ckpt)
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.parquet(outDir)
+        .where(col("user_id") < 999)
+        .select("click_event_id", "p_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every pre-kill click joined its post-restart purchase exactly
+      // once; the clickless user-4 purchase produced nothing
+      got shouldBe Set((1L, 11L), (2L, 12L), (3L, 13L))
+
+      // uninterrupted reference over the same files: identical output
+      val (inR, outR, ckptR) = (s"$base/in_ref", s"$base/out_ref", s"$base/ckpt_ref")
+      Seq(f1, f2, f3).foreach(_.toDF().write.mode("append").parquet(inR))
+      val qr = runPipeline(inR, outR, ckptR)
+      qr.processAllAvailable()
+      qr.stop()
+      val ref = spark.read.parquet(outR).where(col("user_id") < 999)
+        .select("click_event_id", "p_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe ref
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
   test("Trigger.AvailableNow: incremental file backfill, only new files on rerun") {
     // The production backfill pattern at 100 TB: a scheduled job drains
     // whatever landed since the last run and exits — streaming-engine
