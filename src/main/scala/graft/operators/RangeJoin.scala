@@ -63,7 +63,13 @@ object RangeJoin {
     * Both ts columns are compared in whole epoch seconds (cast
     * truncates) — band math and the exact predicate use the same
     * truncated values, so banding can never drop a pair the predicate
-    * would keep. */
+    * would keep.
+    *
+    * Rows with `end <= start` are DROPPED before banding: an empty or
+    * inverted interval overlaps nothing under half-open semantics, and
+    * mechanically `sequence(lo, hi)` with hi < lo generates a
+    * DESCENDING band array — one garbage row with a far-past end would
+    * otherwise explode into millions of band replicas. */
   def intervalOverlapJoin(
       a: DataFrame, b: DataFrame,
       aStart: String, aEnd: String, bStart: String, bEnd: String,
@@ -77,8 +83,10 @@ object RangeJoin {
       val hi = floor((col(e).cast("long") - 1) / bandSec)
       sequence(lo, least(hi, lo + (maxBands - 1)))
     }
-    val a2 = a.withColumn("_band", explode(bands(aStart, aEnd)))
-    val b2 = b.withColumn("_band", explode(bands(bStart, bEnd)))
+    val a2 = a.where(col(aStart).cast("long") < col(aEnd).cast("long"))
+      .withColumn("_band", explode(bands(aStart, aEnd)))
+    val b2 = b.where(col(bStart).cast("long") < col(bEnd).cast("long"))
+      .withColumn("_band", explode(bands(bStart, bEnd)))
     a2.join(b2, keys :+ "_band")
       .where(
         col(aStart).cast("long") < col(bEnd).cast("long") &&

@@ -70,6 +70,19 @@ class RangeJoinSpec extends SparkSpec {
       (1L, 10L), (1L, 11L), (3L, 10L), (3L, 12L), (2L, 11L), (4L, 13L))
   }
 
+  test("intervalOverlapJoin: empty and inverted intervals drop, never explode") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "k", 10L, 10L),          // zero-length: overlaps nothing
+      (2L, "k", 1000000000L, 0L),   // inverted garbage row: dropped, no band blow-up
+      (3L, "k", 5L, 15L))           // valid
+      .toDF("a_id", "key", "a_s", "a_e")
+    val b = Seq((10L, "k", 0L, 20L)).toDF("b_id", "key", "b_s", "b_e")
+    opairs(RangeJoin.intervalOverlapJoin(
+      a, b, "a_s", "a_e", "b_s", "b_e", Seq("key"), bandSec = 10L))
+      .toSet shouldBe Set((3L, 10L))
+  }
+
   test("intervalOverlapJoin == theta join on real shipping windows") {
     val li = Tables.lineitem(spark, sf).where(col("l_quantity") >= 45)
       .select(
