@@ -68,9 +68,16 @@ object Profile {
     val spark = df.sparkSession
     import spark.implicits._
     // grid (agg-derived, |grid| rows) feeds the prefix sum AND the
-    // total — shared so the corpus groupBy runs once (Stage.share rule)
+    // total — shared so the corpus groupBy runs once (Stage.share rule).
+    // Negative weights would silently corrupt the cumulative's
+    // monotonicity (and with it every threshold pick), so they fail
+    // loudly at the one place the contract can be checked per-row.
+    val wChecked = when(col(weightCol).cast("long") < 0L, raise_error(lit(
+        s"weightedQuantiles: negative weight in '$weightCol' — weights " +
+          "must be non-negative")))
+      .otherwise(col(weightCol).cast("long"))
     val grid = df.groupBy(col(valueCol).as("value"))
-      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .agg(sum(wChecked).as("w"))
       .stageShare()
     val cum = RangeCum.withCums(grid, "value",
       Seq(RangeCum.Cum("w", "cw")))

@@ -255,6 +255,14 @@ class CurationSpec extends SparkSpec {
       1.0 -> ((40L, 10L, 10L)))
   }
 
+  test("weightedQuantiles: negative weight fails loudly, not silently") {
+    val df = Seq((10L, 1L), (20L, -1L)).toDF("v", "w")
+    val e = intercept[Exception] {
+      Profile.weightedQuantiles(df, "v", "w", Seq(0.5)).collect()
+    }
+    e.getMessage should include("negative weight")
+  }
+
   test("weightedQuantiles: weight-1 equals classic lower quantile; monotone in q") {
     val docs = Tables.documents(spark, sf)
       .select(col("n_chars"), lit(1L).as("one"))
