@@ -167,19 +167,31 @@ object EventQueries {
           .orderBy(col("event_id"))
       },
       oracle = Some(
+        // union + window dual of the Spark dataflow (NOT a correlated
+        // scalar subquery: DuckDB 1.0 materializes the decorrelated
+        // per-user join beyond its memory limit at the 100x slice,
+        // while the window form streams in one sort)
         """WITH p AS (SELECT event_id, user_id, ts, value FROM events
           |           WHERE event_type = 'purchase'),
           |c AS (SELECT user_id, ts AS cts, max(event_id) AS cid
           |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-          |j AS (
-          |  SELECT p.*,
-          |    (SELECT min(struct_pack(t := c.cts, tb := c.cid)) FROM c
-          |     WHERE c.user_id = p.user_id AND c.cts >= p.ts) AS m
-          |  FROM p)
-          |SELECT event_id, user_id, ts, value,
+          |u AS (
+          |  SELECT user_id, ts AS _ts, 0 AS _side, event_id, value,
+          |    CAST(NULL AS STRUCT(t TIMESTAMP, tb BIGINT)) AS pl
+          |  FROM p
+          |  UNION ALL
+          |  SELECT user_id, cts, 1, NULL, NULL,
+          |    struct_pack(t := cts, tb := cid)
+          |  FROM c),
+          |w AS (
+          |  SELECT *, min(pl) OVER (PARTITION BY user_id
+          |    ORDER BY _ts, _side, struct_extract(pl, 'tb')
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+          |  FROM u)
+          |SELECT event_id, user_id, _ts AS ts, value,
           |  struct_extract(m, 't') AS click_ts,
           |  struct_extract(m, 'tb') AS click_event_id
-          |FROM j ORDER BY event_id""".stripMargin)),
+          |FROM w WHERE _side = 0 ORDER BY event_id""".stripMargin)),
 
     // ---- NEAREST as-of with tolerance: each purchase matched to the
     //      click with the smallest |gap| within 30 minutes, past or
@@ -204,17 +216,35 @@ object EventQueries {
           .orderBy(col("event_id"))
       },
       oracle = Some(
+        // one union, one sort, two window frames — the same shape the
+        // Spark plan runs (right rows sort FIRST at equal ts: backward
+        // is inclusive, forward strictly-after; a gap-0 backward match
+        // wins nearest anyway). Correlated-subquery form OOMs DuckDB
+        // at the 100x slice; this streams.
         """WITH p AS (SELECT event_id, user_id, ts, value FROM events
           |           WHERE event_type = 'purchase'),
           |c AS (SELECT user_id, ts AS cts, max(event_id) AS cid
           |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          |u AS (
+          |  SELECT user_id, ts AS _ts, 1 AS _side, event_id, value,
+          |    CAST(NULL AS STRUCT(t TIMESTAMP, tb BIGINT)) AS pl
+          |  FROM p
+          |  UNION ALL
+          |  SELECT user_id, cts, 0, NULL, NULL,
+          |    struct_pack(t := cts, tb := cid)
+          |  FROM c),
+          |w AS (
+          |  SELECT *,
+          |    max(pl) OVER (PARTITION BY user_id
+          |      ORDER BY _ts, _side, struct_extract(pl, 'tb')
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+          |    min(pl) OVER (PARTITION BY user_id
+          |      ORDER BY _ts, _side, struct_extract(pl, 'tb')
+          |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+          |  FROM u),
           |j AS (
-          |  SELECT p.*,
-          |    (SELECT max(struct_pack(t := c.cts, tb := c.cid)) FROM c
-          |     WHERE c.user_id = p.user_id AND c.cts <= p.ts) AS b,
-          |    (SELECT min(struct_pack(t := c.cts, tb := c.cid)) FROM c
-          |     WHERE c.user_id = p.user_id AND c.cts > p.ts) AS f
-          |  FROM p),
+          |  SELECT event_id, user_id, _ts AS ts, value, b, f
+          |  FROM w WHERE _side = 1),
           |g AS (
           |  SELECT *,
           |    CASE WHEN b IS NOT NULL AND epoch_us(ts)
