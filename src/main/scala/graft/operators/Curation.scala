@@ -267,6 +267,62 @@ object Curation {
       .select(col("node"), coalesce(col("ctr"), col("node")).as("cluster_id"))
   }
 
+  /** INCREMENTAL connected components: fold a DELTA of new edges into an
+    * existing `(node, cluster_id)` labeling without re-clustering the
+    * corpus — the operating mode of a standing dedup pipeline (new crawl
+    * snapshot arrives; only the touched clusters move). Produces the
+    * same labeling as a batch CC over (labeled components ∪ newEdges),
+    * including brand-new nodes that appear only in the delta.
+    *
+    * Cost ∝ |delta|, NOT corpus: new-edge endpoints look their label up
+    * against the corpus labeling (one join where the delta side is the
+    * broadcastable one), the delta collapses to a QUOTIENT graph over
+    * cluster labels (≤ 2·|delta| nodes — two labels connect iff some new
+    * edge connects their clusters), [[connectedComponentsStar]] runs on
+    * that tiny graph, and the resulting label→label remap (only moved
+    * labels) broadcasts back over the corpus labeling — the big table is
+    * scanned once and never shuffled.
+    *
+    * Determinism: min-node-id labeling end-to-end, so the result is
+    * bit-identical to the batch recompute (the catalog query's oracle IS
+    * the full-graph transitive closure). Contract: `labels` must be a
+    * consistent labeling (cluster_id = min node id of each component,
+    * every member present) — i.e. the output of either batch CC here. */
+  def incrementalConnectedComponents(
+      labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    // endpoint labels: known nodes → their cluster, unseen → own id.
+    // endLab is delta-sized with two consumers (quotient edges ×2 sides,
+    // unseen detection) — shared per the Stage.share rule (agg/join
+    // derived, tiny).
+    val ends = newEdges.select(col("a").as("node"))
+      .union(newEdges.select(col("b").as("node"))).distinct()
+    val endLab = ends.join(labels, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("cluster_id"), col("node")).as("lab"))
+      .stageShare()
+    val qEdges = newEdges
+      .join(endLab.select(col("node").as("a"), col("lab").as("la")), Seq("a"))
+      .join(endLab.select(col("node").as("b"), col("lab").as("lb")), Seq("b"))
+      .select(col("la").as("a"), col("lb").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val qNodes = endLab.select(col("lab").as("node")).distinct()
+    val q = connectedComponentsStar(qEdges, qNodes)
+      .stageShare() // consumed by the remap AND the unseen-node labeling
+    // only labels that MOVED ship back over the corpus (broadcast-sized)
+    val remap = q.where(col("node") =!= col("cluster_id"))
+      .select(col("node").as("_old"), col("cluster_id").as("_new"))
+    val updated = labels
+      .join(broadcast(remap), labels("cluster_id") === col("_old"), "left")
+      .select(labels("node"),
+        coalesce(col("_new"), labels("cluster_id")).as("cluster_id"))
+    val unseen = endLab.join(labels.select(col("node")), Seq("node"), "left_anti")
+      .join(broadcast(q.select(col("node").as("lab"),
+        col("cluster_id").as("_cl"))), Seq("lab"))
+      .select(col("node"), col("_cl").as("cluster_id"))
+    updated.unionByName(unseen)
+  }
+
   /** Representative per cluster: argmax of `qualityCol` with a MIN-NODE
     * tie-break, via the deterministic struct-max aggregate (one grouped
     * agg over the labeled nodes — no per-cluster window over the

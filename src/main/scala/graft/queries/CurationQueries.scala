@@ -328,6 +328,34 @@ object CurationQueries {
            |  node = cluster_id AS is_representative
            |FROM lab ORDER BY vec_id""".stripMargin)),
 
+    // ---- INCREMENTAL cluster maintenance: the near-dup edge set is
+    //      deterministically split 80/20 into an "existing" graph and a
+    //      "new snapshot" delta; the existing graph is clustered batch,
+    //      then the delta folds in via the quotient-graph incremental
+    //      path (cost ∝ delta). The oracle is the FULL-graph transitive
+    //      closure — hash-equality proves incremental ≡ batch. ----
+    QueryDef("dedup_clusters_incremental",
+      (s, d) => {
+        val corpus = Tables.embeddings(s, d).where(col("vec_id") < 300)
+        // edge set feeds both split sides — shared (one O(n²·d) pass)
+        val edges = Similarity.bruteForceNearDupPairs(corpus, threshold = 0.4)
+          .select(col("a"), col("b"))
+          .stageShare()
+        val split = pmod(xxhash64(col("a"), col("b")), lit(5))
+        val nodes = corpus.select(col("vec_id").as("node"))
+        val base = Curation.connectedComponentsStar(
+          edges.where(split =!= 0), nodes)
+        Curation.incrementalConnectedComponents(base, edges.where(split === 0))
+          .select(col("node").as("vec_id"), col("cluster_id"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE
+           |$ccOracleCtes
+           |SELECT node AS vec_id, cluster_id FROM lab
+           |ORDER BY vec_id""".stripMargin),
+      bench = false),
+
     // ---- per-group exact-k sampling: the k smallest hash-u PER LANG
     //      (the grouped sibling of sample_exact_k). Plan shape is
     //      WindowGroupLimit: each map task keeps ≤ k rows per group

@@ -240,6 +240,40 @@ class CurationSpec extends SparkSpec {
     d(5L) shouldBe ("added", Nil)
   }
 
+  test("incrementalConnectedComponents: merges, unseen nodes, untouched clusters") {
+    // existing labeling: {1,2}→1, {5,6}→5, {9}→9
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("node", "cluster_id")
+    // delta: bridge the two clusters via an UNSEEN node 7 (2-7, 7-6),
+    // plus a brand-new isolated pair (20, 21). Cluster {9} untouched.
+    val delta = Seq((2L, 7L), (7L, 6L), (20L, 21L)).toDF("a", "b")
+    val got = Curation.incrementalConnectedComponents(labels, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(
+      1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L, // merged via 7
+      9L -> 9L,                                          // untouched
+      20L -> 20L, 21L -> 20L)                            // new component
+  }
+
+  test("incrementalConnectedComponents == batch CC for any edge split") {
+    // random-ish graph over 40 nodes; every 80/20 split must land on the
+    // same labeling as batch CC over the full edge set
+    val edges = (0 until 60).map { i =>
+      (((i * 7) % 40).toLong, ((i * 13 + 3) % 40).toLong)
+    }.filter(p => p._1 != p._2).toDF("a", "b")
+    val nodes = (0L until 40L).toDF("node")
+    val full = Curation.connectedComponentsStar(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (m <- 0 until 3) {
+      val old = edges.where(pmod(xxhash64(col("a"), col("b")), lit(3)) =!= m)
+      val delta = edges.where(pmod(xxhash64(col("a"), col("b")), lit(3)) === m)
+      val base = Curation.connectedComponentsStar(old, nodes)
+      val inc = Curation.incrementalConnectedComponents(base, delta)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      inc shouldBe full
+    }
+  }
+
   test("weightedQuantiles: exact type-1 picks on hand-checkable weights") {
     // values 10,20,30,40 with weights 1,4,3,2 (total 10); cumulative
     // 1,5,8,10 -> q=.1->10, .2->20 (cw 5>=2), .5->20, .8->30, 1.0->40
