@@ -95,4 +95,47 @@ object Profile {
       .select(col("q"), col("value"), col("cum_weight"), col("total_weight"))
       .orderBy(col("q"))
   }
+
+  /** Per-GROUP exact weighted quantiles — [[weightedQuantiles]] with a
+    * grouping column (e.g. token-weighted length percentiles per
+    * language). Same type-1 lower-quantile rule per group.
+    *
+    * Scale shape: the grid is (group, value)-keyed, the cumulative is a
+    * group-PARTITIONED window over the grid (each partition is one
+    * group's distinct values — never a global single-task window), and
+    * the threshold pick is a |groups|·|qs| aggregation. */
+  def weightedQuantilesByGroup(
+      df: DataFrame, groupCol: String, valueCol: String, weightCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wChecked = when(col(weightCol).cast("long") < 0L, raise_error(lit(
+        s"weightedQuantilesByGroup: negative weight in '$weightCol' — " +
+          "weights must be non-negative")))
+      .otherwise(col(weightCol).cast("long"))
+    // grid feeds the windowed cumulative AND the per-group totals
+    val grid = df.groupBy(col(groupCol).as("grp"), col(valueCol).as("value"))
+      .agg(sum(wChecked).as("w"))
+      .stageShare()
+    val cum = grid.withColumn("cw",
+      sum(col("w")).over(Window.partitionBy(col("grp")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = grid.groupBy(col("grp")).agg(sum(col("w")).as("tw"))
+    val qDf = qs.sorted.toDF("q")
+    cum.join(broadcast(totals), Seq("grp"))
+      .crossJoin(broadcast(qDf))
+      .where(col("cw").cast("double") >= col("q") * col("tw").cast("double"))
+      .groupBy(col("grp"), col("q"))
+      .agg(min(col("value")).as("value"))
+      .join(cum.select(col("grp"), col("value"), col("cw").as("cum_weight")),
+        Seq("grp", "value"))
+      .join(broadcast(totals.select(col("grp"), col("tw").as("total_weight"))),
+        Seq("grp"))
+      .select(col("grp").as(groupCol), col("q"), col("value"),
+        col("cum_weight"), col("total_weight"))
+      .orderBy(col(groupCol), col("q"))
+  }
 }

@@ -531,6 +531,45 @@ object CurationQueries {
           |ORDER BY p.q""".stripMargin),
       bench = false),
 
+    // ---- per-LANGUAGE token-weighted length quantiles: the grouped
+    //      sibling of profile_weighted_quantiles. The cumulative is a
+    //      lang-PARTITIONED window over the per-lang distinct-value
+    //      grid; totals broadcast; same type-1 rule per group. ----
+    QueryDef("profile_weighted_quantiles_by_lang",
+      (s, d) => graft.operators.Profile.weightedQuantilesByGroup(
+        Tables.documents(s, d)
+          .select(col("lang"), col("n_chars"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("wt")),
+        "lang", "n_chars", "wt", qs = Seq(0.5, 0.9)),
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT lang, n_chars AS value,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wt
+          |  FROM documents
+          |),
+          |grid AS (SELECT lang, value, CAST(sum(wt) AS BIGINT) AS w
+          |         FROM t GROUP BY 1, 2),
+          |c AS (SELECT lang, value, CAST(sum(w) OVER (PARTITION BY lang
+          |        ORDER BY value
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |        AS BIGINT) AS cw
+          |      FROM grid),
+          |tot AS (SELECT lang, CAST(sum(w) AS BIGINT) AS tw
+          |        FROM grid GROUP BY 1),
+          |qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
+          |pick AS (
+          |  SELECT c.lang, q, min(value) AS value
+          |  FROM c JOIN tot ON c.lang = tot.lang CROSS JOIN qs
+          |  WHERE CAST(cw AS DOUBLE) >= q * CAST(tw AS DOUBLE)
+          |  GROUP BY 1, 2)
+          |SELECT p.lang, p.q, p.value, c.cw AS cum_weight,
+          |  tot.tw AS total_weight
+          |FROM pick p
+          |JOIN c ON p.lang = c.lang AND p.value = c.value
+          |JOIN tot ON p.lang = tot.lang
+          |ORDER BY p.lang, p.q""".stripMargin),
+      bench = false),
+
     // ---- token-count histogram (bucket width 20) ----
     QueryDef("tokens_hist",
       (s, d) => Tables.documents(s, d)

@@ -289,6 +289,25 @@ class CurationSpec extends SparkSpec {
       1.0 -> ((40L, 10L, 10L)))
   }
 
+  test("weightedQuantilesByGroup: per-group picks equal per-group global runs") {
+    val df = Seq(
+      ("x", 10L, 1L), ("x", 20L, 4L), ("x", 30L, 3L), ("x", 40L, 2L),
+      ("y", 5L, 9L), ("y", 50L, 1L))
+      .toDF("g", "v", "w")
+    val qs = Seq(0.5, 0.9, 1.0)
+    val grouped = Profile.weightedQuantilesByGroup(df, "g", "v", "w", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for (g <- Seq("x", "y")) {
+      val alone = Profile.weightedQuantiles(
+        df.where(col("g") === g), "v", "w", qs)
+        .collect().map(r => r.getDouble(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      qs.foreach(q => grouped((g, q)) shouldBe alone(q))
+    }
+    grouped(("y", 0.5)) shouldBe ((5L, 9L, 10L)) // 9 of 10 weight at v=5
+  }
+
   test("weightedQuantiles: negative weight fails loudly, not silently") {
     val df = Seq((10L, 1L), (20L, -1L)).toDF("v", "w")
     val e = intercept[Exception] {
