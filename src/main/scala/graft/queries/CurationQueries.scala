@@ -1041,6 +1041,73 @@ object CurationQueries {
              |FROM counts, tot ORDER BY bin""".stripMargin),
       bench = false),
 
+    // ---- Jensen–Shannon divergence over the same en/de length bins:
+    //      the BOUNDED ([0, ln 2]) symmetric drift measure PSI lacks —
+    //      PSI diverges to ∞ on near-empty bins, JSD saturates, so it
+    //      is the score to threshold when distributions can be
+    //      disjoint. Same smoothed binning; per-bin terms vs the
+    //      mixture m = (p1+p2)/2, integerized before any sum. ----
+    QueryDef("stats_js_divergence",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("lang").isin("en", "de"))
+        val rng = docs.agg(min(col("n_chars")).as("lo"),
+          (max(col("n_chars")) + 1).as("hi"))
+        val binned = docs.crossJoin(broadcast(rng))
+          .select(col("lang"),
+            floor((col("n_chars") - col("lo")) * 10 / (col("hi") - col("lo")))
+              .cast("long").as("bin"))
+        val observed = binned.groupBy(col("bin")).agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L)).as("c2"))
+          .stageShare()
+        val counts = (s.range(0, 10): org.apache.spark.sql.Dataset[java.lang.Long])
+          .toDF("bin").join(observed, Seq("bin"), "left")
+          .withColumn("c1", coalesce(col("c1"), lit(0L)))
+          .withColumn("c2", coalesce(col("c2"), lit(0L)))
+        val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        val m = (col("p1") + col("p2")) / lit(2.0)
+        counts.crossJoin(broadcast(tot))
+          .withColumn("p1", (col("c1") + 0.5) / (col("n1") + 5.0))
+          .withColumn("p2", (col("c2") + 0.5) / (col("n2") + 5.0))
+          .select(col("bin"), col("c1"), col("c2"),
+            Det.fixed((col("p1") * log(col("p1") / m)
+              + col("p2") * log(col("p2") / m)) / lit(2.0), 6)
+              .as("jsd_term"))
+          .orderBy(col("bin"))
+      },
+      oracle = Some(
+        raw"""WITH d AS (SELECT lang, n_chars FROM documents WHERE lang IN ('en', 'de')),
+             |rng AS (SELECT min(n_chars) AS lo, max(n_chars) + 1 AS hi FROM d),
+             |b AS (
+             |  SELECT lang,
+             |    CAST(floor((n_chars - rng.lo) * 10 / (rng.hi - rng.lo)) AS BIGINT) AS bin
+             |  FROM d, rng
+             |),
+             |observed AS (
+             |  SELECT bin,
+             |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
+             |    SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c2
+             |  FROM b GROUP BY bin
+             |),
+             |counts AS (
+             |  SELECT g.bin, coalesce(o.c1, 0) AS c1, coalesce(o.c2, 0) AS c2
+             |  FROM (SELECT unnest(generate_series(0, 9)) AS bin) g
+             |  LEFT JOIN observed o ON g.bin = o.bin
+             |),
+             |tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM counts),
+             |probs AS (
+             |  SELECT bin, c1, c2,
+             |    (c1 + CAST(0.5 AS DOUBLE)) / (n1 + CAST(5.0 AS DOUBLE)) AS p1,
+             |    (c2 + CAST(0.5 AS DOUBLE)) / (n2 + CAST(5.0 AS DOUBLE)) AS p2
+             |  FROM counts, tot
+             |)
+             |SELECT bin, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+             |  (ROUND((p1 * ln(p1 / ((p1 + p2) / CAST(2 AS DOUBLE)))
+             |        + p2 * ln(p2 / ((p1 + p2) / CAST(2 AS DOUBLE))))
+             |    / CAST(2 AS DOUBLE) * 1000000, 0) / 1000000) AS jsd_term
+             |FROM probs ORDER BY bin""".stripMargin),
+      bench = false),
+
     // ---- chi-square independence test (lang × source association —
     //      catalog-level QA: is a source lang-skewed?). Contingency
     //      cells, margins and expectations are integer-derived IEEE

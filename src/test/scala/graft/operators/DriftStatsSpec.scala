@@ -47,6 +47,18 @@ class DriftStatsSpec extends SparkSpec {
     rows.map(_.getAs[Long]("bin")).toSeq shouldBe (0L to 9L)
   }
 
+  test("stats_js_divergence: 10 bins, terms nonnegative, total bounded by ln 2") {
+    val rows = q("stats_js_divergence").collect()
+    rows.length shouldBe 10
+    // per bin, p1·ln(p1/m)+p2·ln(p2/m) with m=(p1+p2)/2 is >= 0 (Jensen),
+    // and the total JSD of two (smoothed, ~unit-mass) distributions is
+    // bounded by ln 2 — the saturation property PSI lacks
+    rows.foreach(r => r.getAs[Double]("jsd_term") should be >= -1e-6)
+    val total = rows.map(_.getAs[Double]("jsd_term")).sum
+    total should be <= (math.log(2.0) + 1e-6)
+    rows.map(_.getAs[Long]("bin")).toSeq shouldBe (0L to 9L)
+  }
+
   test("stats_chisq_independence: chi2 >= 0 and dof = (L-1)(S-1)") {
     val r = q("stats_chisq_independence").head()
     r.getAs[Double]("chi2") should be >= 0.0
