@@ -158,7 +158,18 @@ object Bench {
     // method marker makes each record self-describing: "min2" totals are
     // not comparable to pre-round-6 single-shot lines (BASELINE.md)
     val method = if (prime) "min2" else "single"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"$method","queries":$qs$failedJson$flakyJson,"sf":"$sfName"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"$method","queries":$qs$failedJson$flakyJson,"sf":"$sfName"}"""
+    // Hard budget: the driver keeps only the last 2000 stdout chars; a
+    // longer line is recorded with its leading '{' truncated → parsed:
+    // null for the whole round (happened rounds 1/2 and again in 7 when
+    // the set grew to 77). 1850 leaves the round-2 ~150-char margin for
+    // value-width drift and failed/flaky suffixes.
+    if (line.length > 1850)
+      System.err.println(
+        s"[bench] WARNING: JSON line ${line.length} chars > 1850 budget — " +
+          "rotate queries out of SparkEntry.benchRotatedIn/Out before the driver run")
+    println(line)
     spark.stop()
     if (failed.nonEmpty) System.err.println(s"[bench] ${failed.size} queries failed")
   }

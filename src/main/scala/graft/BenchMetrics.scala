@@ -107,8 +107,12 @@ object BenchMetrics {
       val snap = acc.snapshot()
       System.err.println(f"[metrics] $name: ${snap("shuffle_write_records")}%,d shuffle recs, " +
         f"${snap("input_records")}%,d input recs, ${snap("tasks")}%,d tasks, $sec%.2f s")
+      // Locale.ROOT: the f-interpolator uses the default locale, which
+      // under e.g. de_DE emits "1,23" — invalid JSON (same trap
+      // Bench/BenchReps already guard)
+      val wallS = String.format(java.util.Locale.ROOT, "%.2f", sec: java.lang.Double)
       val fields = (snap.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" } :+
-        f""""wall_s":$sec%.2f""").mkString(",")
+        s""""wall_s":$wallS""").mkString(",")
       s""""$name":{$fields}"""
     }
     val sfName = sfDir.split('/').last

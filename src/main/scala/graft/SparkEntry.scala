@@ -33,29 +33,44 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  /** Round-5 bench rotation (VERDICT r4 #5). The driver records only the
-    * bench JSON line's tail (2000 chars), so the benched set is capped at
-    * ~75 queries; rotating per round gives every catalog query a recorded
-    * sf0.1 wall-time within a few rounds. Queries rotated OUT have 4
-    * rounds of stable history in BENCH_r1–r4 (flat, cheap
-    * function-coverage shapes); rotated IN are the scale-bearing
-    * operators that had no recorded number yet (iterative CC/pagerank/
-    * k-means/BPE, SemDeDup, PQ-ANN, BM25, CMS, heavy TPC-H joins).
-    * History stays in BASELINE.md; flags in the QueryDefs are the
-    * steady-state membership, these sets are this round's delta. */
+  /** Bench rotation (started round 5, VERDICT r4 #5; tightened round 8,
+    * VERDICT r7 #2/#7). The driver records only the bench JSON line's
+    * tail (2000 chars); round 7's 77-query set overflowed it and nulled
+    * the round's bench record, so the round-8 set targets ≤ ~1850 emitted
+    * chars (Bench warns on stderr past that). Rotating per round gives
+    * every catalog query a recorded sf0.1 wall-time within a few rounds.
+    * Queries rotated OUT have ≥3 rounds of stable flat history in
+    * BENCH_r1–r7/REPS (cheap fixed shapes — single hash-agg, one window,
+    * scalar-function coverage); rotated IN are the scale-bearing
+    * operators plus the round-7-session-2 additions that had no recorded
+    * sf0.1 number yet. History stays in BASELINE.md; flags in the
+    * QueryDefs are the steady-state membership, these sets are this
+    * round's delta. */
   private val benchRotatedOut: Set[String] = Set(
     "array_funcs", "date_funcs", "json_funcs", "map_funcs", "string_funcs",
     "agg_string_concat", "agg_minmax_by", "set_union", "sort_topk",
     "events_lag_lead", "events_latest_per_user", "window_running_sum",
     "window_range_frame", "agg_distinct", "agg_cube", "agg_grouping_sets",
     "events_pivot_type_counts", "agg_percentiles", "upsert_snapshot",
-    "subquery_decorrelated")
+    "subquery_decorrelated",
+    // round-8 out-rotation (line-length budget + r7-s2 in-rotation):
+    // all flat since r5 with REPS history
+    "gamma_fixed", "loglik_fixed", "stats_mean_var",
+    "events_tumbling_window", "events_sliding_window",
+    "window_distribution_funcs", "window_rank_topn",
+    "text_token_stats", "text_langid", "text_fingerprint",
+    "sample_stratified", "scrub_pii",
+    "q4_priority_late_ship", "q6_revenue_forecast", "q7_volume_shipping")
   private val benchRotatedIn: Set[String] = Set(
     "dedup_clusters_star", "dedup_pipeline", "dedup_semantic",
     "dedup_span_suffix", "graph_pagerank", "embed_kmeans", "embed_pca_power",
     "ann_pq_topk", "text_bm25_topk", "text_inverted_index", "tokens_bpe_train",
     "sketch_cms_heavy_hitters", "stats_ks_drift", "events_funnel",
-    "q9_product_type_profit", "q21_suppliers_kept_waiting")
+    "q9_product_type_profit", "q21_suppliers_kept_waiting",
+    // round-8 in-rotation: the r7-s2 operators (VERDICT r7 #7)
+    "curation_source_overlap", "events_ohlc_bars",
+    "profile_weighted_quantiles", "profile_weighted_quantiles_by_lang",
+    "stats_js_divergence")
 
   /** Headline benchmark subset (graft.Bench). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -73,15 +73,33 @@ object RangeJoin {
   def intervalOverlapJoin(
       a: DataFrame, b: DataFrame,
       aStart: String, aEnd: String, bStart: String, bEnd: String,
-      keys: Seq[String], bandSec: Long, maxBands: Int = 64): DataFrame = {
+      keys: Seq[String], bandSec: Long, maxBands: Int = 64,
+      strict: Boolean = false): DataFrame = {
     require(bandSec > 0, "bandSec must be positive")
     require(maxBands > 0, "maxBands must be positive")
+    // `strict = true` turns silent candidate truncation into a hard
+    // failure: an interval spanning more than maxBands bands fails the
+    // job with its width in the message instead of quietly losing any
+    // overlap that begins beyond band maxBands. Default stays lenient
+    // (documented truncation) because the lenient form is the one that
+    // survives a single garbage far-future `end` at 100 TB; flip strict
+    // on when the band width was sized from known data bounds and a
+    // violation means the bounds are wrong.
     def bands(s: String, e: String): Column = {
       val lo = floor(col(s).cast("long") / bandSec)
       // end is exclusive: an interval ending exactly on a band boundary
       // does not touch the next band
       val hi = floor((col(e).cast("long") - 1) / bandSec)
-      sequence(lo, least(hi, lo + (maxBands - 1)))
+      val hiCapped = least(hi, lo + (maxBands - 1))
+      val hiOut =
+        if (!strict) hiCapped
+        else when(hi > lo + (maxBands - 1), raise_error(concat(
+          lit(s"intervalOverlapJoin: interval [$s, $e) spans "),
+          (hi - lo + 1).cast("string"),
+          lit(s" bands > maxBands=$maxBands (bandSec=$bandSec); " +
+            "widen bandSec/maxBands or clean the interval"))))
+          .otherwise(hiCapped)
+      sequence(lo, hiOut)
     }
     val a2 = a.where(col(aStart).cast("long") < col(aEnd).cast("long"))
       .withColumn("_band", explode(bands(aStart, aEnd)))

@@ -451,8 +451,8 @@ object EventQueries {
       oracle = Some(
         """WITH li AS (
           |  SELECT l_orderkey * 10 + l_linenumber AS id, l_suppkey AS supp,
-          |    epoch(l_shipdate) AS st,
-          |    epoch(l_shipdate) + CAST(l_quantity AS BIGINT) * 86400 AS en
+          |    CAST(epoch(l_shipdate) AS BIGINT) AS st,
+          |    CAST(epoch(l_shipdate) AS BIGINT) + CAST(l_quantity AS BIGINT) * 86400 AS en
           |  FROM lineitem WHERE l_quantity >= 45
           |)
           |SELECT a.supp AS supp, a.id AS a_id, b.id AS b_id,

@@ -52,6 +52,28 @@ class OracleLintSpec extends SparkSpec {
   // position where both historical regressions sat.
   private val UncastSum = raw"SUM\(CASE .*?END\) AS (\w+)".r
 
+  // 3. DuckDB 1.0's `epoch(TIMESTAMP)` returns DOUBLE while the Spark
+  //    dual (`cast(ts as long)` / unix_seconds) is BIGINT — the same
+  //    dtype-sensitive hash mismatch as the HUGEINT sums, caught red in
+  //    round 7 (`join_interval_overlap`: 259200.0 vs 259200). Every
+  //    oracle use of `epoch(` must sit inside an explicit CAST so the
+  //    dtype decision is visible (`CAST(epoch(x) AS BIGINT)`, or AS
+  //    DOUBLE when the Spark side really is floating). The runtime
+  //    sibling (tools/verify_local.py) compares full DESCRIBE dtype
+  //    parity; this static lint catches the known-bad form in `sbt test`
+  //    without DuckDB.
+  oracleDefs.foreach { q =>
+    test(s"${q.name}: oracle epoch() uses carry an explicit CAST") {
+      val norm = q.oracle.get.toUpperCase.replaceAll("\\s+", " ")
+      val offenders = raw"EPOCH\(".r.findAllMatchIn(norm).filterNot { m =>
+        m.start >= 5 && norm.substring(m.start - 5, m.start) == "CAST("
+      }.map(m => s"offset ${m.start}").toSeq
+      withClue("bare epoch(...) — DuckDB returns DOUBLE; wrap in CAST: ") {
+        offenders shouldBe empty
+      }
+    }
+  }
+
   oracleDefs.foreach { q =>
     test(s"${q.name}: final integer SUM(CASE) columns are CAST-wrapped") {
       val outCols = schemaOf(q).fieldNames.map(_.toUpperCase).toSet

@@ -16,13 +16,27 @@ out_path, in_paths = sys.argv[1], sys.argv[2:]
 ins = [json.load(open(p)) for p in in_paths]
 sf = ins[0]["sf"]
 assert all(i["sf"] == sf for i in ins), "cannot pool across scales"
+# medians are only comparable on the same host shape (host-noise memo):
+# refuse to pool sessions that ran with different cpu counts
+cpus = ins[0]["cpus"]
+assert all(i["cpus"] == cpus for i in ins), \
+    f"cannot pool across cpu counts: {[i['cpus'] for i in ins]}"
 
 queries = {}
-for q in ins[0]["queries"]:
+# union of query keys across ALL inputs — iterating only ins[0] silently
+# dropped queries benched in later sessions only, contradicting the
+# every-rep-is-in-the-output claim above
+all_keys = sorted({q for i in ins for q in i["queries"]})
+for q in all_keys:
     reps = [r for i in ins for r in i["queries"].get(q, {}).get("reps", [])]
+    if not reps:  # present as a key but rep-less in every input
+        print(f"[reps_pool] skipping {q}: no reps in any input",
+              file=sys.stderr)
+        continue
     queries[q] = {"reps": reps,
                   "median": round(statistics.median(reps), 2),
-                  "sessions": len(ins)}
+                  "sessions": sum(1 for i in ins
+                                  if i["queries"].get(q, {}).get("reps"))}
 res = {"sf": sf, "cpus": ins[0]["cpus"], "pooled_from": len(in_paths),
        "reps_per_query": {q: len(v["reps"]) for q, v in queries.items()},
        "queries": queries}

@@ -51,6 +51,36 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: {e}"); fail += 1; continue
     if sorted(gcols) != sorted(ecols):
         print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(ecols)}"); fail += 1; continue
+    # dtype parity (the OracleLintSpec HUGEINT lint's runtime sibling):
+    # the driver hash is dtype-sensitive — a value-equal oracle whose
+    # declared type lands in a different pandas dtype (epoch() DOUBLE vs
+    # Spark BIGINT, round-7 join_interval_overlap) hashes red while the
+    # tolerance compare below stays green. Compare declared DuckDB types
+    # mapped to the pandas dtype class the driver would materialize.
+    def pdclass(t):
+        t = t.upper()
+        if t.startswith("DECIMAL"): return "float64"
+        if t.startswith("TIMESTAMP"): return "ts"
+        if t.startswith("STRUCT") or t.startswith("MAP("): return "object"
+        if t.endswith("[]"): return "list"
+        return {"TINYINT": "int64", "SMALLINT": "int64", "INTEGER": "int64",
+                "BIGINT": "int64", "HUGEINT": "float64",
+                "UTINYINT": "uint", "USMALLINT": "uint", "UINTEGER": "uint",
+                "UBIGINT": "uint", "FLOAT": "float64", "DOUBLE": "float64",
+                "BOOLEAN": "bool", "VARCHAR": "object", "DATE": "date",
+                "TIME": "time", "BLOB": "bytes", "INTERVAL": "td"}.get(t, t)
+    try:
+        gtypes = {r[0]: r[1] for r in
+                  con.sql(f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
+        etypes = {r[0]: r[1] for r in
+                  con.sql(f"DESCRIBE SELECT * FROM ({sql})").fetchall()}
+        dt_bad = [f"{c}: spark={gtypes[c]}({pdclass(gtypes[c])}) "
+                  f"oracle={etypes[c]}({pdclass(etypes[c])})"
+                  for c in gcols if pdclass(gtypes[c]) != pdclass(etypes[c])]
+    except Exception as e:
+        dt_bad = [f"describe failed: {e}"]
+    if dt_bad:
+        print(f"FAIL {name}: dtype parity: {'; '.join(dt_bad)}"); fail += 1; continue
     gperm = sorted(range(len(gcols)), key=lambda i: gcols[i])
     eperm = sorted(range(len(ecols)), key=lambda i: ecols[i])
     if len(got) != len(exp):
