@@ -462,6 +462,42 @@ object EventQueries {
           | AND a.st < b.en AND b.st < a.en
           |ORDER BY a.supp, a_id, b_id""".stripMargin)),
 
+    // ---- positional (zip) join — the reference's literal `rdd.zip`
+    //      primitive (Main.scala:183,198) as a catalog row (VERDICT r7
+    //      #8). Pairs the i-th smallest purchase value with the i-th
+    //      smallest click value (the full quantile-quantile pairing that
+    //      stats_qq_deciles samples at 9 points). Index comes from
+    //      graft.operators.Zip's distributed prefix-count — row_number
+    //      semantics with NO global single-task window; the oracle uses
+    //      the window form, which DuckDB runs fine at oracle scale. ----
+    QueryDef("join_zip_positional",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("value").as("p_value"))
+        val c = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("value").as("c_value"))
+        graft.operators.Zip.zipByOrder(
+            p, Seq("p_value", "p_id"), c, Seq("c_value", "c_id"))
+          .select(col("pos"), col("p_id"), col("p_value"),
+            col("c_id"), col("c_value"))
+          .orderBy(col("pos"))
+      },
+      oracle = Some(
+        """WITH p AS (
+          |  SELECT event_id AS p_id, value AS p_value,
+          |    row_number() OVER (ORDER BY value, event_id) AS pos
+          |  FROM events WHERE event_type = 'purchase'
+          |), c AS (
+          |  SELECT event_id AS c_id, value AS c_value,
+          |    row_number() OVER (ORDER BY value, event_id) AS pos
+          |  FROM events WHERE event_type = 'click'
+          |)
+          |SELECT pos, p_id, p_value, c_id, c_value
+          |FROM p JOIN c USING (pos)
+          |ORDER BY pos""".stripMargin),
+      bench = false),
+
     // ---- OHLC resampling (time-series downsample to 6h bars): open =
     //      value at the earliest event in the bar, close = at the
     //      latest, plus min/max/count — min_by/max_by keyed on (ts,
