@@ -102,6 +102,46 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS hop distance over directed `edges(src, dst)`:
+    * dist(v) = min #hops from any node in `sources(node)`, capped at
+    * `maxHops`; unreached nodes are absent from the result (no sentinel
+    * row — callers outer-join if they want NULL-distance rows).
+    *
+    * Frontier-delta iteration — the property that makes BFS cheap at
+    * scale: hop i joins edges against ONLY the nodes first reached at
+    * hop i−1 (the frontier), not the whole distance table, so per-step
+    * shuffle cost is Σ outdeg(frontier), which shrinks as the reachable
+    * set saturates. The settled set participates only as the build side
+    * of a left-anti join (first-reach wins — a node's hop count is final
+    * the moment it appears, the BFS invariant on unit weights). Compare
+    * [[minLabelPropagation]], which re-aggregates every node's label
+    * every step: right for label CONVERGENCE semantics, wasteful for
+    * monotone first-reach semantics.
+    *
+    * Each frontier is checkpointed: it is both the next join's probe
+    * side and a branch of the growing distance union, and it is the
+    * DELTA (small) — truncating there keeps the per-iteration DAG flat
+    * while the big edge table stays staged once, partitioned on src.
+    * Pure integer ops throughout → DuckDB-oracle hash-exact with a
+    * chained-CTE unroll, no fixed-point tricks. */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.stageCheckpoint()
+    var frontier = sources.select(col("node")).distinct().stageCheckpoint()
+    var dist = frontier.select(col("node"), lit(0).as("hops"))
+    for (i <- 1 to maxHops) {
+      val next = e
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(i).as("hops"))
+        .stageCheckpoint()
+      dist = dist.unionByName(next)
+      frontier = next.select("node")
+    }
+    dist
+  }
+
   /** Fixed-iteration synchronous min-label propagation over directed
     * `edges(src, dst)` (pass both directions for undirected semantics):
     * each step every node takes the minimum label among itself and its

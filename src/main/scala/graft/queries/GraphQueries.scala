@@ -88,6 +88,33 @@ object GraphQueries {
          |FROM l$iters lf ORDER BY lf.node""".stripMargin
   }
 
+  /** Chained-CTE unroll of the frontier BFS ([[Graph.bfsHops]]): d_i =
+    * settled set after hop i, f_i = the hop-i frontier (delta); the
+    * NOT-IN anti filter mirrors the Spark left-anti (node keys are never
+    * NULL, so NOT IN is safe). */
+  private def bfsHopsSql(maxHops: Int, pairFilter: String,
+      seeds: Seq[Long]): String = {
+    val seedList = seeds.mkString(", ")
+    val iterCtes = (1 to maxHops).map { i =>
+      raw"""n$i AS MATERIALIZED (
+           |  SELECT DISTINCT e.dst AS node, $i AS hops
+           |  FROM edges e JOIN f${i - 1} f ON e.src = f.node
+           |  WHERE e.dst NOT IN (SELECT node FROM d${i - 1})
+           |),
+           |d$i AS MATERIALIZED (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM n$i),
+           |f$i AS MATERIALIZED (SELECT node FROM n$i)""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH ${graphCtes(pairFilter)},
+         |d0 AS MATERIALIZED (
+         |  SELECT node, 0 AS hops FROM nodes WHERE node IN ($seedList)),
+         |f0 AS MATERIALIZED (SELECT node FROM d0),
+         |$iterCtes
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+         |  hops
+         |FROM d$maxHops ORDER BY node""".stripMargin
+  }
+
   /** Distinct part–supplier pairs as symmetric node-encoded edges. */
   private def bipartiteEdges(li: org.apache.spark.sql.DataFrame) = {
     val pairs = li
@@ -177,6 +204,30 @@ object GraphQueries {
              |  UNION ALL SELECT tc FROM tri
              |)
              |GROUP BY node ORDER BY node""".stripMargin),
+      bench = false),
+
+    // ---- multi-source BFS hop distance (4 hops) on the sparse
+    //      high-quantity subgraph: dist(v) = min hops from any of the
+    //      three seed suppliers. Frontier-delta iteration (only the
+    //      newly-reached nodes join edges each step — Σ outdeg(frontier)
+    //      per-step shuffle, not |V|); pure integers → chained-CTE
+    //      oracle-exact. Unreached nodes are absent by contract. ----
+    QueryDef("graph_bfs_hops",
+      (s, d) => {
+        val e = bipartiteEdges(Tables.lineitem(s, d).where(col("l_quantity") >= 45))
+        // seeds restricted to graph-present nodes, matching the oracle's
+        // `FROM nodes WHERE node IN (...)`
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.where(col("node").isin(3L, 5L, 7L))
+        Graph.bfsHops(e, seeds, maxHops = 4)
+          .select(col("node"),
+            when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+              .as("kind"),
+            col("hops"))
+          .orderBy(col("node"))
+      },
+      oracle = Some(bfsHopsSql(4, " WHERE l_quantity >= 45", Seq(3L, 5L, 7L))),
       bench = false),
 
     // ---- bounded min-label propagation (3 hops) on the sparse

@@ -62,4 +62,39 @@ class GraphSpec extends SparkSpec {
     after4(10L) shouldBe 10L
     after4(11L) shouldBe 10L
   }
+
+  test("bfsHops: multi-source unit-weight distances, unreached absent") {
+    // path 1-2-3-4-5, pair 10-11, isolated-from-seeds node 20-21
+    val e = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (20L, 21L))
+    val seeds = Seq(1L, 10L).toDF("node")
+    val got = Graph.bfsHops(e, seeds, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    got shouldBe Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 10L -> 0, 11L -> 1)
+    // cap: node 5 is 4 hops out, absent at maxHops = 3; present at 4
+    val got4 = Graph.bfsHops(e, seeds, maxHops = 4)
+      .as[(Long, Int)].collect().toMap
+    got4(5L) shouldBe 4
+    got4.keySet should not contain 20L
+  }
+
+  test("bfsHops: first-reach wins over longer alternative paths") {
+    // diamond 1->2->4, 1->3->4 plus a long way round 1->5->6->4
+    val e = edgesDf((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 4L))
+    val got = Graph.bfsHops(e, Seq(1L).toDF("node"), maxHops = 5)
+      .as[(Long, Int)].collect().toMap
+    got(4L) shouldBe 2 // not 3 via 5-6
+    got(6L) shouldBe 2
+  }
+
+  test("bfsHops is partitioning-invariant") {
+    val e = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 5L))
+    val seeds = Seq(1L).toDF("node")
+    val a = Graph.bfsHops(e.repartition(1), seeds, maxHops = 4)
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    val b = Graph.bfsHops(e.repartition(7), seeds, maxHops = 4)
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
 }
