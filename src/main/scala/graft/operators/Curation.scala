@@ -120,6 +120,31 @@ object Curation {
     df.withColumn("u", u).withColumn("split", assign)
   }
 
+  /** Leakage-free (cluster-safe) split assignment: every member of a
+    * duplicate group lands in the SAME split. Splitting independent rows
+    * by [[assignSplits]] leaks when the corpus has duplicates or
+    * near-duplicates — copies of one document straddle train and test
+    * and the eval set is contaminated (the train/test-leak failure mode
+    * `crossCorpusOverlap` measures after the fact; this prevents it at
+    * assignment time). The split key is the GROUP representative
+    * `min(idCol) per groupCol` — pass any grouping label: a content
+    * fingerprint for exact dupes, a [[connectedComponents]] cluster_id
+    * for near-dup clusters. The whole group hashes as one unit, so
+    * membership stays stable under reordering, repartitioning, and
+    * appends that don't change the group (the assignSplits contract
+    * lifted to groups).
+    *
+    * Scale: one group-partitioned window (never global) for the
+    * representative; the hash-boundary lookup is per-row arithmetic. */
+  def clusterSafeSplits(
+      df: DataFrame, idCol: Column, groupCol: Column,
+      splits: Seq[(String, Double)], seed: Long,
+      restName: String = "rest"): DataFrame = {
+    val withCid = df.withColumn("cluster_id",
+      min(idCol).over(Window.partitionBy(groupCol)))
+    assignSplits(withCid, col("cluster_id"), splits, seed, restName)
+  }
+
   /** Domain-mixture resampling — reshape a corpus toward TARGET domain
     * proportions (the "data mixing" step of a training pipeline: e.g. cap
     * web crawl at 60%, upweight code to 20%). For each domain d with n_d

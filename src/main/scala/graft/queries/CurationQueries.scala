@@ -143,6 +143,38 @@ object CurationQueries {
       },
       bench = false),
 
+    // ---- leakage-free split: exact-dup groups (md5 content
+    //      fingerprint) assigned as ONE unit — no duplicate pair ever
+    //      straddles train/test (the contamination split_assign alone
+    //      cannot rule out). Split key = min doc_id per fingerprint,
+    //      via a group-partitioned window; same hash-boundary rule as
+    //      split_assign. ----
+    QueryDef("split_cluster_safe", {
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05)
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        Curation.clusterSafeSplits(
+            Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("fp")),
+            col("doc_id"), col("fp"), splits, seed = 13L)
+          .select(col("doc_id"), col("cluster_id"), col("u"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05)
+        val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+        val cases = splits.zip(bounds).map { case ((name, _), b) =>
+          s"WHEN u < CAST($b AS DOUBLE) THEN '$name'"
+        }.mkString(" ")
+        s"""SELECT doc_id, cluster_id, u,
+           |  CASE $cases ELSE 'rest' END AS split FROM (
+           |  SELECT doc_id, cluster_id, ${uSql("cluster_id", 13L)} AS u FROM (
+           |    SELECT doc_id,
+           |      min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+           |    FROM documents
+           |  )
+           |) ORDER BY doc_id""".stripMargin
+      },
+      bench = false),
+
     // ---- sequence packing: fixed-token-budget packs per lang shard ----
     QueryDef("pack_sequences",
       (s, d) => Curation.packSequences(

@@ -125,6 +125,34 @@ class CurationSpec extends SparkSpec {
     sub.except(full).count() shouldBe 0L
   }
 
+  test("clusterSafeSplits: no group straddles splits; keyed on representative") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05)
+    val out = Curation.clusterSafeSplits(docs, col("doc_id"), col("fp"),
+      splits, 13L)
+    // leakage invariant: every fingerprint group maps to exactly one split
+    val straddlers = out.groupBy("fp")
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .where(col("nsplits") > 1).count()
+    straddlers shouldBe 0L
+    // the group's split is the representative's assignSplits label
+    val reps = Curation.assignSplits(
+        out.select(col("cluster_id")).distinct(),
+        col("cluster_id"), splits, 13L)
+      .select(col("cluster_id"), col("split").as("rep_split"))
+    out.join(reps, Seq("cluster_id"))
+      .where(col("split") =!= col("rep_split")).count() shouldBe 0L
+    // synthetic duplicate pair lands together regardless of ids
+    import spark.implicits._
+    val dup = Seq((1L, "same"), (999999L, "same"), (5L, "other"))
+      .toDF("doc_id", "fp")
+    val dupOut = Curation.clusterSafeSplits(dup, col("doc_id"), col("fp"),
+        splits, 13L)
+      .select("fp", "split").distinct().count()
+    dupOut shouldBe 2L // one split per fp
+  }
+
   test("connectedComponents labels chain + isolated node correctly") {
     // graph: 1-2, 2-3, 3-4 (one component), 10-11, and isolated 20
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
