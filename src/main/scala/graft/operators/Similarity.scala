@@ -515,6 +515,78 @@ object Similarity {
       .select(col("qid"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
   }
 
+  /** k-NN JOIN (the kNN-graph builder): every corpus vector gets its
+    * approximate top-`k` cosine neighbors — the all-pairs generalization
+    * of [[ivfTopK]], where the query set IS the corpus. The kNN graph
+    * is the substrate of graph-based dedup/clustering (SemDeDup++,
+    * HNSW-style index builds, agglomerative corpus maps).
+    *
+    * Exact all-pairs is |corpus|² kernels; here each vector probes its
+    * `nProbe` nearest IVF cells, so candidates ≈ |corpus| · nProbe ·
+    * avg-cell-size. BOTH per-row stages are shuffle-free: corpus cell
+    * assignment is the row-local argmax over centroid literals, and the
+    * probe list is a row-local sorted-literal-array slice (no |corpus| ×
+    * nCells cross-join window — that trick is only free for small query
+    * sets). The only corpus-scale movement is ONE hash shuffle of each
+    * side on `cell`, then the per-query top-k window (partitioned by
+    * query id, never global). A hot quantizer cell degrades to in-cell
+    * quadratic cost — at scale pass `refineIters > 0` (Lloyd-refined
+    * centroids even out cell sizes) the same way [[ivfTopK]] does; a
+    * sub-split cap is wrong HERE because dropping in-cell candidates
+    * silently truncates a vector's neighbor list rather than one dup
+    * pair.
+    *
+    * Deterministic and oracle-reproducible: Knuth-hash centroid sample,
+    * (cos DESC, cell ASC) probe tie-break, (cos DESC, id ASC) rank
+    * tie-break, integerized output cosine. */
+  def knnJoinIvf(
+      corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      roundTo: Int = 6, refineIters: Int = 0): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && nCells >= 1, "k, nProbe, nCells >= 1")
+    val centroids: Array[(Int, Seq[Float])] =
+      if (refineIters > 0)
+        VecKMeans.fit(corpus, vecCol, nCells, refineIters, seed, idCol)
+          .centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      else corpus
+        .select(col(idCol), col(vecCol))
+        .orderBy(((col(idCol) * lit(2654435761L) + lit(seed)) % lit(4294967296L)).asc,
+          col(idCol))
+        .limit(nCells)
+        .orderBy(col(idCol))
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](1)) }
+    // corpus side: row-local argmax cell (the ivfTopK/VecKMeans kernel);
+    // staged once — it feeds both the candidate table and the probe side
+    val bestCell = array_max(array(centroids.map { case (i, c) =>
+      struct(cosineSim(col(vecCol), typedlit(c)).as("cos"), lit(-i).as("negCell"))
+    }: _*))
+    val cells = corpus
+      .select(col(idCol), col(vecCol), (-bestCell.getField("negCell")).as("cell"))
+      .stageCheckpoint()
+    // probe side: top-nProbe cells as a row-local sorted-slice of the
+    // centroid-literal struct array — ascending (−cos, cell) ≡
+    // (cos DESC, cell ASC), the ranked-window tie-break without the
+    // window
+    val probeSorted = array_sort(array(centroids.map { case (i, c) =>
+      struct((-cosineSim(col(vecCol), typedlit(c))).as("negcos"),
+        lit(i).as("cell"))
+    }: _*))
+    val probes = cells
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        explode(slice(probeSorted, 1, nProbe)).as("pc"))
+      .select(col("qid"), col("qvec"), col("pc.cell").as("cell"))
+    val scored = cells.join(probes, Seq("cell"))
+      .where(col("qid") =!= col(idCol))
+      .withColumn("cos", Det.fixed(cosineSim(col("qvec"), col(vecCol)), roundTo))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+
   /** Approximate top-k: candidates share an LSH signature in >=1 table. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,

@@ -450,6 +450,55 @@ object EmbedQueries {
            |SELECT qid, rank, neighbor_id, cos FROM ranked
            |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // ---- k-NN JOIN (kNN-graph build): every vector's top-3 neighbors,
+    // IVF-blocked — query set = corpus, probes from a row-local
+    // sorted-literal slice (no cross-join window on the corpus side),
+    // candidates bounded by nProbe x cell size. Same deterministic
+    // centroid sample + tie-breaks as ann_ivf_topk, so the full graph
+    // reproduces in SQL. ----
+    QueryDef("ann_knn_join",
+      (s, d) => Similarity.knnJoinIvf(
+        Tables.embeddings(s, d), k = 3)
+        .orderBy(col("qid"), col("rank")),
+      oracle = Some(
+        s"""WITH cent AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+           |  FROM (
+           |    SELECT vec_id, embedding FROM embeddings
+           |    ORDER BY (vec_id * 2654435761 + 42) % 4294967296, vec_id
+           |    LIMIT 16
+           |  )
+           |),
+           |cells AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSqlOf("e.embedding", "c.embedding")} DESC, c.cell) AS r
+           |    FROM embeddings e CROSS JOIN cent c
+           |  ) WHERE r = 1
+           |),
+           |probes AS (
+           |  SELECT qid, qvec, cell FROM (
+           |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSqlOf("q.embedding", "c.embedding")} DESC, c.cell) AS r
+           |    FROM embeddings q CROSS JOIN cent c
+           |  ) WHERE r <= 4
+           |),
+           |scored AS (
+           |  SELECT p.qid, ce.vec_id AS neighbor_id,
+           |    ${Det.fixedSql(cosSqlOf("p.qvec", "ce.embedding"), 6)} AS cos
+           |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.qid
+           |),
+           |ranked AS (
+           |  SELECT qid, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT qid, rank, neighbor_id, cos FROM ranked
+           |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+      bench = false),
+
     // ---- PQ (product quantization) approximate top-k: L2-normalized
     // vectors encoded as 16 subspace codes (4 dims each, 16 Knuth-hash-
     // sampled codewords -> 64 bits/vector, 32x compression), ADC

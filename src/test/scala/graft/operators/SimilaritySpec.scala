@@ -78,6 +78,32 @@ class SimilaritySpec extends SparkSpec {
     withClue(s"recall=$recall") { recall should be >= 0.5 }
   }
 
+  test("knnJoinIvf: full-probe run is exact; default probes keep good recall") {
+    val emb = Tables.embeddings(spark, sf)
+    // nProbe = nCells probes every cell -> candidates = whole corpus ->
+    // must equal the brute-force kNN graph exactly (same tie-breaks)
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, q, k = 3)
+      .select("qid", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val full = Similarity.knnJoinIvf(emb, k = 3, nCells = 16, nProbe = 16)
+      .select("qid", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    full shouldBe exact
+    // default 4-of-16 probes: every vector still present with k dense
+    // ranks, and the recalled edge set stays well above half
+    val approx = Similarity.knnJoinIvf(emb, k = 3)
+    val perQ = approx.groupBy("qid")
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+      .where(col("n") =!= 3 || col("mx") =!= 3).count()
+    perQ shouldBe 0L
+    val approxSet = approx.select("qid", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exactSet = exact.map(t => (t._1, t._3))
+    val recall = exactSet.intersect(approxSet).size.toDouble / exactSet.size
+    withClue(s"recall=$recall") { recall should be >= 0.5 }
+  }
+
   test("PQ top-k (ADC shortlist + exact re-rank) achieves high recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where(col("vec_id") < 20)
