@@ -371,6 +371,24 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** [[VectorOps.aHashBands]]: banded average-hash perceptual
+    * fingerprint of a binary payload — array<int> of four 16-bit bands
+    * (multi-index layout: Hamming-≤3 pairs always share a band). */
+  case class AHashBands(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "binary", child.dataType == BinaryType,
+        child.dataType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "ahash_bands"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorOps.aHashBands(a.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.aHashBands($a);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column-level API
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -402,6 +420,8 @@ object VectorExpressions {
     GraftBridge.column(QuantStats(GraftBridge.expression(vec)))
   def wordShinglesAll(text: Column, k: Int): Column =
     GraftBridge.column(WordShinglesAll(GraftBridge.expression(text), k))
+  def aHashBands(payload: Column): Column =
+    GraftBridge.column(AHashBands(GraftBridge.expression(payload)))
   def hilbertKey(x: Column, y: Column, order: Int): Column =
     // cast here, not just in Layout/SQL: the kernel assumes LongType and
     // a non-long column would ClassCastException on the interpreted path

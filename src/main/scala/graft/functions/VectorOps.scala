@@ -271,6 +271,41 @@ object VectorOps {
     out
   }
 
+  /** Banded average-hash (aHash) perceptual fingerprint of a byte
+    * payload: 64 evenly-sampled bytes v_j = payload[⌊j·n/64⌋]
+    * (j = 0..63), bit_j = [64·v_j > Σv] (strictly-above-mean in exact
+    * integer arithmetic — no FP mean), packed as FOUR 16-bit bands
+    * band_b = Σ_{j=0..15} bit_{16b+j} << j. Returned banded rather than
+    * as one 64-bit word because (a) 4×16 banding is the multi-index
+    * recipe that makes Hamming-radius-≤3 search pigeonhole-EXACT (any
+    * pair within distance 3 shares at least one intact band), and (b) a
+    * signed 64-bit compose would need a sign-bit shift DuckDB's BIGINT
+    * `<<` rejects, killing oracle parity.
+    *
+    * For REAL images, run the same sampling over the codec's luminance
+    * grid bytes ([[graft.multimodal.Multimodal.ImageIoCodec]]); over raw
+    * payload bytes it is the deterministic oracle-hashable stand-in, the
+    * same stub contract as the fake decode. Empty payload → all-zero
+    * bands. */
+  def aHashBands(payload: Array[Byte]): ArrayData = {
+    val out = new Array[Int](4)
+    val n = payload.length
+    if (n == 0) return new GenericArrayData(out)
+    val v = new Array[Int](64)
+    var s = 0L
+    var j = 0
+    while (j < 64) {
+      val b = payload(((j.toLong * n) / 64L).toInt) & 0xff
+      v(j) = b; s += b; j += 1
+    }
+    j = 0
+    while (j < 64) {
+      if (64L * v(j) > s) out(j >> 4) |= (1 << (j & 15))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ALL word k-shingles in document order (non-distinct) — one entry
     * per position, so `posexplode` recovers span positions for
     * substring-span coverage arithmetic. Same tokenization contract as

@@ -119,6 +119,123 @@ object Multimodal {
         case scala.util.control.NonFatal(_) => undecoded
       } finally if (iis != null) iis.close()
     }
+
+    /** 8×8 sampled Rec.601 luminance grid as 64 bytes — the real-image
+      * input to [[graft.functions.VectorOps.aHashBands]] (feed these
+      * bytes instead of the raw payload and the banded aHash becomes a
+      * true perceptual image hash: resize/re-encode-stable, noise-
+      * tolerant). Same guards as [[decode]]: undecodable or
+      * bomb-flagged payloads yield an EMPTY array (phash = all-zero
+      * bands, which [[Multimodal.phashNearDups]]'s bucket cap keeps
+      * from exploding into a giant candidate clique). */
+    def lumaGrid64(r: MediaRecord): Array[Byte] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Array.emptyByteArray
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, false)
+            val hw = reader.getWidth(0).toLong
+            val hh = reader.getHeight(0).toLong
+            if (hw <= 0 || hh <= 0 || hw * hh > MaxPixels) Array.emptyByteArray
+            else {
+              val img = reader.read(0)
+              val w = img.getWidth; val h = img.getHeight
+              val out = new Array[Byte](64)
+              var gy = 0
+              while (gy < 8) {
+                val y = if (h == 1) 0 else (gy * (h - 1)) / 7
+                var gx = 0
+                while (gx < 8) {
+                  val x = if (w == 1) 0 else (gx * (w - 1)) / 7
+                  val rgb = img.getRGB(x, y)
+                  val luma = 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  out(gy * 8 + gx) = luma.toInt.toByte
+                  gx += 1
+                }
+                gy += 1
+              }
+              out
+            }
+          } finally reader.dispose()
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => Array.emptyByteArray
+      } finally if (iis != null) iis.close()
+    }
+  }
+
+  /** Banded perceptual fingerprint (average-hash) of a binary payload
+    * column: four 16-bit bands per record
+    * ([[graft.functions.VectorOps.aHashBands]], a codegen'd Catalyst
+    * expression — no UDF, no decode detour). Over raw payload bytes this
+    * is the deterministic oracle-hashable stand-in (same stub contract
+    * as [[FakeCodec]]); for real images feed
+    * [[ImageIoCodec.lumaGrid64]]'s luminance bytes instead — the
+    * packing and all downstream dedup machinery are identical. */
+  def perceptualHashBands(media: DataFrame, payloadCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val ph = graft.functions.VectorExpressions.aHashBands(col(payloadCol))
+    media.select(col(idCol), ph.as("ph"))
+      .select(col(idCol), col("ph").getItem(0).as("b0"),
+        col("ph").getItem(1).as("b1"), col("ph").getItem(2).as("b2"),
+        col("ph").getItem(3).as("b3"))
+  }
+
+  /** Perceptual near-duplicate detection over banded fingerprints
+    * (output of [[perceptualHashBands]]): multi-index Hamming search.
+    * Candidates = pairs sharing at least one EXACT band value (bucket
+    * self-join on (band_idx, value) — never all-pairs), verified by full
+    * Hamming distance ≤ `hammingMax`. With 4 bands of 16 bits this is
+    * pigeonhole-EXACT for `hammingMax` ≤ 3: a pair within distance 3
+    * has ≤ 3 differing bits across 4 bands, so some band is intact and
+    * the pair reaches verification (Norouzi et al., multi-index
+    * hashing). Beyond 3 it degrades to approximate recall, the LSH
+    * trade. `maxBucketSize` caps a hot band bucket (e.g. a degenerate
+    * all-zero band over tiny payloads) at bounded pair work — the same
+    * guard as MinHash-LSH's, mirrored in the catalog oracle.
+    *
+    * Returns one row per record: (id, b0..b3, dup_of, kept), dup_of =
+    * smallest matched id (NULL if none). */
+  def phashNearDups(hashes: DataFrame, idCol: String = "doc_id",
+      hammingMax: Int = 3, maxBucketSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(hammingMax >= 0, "hammingMax must be >= 0")
+    require(maxBucketSize >= 1, "maxBucketSize must be >= 1")
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val h = hashes.select(col(idCol) +: bandCols.map(col): _*)
+    val bands = h.select(col(idCol) +: bandCols.map(col) :+
+      posexplode(array(bandCols.map(col): _*)).as(Seq("band_idx", "v")): _*)
+    val capped = bands
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("v"))))
+      .where(col("bn") <= maxBucketSize)
+    val l = capped.select(col(idCol).as("a"), col("band_idx"), col("v"),
+      col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"))
+    val r = capped.select(col(idCol).as("b"), col("band_idx"), col("v"),
+      col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3"))
+    val cand = l.join(r, Seq("band_idx", "v"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("a0"), col("a1"), col("a2"), col("a3"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      .distinct()
+    val hamming = (
+      bit_count(col("a0").bitwiseXOR(col("c0"))) +
+      bit_count(col("a1").bitwiseXOR(col("c1"))) +
+      bit_count(col("a2").bitwiseXOR(col("c2"))) +
+      bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int")
+    val dups = cand.withColumn("hamming", hamming)
+      .where(col("hamming") <= hammingMax)
+      .groupBy(col("b")).agg(min(col("a")).as("dup_of"))
+    h.join(dups, col(idCol) === col("b"), "left")
+      .select(col(idCol), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("dup_of"), col("dup_of").isNull.as("kept"))
   }
 
   /** Decode a binary media column partition-batch-wise. The partition

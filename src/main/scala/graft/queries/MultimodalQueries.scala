@@ -72,6 +72,66 @@ object MultimodalQueries {
           |SELECT doc_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
           |  doc_id || ':' || frame_idx AS frame_tag
           |FROM frames WHERE frame_idx % 5 = 0
-          |ORDER BY doc_id, frame_idx""".stripMargin))
+          |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- perceptual-hash near-dup over media payloads: banded aHash
+    //      (codegen'd AHashBands expression, 4×16-bit bands) → bucket
+    //      self-join on exact band values (pigeonhole-EXACT for Hamming
+    //      ≤ 3, never all-pairs; hot buckets capped, cap mirrored in the
+    //      oracle's window count) → full-Hamming verify → smaller-id
+    //      drop rule. Oracle recomputes the byte-sampled hash from
+    //      hex(encode(text)) — byte j of the payload is hex digit pair
+    //      2j+1. On real images the same pipeline runs over
+    //      ImageIoCodec.lumaGrid64 bytes (MultimodalCodecSpec). ----
+    QueryDef("multimodal_phash_dedup",
+      (s, d) => Multimodal.phashNearDups(
+        Multimodal.perceptualHashBands(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        """WITH bytes AS (
+          |  SELECT d.doc_id, t.j, v,
+          |    SUM(v) OVER (PARTITION BY d.doc_id) AS s
+          |  FROM documents d, range(64) t(j),
+          |    LATERAL (SELECT CAST('0x' || substr(hex(encode(d.text)),
+          |      CAST(2 * ((t.j * octet_length(encode(d.text))) // 64) + 1 AS BIGINT),
+          |      2) AS INT) AS v)
+          |  WHERE octet_length(encode(d.text)) > 0
+          |), h AS (
+          |  SELECT doc_id,
+          |    CAST(SUM(CASE WHEN 64*v > s AND j // 16 = 0 THEN (1 << (j % 16)) ELSE 0 END) AS INT) AS b0,
+          |    CAST(SUM(CASE WHEN 64*v > s AND j // 16 = 1 THEN (1 << (j % 16)) ELSE 0 END) AS INT) AS b1,
+          |    CAST(SUM(CASE WHEN 64*v > s AND j // 16 = 2 THEN (1 << (j % 16)) ELSE 0 END) AS INT) AS b2,
+          |    CAST(SUM(CASE WHEN 64*v > s AND j // 16 = 3 THEN (1 << (j % 16)) ELSE 0 END) AS INT) AS b3
+          |  FROM bytes GROUP BY doc_id
+          |  UNION ALL
+          |  SELECT doc_id, 0, 0, 0, 0 FROM documents
+          |  WHERE octet_length(encode(text)) = 0
+          |), bands AS (
+          |  SELECT doc_id, b0, b1, b2, b3, t.band_idx,
+          |    CASE t.band_idx WHEN 0 THEN b0 WHEN 1 THEN b1
+          |                    WHEN 2 THEN b2 ELSE b3 END AS v
+          |  FROM h, range(4) t(band_idx)
+          |), capped AS (
+          |  SELECT * FROM (
+          |    SELECT *, count(*) OVER (PARTITION BY band_idx, v) AS bn
+          |    FROM bands) WHERE bn <= 100
+          |), cand AS (
+          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+          |    l.b0 AS a0, l.b1 AS a1, l.b2 AS a2, l.b3 AS a3,
+          |    r.b0 AS c0, r.b1 AS c1, r.b2 AS c2, r.b3 AS c3
+          |  FROM capped l JOIN capped r
+          |    ON l.band_idx = r.band_idx AND l.v = r.v AND l.doc_id < r.doc_id
+          |), dups AS (
+          |  SELECT b, min(a) AS dup_of FROM cand
+          |  WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+          |      + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3
+          |  GROUP BY b
+          |)
+          |SELECT h.doc_id, b0, b1, b2, b3, d.dup_of, d.dup_of IS NULL AS kept
+          |FROM h LEFT JOIN dups d ON d.b = h.doc_id
+          |ORDER BY h.doc_id""".stripMargin))
   )
 }

@@ -53,6 +53,43 @@ class MultimodalCodecSpec extends SparkSpec {
     out(3L).content_hash.length shouldBe 32
   }
 
+  test("lumaGrid64 + aHashBands: perceptual hash survives resize, separates different images") {
+    def gradient(w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val v = (x * 255) / math.max(1, w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      img
+    }
+    def checker(w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val v = if (((x / 4) + (y / 4)) % 2 == 0) 255 else 0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      img
+    }
+    def png(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream(); ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def bands(payload: Array[Byte]): Seq[Int] = {
+      val grid = ImageIoCodec.lumaGrid64(MediaRecord(0L, payload))
+      val a = graft.functions.VectorOps.aHashBands(grid)
+      (0 until 4).map(a.getInt)
+    }
+    def ham(x: Seq[Int], y: Seq[Int]): Int =
+      x.zip(y).map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    val big = bands(png(gradient(64, 48)))
+    val resized = bands(png(gradient(32, 24))) // same scene, half size
+    val other = bands(png(checker(64, 48)))
+    ham(big, resized) should be <= 6 // perceptually identical
+    ham(big, other) should be >= 16  // different structure
+    // undecodable payload: empty grid, all-zero bands, no exception
+    bands("not an image".getBytes("UTF-8")) shouldBe Seq(0, 0, 0, 0)
+  }
+
   test("real codec runs distributed through the mapPartitions stage") {
     val media = spark.createDataset(Seq(
       MediaRecord(0L, imageBytes(12, 5, 0xff0000, "png")),
