@@ -70,7 +70,9 @@ object SparkEntry {
     // round-8 in-rotation: the r7-s2 operators (VERDICT r7 #7)
     "curation_source_overlap", "events_ohlc_bars",
     "profile_weighted_quantiles", "profile_weighted_quantiles_by_lang",
-    "stats_js_divergence")
+    "stats_js_divergence",
+    // round-8 new scale-bearing operators
+    "ann_knn_join", "embed_mutual_knn_clusters")
 
   /** Headline benchmark subset (graft.Bench). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorExpressions._
-import graft.operators.{LogReg, Similarity, VecKMeans}
+import graft.operators.{Curation, LogReg, Similarity, VecKMeans}
+import graft.util.Stage.StageOps
 import graft.util.Det
 import org.apache.spark.sql.functions._
 
@@ -29,6 +30,49 @@ object EmbedQueries {
        |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
   private val cosSql = cosSqlOf("q.embedding", "c.embedding")
+
+  /** Shared CTE prefix replicating [[Similarity.knnJoinIvf]] in SQL
+    * (Knuth-hash centroid sample → row-1 cell assignment → top-nProbe
+    * probes → scored candidates → ranked). Ends at `ranked`; consumers
+    * filter `rank <= k`. MATERIALIZED throughout: the mutual-kNN
+    * clustering row feeds these into a recursive closure, where DuckDB's
+    * default CTE inlining re-evaluates the whole kernel chain per
+    * reference (the GraphQueries 100×-scale lesson). */
+  private def knnJoinCtes(k: Int, nProbe: Int): String =
+    s"""cent AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+       |  FROM (
+       |    SELECT vec_id, embedding FROM embeddings
+       |    ORDER BY (vec_id * 2654435761 + 42) % 4294967296, vec_id
+       |    LIMIT 16
+       |  )
+       |),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSqlOf("e.embedding", "c.embedding")} DESC, c.cell) AS r
+       |    FROM embeddings e CROSS JOIN cent c
+       |  ) WHERE r = 1
+       |),
+       |probes AS MATERIALIZED (
+       |  SELECT qid, qvec, cell FROM (
+       |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSqlOf("q.embedding", "c.embedding")} DESC, c.cell) AS r
+       |    FROM embeddings q CROSS JOIN cent c
+       |  ) WHERE r <= $nProbe
+       |),
+       |scored AS MATERIALIZED (
+       |  SELECT p.qid, ce.vec_id AS neighbor_id,
+       |    ${Det.fixedSql(cosSqlOf("p.qvec", "ce.embedding"), 6)} AS cos
+       |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.qid
+       |),
+       |ranked AS MATERIALIZED (
+       |  SELECT qid, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)""".stripMargin
 
   /** The planes CTE rows for [[Similarity.hyperplanes]] — each row
     * (t, bitval, coeffs) is one hyperplane; signature bit b of table t is
@@ -461,42 +505,58 @@ object EmbedQueries {
         Tables.embeddings(s, d), k = 3)
         .orderBy(col("qid"), col("rank")),
       oracle = Some(
-        s"""WITH cent AS (
-           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
-           |  FROM (
-           |    SELECT vec_id, embedding FROM embeddings
-           |    ORDER BY (vec_id * 2654435761 + 42) % 4294967296, vec_id
-           |    LIMIT 16
-           |  )
-           |),
-           |cells AS (
-           |  SELECT vec_id, embedding, cell FROM (
-           |    SELECT e.vec_id, e.embedding, c.cell,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${cosSqlOf("e.embedding", "c.embedding")} DESC, c.cell) AS r
-           |    FROM embeddings e CROSS JOIN cent c
-           |  ) WHERE r = 1
-           |),
-           |probes AS (
-           |  SELECT qid, qvec, cell FROM (
-           |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cell,
-           |      row_number() OVER (PARTITION BY q.vec_id
-           |        ORDER BY ${cosSqlOf("q.embedding", "c.embedding")} DESC, c.cell) AS r
-           |    FROM embeddings q CROSS JOIN cent c
-           |  ) WHERE r <= 4
-           |),
-           |scored AS (
-           |  SELECT p.qid, ce.vec_id AS neighbor_id,
-           |    ${Det.fixedSql(cosSqlOf("p.qvec", "ce.embedding"), 6)} AS cos
-           |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.qid
-           |),
-           |ranked AS (
-           |  SELECT qid, neighbor_id, cos,
-           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
-           |  FROM scored
-           |)
+        s"""WITH ${knnJoinCtes(k = 3, nProbe = 4)}
            |SELECT qid, rank, neighbor_id, cos FROM ranked
            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+      bench = false),
+
+    // ---- mutual-kNN clustering (the corpus-map recipe): kNN graph →
+    // keep only MUTUAL edges (a ∈ knn(b) ∧ b ∈ knn(a) — the standard
+    // symmetrization that kills hub-induced chains) → connected
+    // components. Composes knnJoinIvf with Curation.connectedComponents;
+    // oracle = the same cells/probes/ranking SQL + a recursive-CTE
+    // transitive closure, so the WHOLE pipeline is hash-exact. ----
+    QueryDef("embed_mutual_knn_clusters",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val knn = Similarity.knnJoinIvf(emb, k = 3)
+          .select(col("qid").as("a"), col("neighbor_id").as("b"))
+          .stageCheckpoint() // probe side of the mutual join reads it twice
+        val mutual = knn
+          .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+          .where(col("a") < col("b"))
+        val nodes = emb.select(col("vec_id").as("node"))
+        Curation.connectedComponents(mutual, nodes)
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster_id"))))
+          .select(col("node").as("vec_id"), col("cluster_id"),
+            col("cluster_size"), (col("node") === col("cluster_id")).as("is_representative"))
+          .orderBy(col("vec_id"))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE ${knnJoinCtes(k = 3, nProbe = 4)},
+           |knn AS MATERIALIZED (
+           |  SELECT qid, neighbor_id FROM ranked WHERE rank <= 3
+           |),
+           |mutual AS MATERIALIZED (
+           |  SELECT k1.qid AS a, k1.neighbor_id AS b
+           |  FROM knn k1 JOIN knn k2
+           |    ON k2.qid = k1.neighbor_id AND k2.neighbor_id = k1.qid
+           |  WHERE k1.qid < k1.neighbor_id
+           |),
+           |sym AS MATERIALIZED (SELECT a AS x, b AS y FROM mutual
+           |        UNION ALL SELECT b AS x, a AS y FROM mutual),
+           |reach AS (
+           |  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+           |  UNION
+           |  SELECT s.y AS node, r.lab FROM reach r JOIN sym s ON s.x = r.node
+           |),
+           |lab AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+           |SELECT node AS vec_id, cluster_id,
+           |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           |  node = cluster_id AS is_representative
+           |FROM lab ORDER BY vec_id""".stripMargin),
       bench = false),
 
     // ---- PQ (product quantization) approximate top-k: L2-normalized
