@@ -161,6 +161,38 @@ object Curation {
     * rows), the grand total from a 1-row aggregate cross-joined in, and
     * the rate table joins back BROADCAST — no global window, no driver
     * collect; the big side streams through one hash-filter. */
+  /** [[mixtureSample]] in TOKEN mass instead of document count — the
+    * form training mixes are actually specified in ("20% code tokens"),
+    * which differs materially when domains have very different document
+    * lengths. For domain d with token mass w_d out of W total, the kept
+    * fraction is `rate_d = min(1, share_d · totalFraction · W / w_d)`,
+    * and because selection stays the per-document [[hashU]] predicate
+    * (length-independent), the EXPECTED kept token mass per domain is
+    * `share_d · totalFraction · W` — the standard expectation argument;
+    * exact-mass packing would need a sequential scan. Same plan shape:
+    * one weights groupBy, broadcast rate table, one hash-filter pass. */
+  def mixtureSampleWeighted(
+      df: DataFrame, idCol: Column, domainCol: Column, weightCol: Column,
+      targetShares: Map[String, Double], totalFraction: Double,
+      seed: Long): DataFrame = {
+    val shareMap = map(targetShares.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val weights = df.groupBy(domainCol.as("dom"))
+      .agg(sum(weightCol.cast("long")).as("w_dom"))
+      .stageShare()
+    val total = weights.agg(sum(col("w_dom")).as("w_total"))
+    val rates = weights.crossJoin(broadcast(total))
+      .withColumn("share", coalesce(element_at(shareMap, col("dom")), lit(0.0)))
+      .withColumn("rate", least(lit(1.0),
+        col("share") * lit(totalFraction) * col("w_total").cast("double")
+          / col("w_dom").cast("double")))
+      .select(col("dom"), col("w_dom"), col("rate"))
+    df.join(broadcast(rates), domainCol === col("dom"))
+      .withColumn("u", hashU(idCol, seed))
+      .where(col("u") < col("rate"))
+      .drop("dom")
+  }
+
   def mixtureSample(
       df: DataFrame, idCol: Column, domainCol: Column,
       targetShares: Map[String, Double], totalFraction: Double,

@@ -266,6 +266,50 @@ object CurationQueries {
           |ORDER BY d.doc_id""".stripMargin),
       bench = false),
 
+    // ---- TOKEN-weighted domain mixture: the mix is specified in token
+    //      mass (n_chars as the token proxy), not document count — the
+    //      form real training mixes use; rates derive from per-domain
+    //      token sums, selection stays the per-doc hash predicate, so
+    //      expected kept TOKEN mass per domain hits the target share. ----
+    QueryDef("sample_mixture_tokens",
+      (s, d) => Curation.mixtureSampleWeighted(
+        Tables.documents(s, d), col("doc_id"), col("source"), col("n_chars"),
+        targetShares = Map("src0" -> 0.3, "src1" -> 0.25, "src2" -> 0.2,
+          "src3" -> 0.15, "src4" -> 0.1, "src5" -> 0.6),
+        totalFraction = 0.1, seed = 11L)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("w_dom"), col("rate"), col("u"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        s"""WITH weights AS (
+           |  SELECT source AS dom, CAST(sum(n_chars) AS BIGINT) AS w_dom
+           |  FROM documents GROUP BY 1
+           |), tot AS (
+           |  SELECT CAST(sum(w_dom) AS BIGINT) AS w_total FROM weights
+           |), rates AS (
+           |  -- literals cast to DOUBLE (the sample_mixture DECIMAL-folding
+           |  -- lesson: DuckDB folds 0.3*0.1 exactly, Spark multiplies
+           |  -- binary doubles)
+           |  SELECT dom, w_dom,
+           |    least(CAST(1.0 AS DOUBLE),
+           |      CASE dom WHEN 'src0' THEN CAST(0.3 AS DOUBLE)
+           |        WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+           |        WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+           |        WHEN 'src3' THEN CAST(0.15 AS DOUBLE)
+           |        WHEN 'src4' THEN CAST(0.1 AS DOUBLE)
+           |        WHEN 'src5' THEN CAST(0.6 AS DOUBLE)
+           |        ELSE CAST(0.0 AS DOUBLE) END
+           |      * CAST(0.1 AS DOUBLE)
+           |      * CAST(w_total AS DOUBLE) / CAST(w_dom AS DOUBLE)) AS rate
+           |  FROM weights CROSS JOIN tot
+           |)
+           |SELECT d.doc_id, d.source, d.n_chars, r.w_dom, r.rate,
+           |  ${uSql("d.doc_id", 11L)} AS u
+           |FROM documents d JOIN rates r ON d.source = r.dom
+           |WHERE ${uSql("d.doc_id", 11L)} < r.rate
+           |ORDER BY d.doc_id""".stripMargin),
+      bench = false),
+
     // ---- hashed-linear-model quality scoring (fasttext-filter shape):
     // md5 60-bit feature hash, arithmetic weight lookup, integer weight
     // sums (order-free => oracle-exact score). ----
@@ -982,6 +1026,66 @@ object CurationQueries {
     //      first shrinks the window input from O(rows) to O(|grid|);
     //      ECDF diffs are ratios of exact integer counts, so the max is
     //      bit-identical with no rounding at all. ----
+    // ---- lag-k autocorrelation of the hourly value series, per event
+    //      type (seasonality/self-similarity probe): corr(y_t, y_{t−k})
+    //      for k = 1..6 over the hour grid, in the same exact-BIGINT
+    //      suffstats form as stats_corr — hourly sums integerized to
+    //      cents, all six sums exact, the final Pearson ratio pure IEEE
+    //      on equal inputs. Grid-first keeps the lag join O(|grid|·K),
+    //      row-count-independent. ----
+    QueryDef("stats_autocorrelation",
+      (s, d) => {
+        val grid = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            (floor(unix_seconds(col("ts")) / 3600L) * 3600L).cast("long").as("hs"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("yc"))
+          .stageShare() // both sides of the lag join read the grid
+        val cur = grid.withColumn("k", explode(array((1 to 6).map(lit(_)): _*)))
+        val prev = grid.select(col("event_type"), col("hs").as("hs2"),
+          col("yc").as("yp"))
+        def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+        cur.join(prev, Seq("event_type"))
+          .where(col("hs") - col("k").cast("long") * 3600L === col("hs2"))
+          .groupBy(col("event_type"), col("k"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("yc")).as("sx"), sum(col("yp")).as("sy"),
+            sum(col("yc") * col("yp")).as("sxy"),
+            sum(col("yc") * col("yc")).as("sxx"),
+            sum(col("yp") * col("yp")).as("syy"))
+          .select(col("event_type"), col("k"), col("n"),
+            ((d2(col("n")) * d2(col("sxy")) - d2(col("sx")) * d2(col("sy"))) /
+              (sqrt(d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx"))) *
+                sqrt(d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy")))))
+              .as("acf"))
+          .orderBy(col("event_type"), col("k"))
+      },
+      oracle = Some(
+        """WITH grid AS (
+          |  SELECT event_type,
+          |    CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS hs,
+          |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS yc
+          |  FROM events GROUP BY 1, 2
+          |), pairs AS (
+          |  SELECT g1.event_type, CAST(t.k AS INT) AS k, g1.yc, g2.yc AS yp
+          |  FROM grid g1, range(1, 7) t(k)
+          |  JOIN grid g2 ON g2.event_type = g1.event_type
+          |    AND g2.hs = g1.hs - t.k * 3600
+          |), st AS (
+          |  SELECT event_type, k, count(*) AS n,
+          |    SUM(yc) AS sx, SUM(yp) AS sy, SUM(yc * yp) AS sxy,
+          |    SUM(yc * yc) AS sxx, SUM(yp * yp) AS syy
+          |  FROM pairs GROUP BY 1, 2
+          |)
+          |SELECT event_type, k, CAST(n AS BIGINT) AS n,
+          |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+          |FROM st ORDER BY event_type, k""".stripMargin),
+      bench = false),
+
     QueryDef("stats_ks_drift",
       (s, d) => {
         val grid = twoSampleGrid(s, d)

@@ -57,6 +57,40 @@ object EventQueries {
            |  ${Det.fixedSumSql("value", 2)} AS sum_value
            |FROM exploded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- rolling median over a BOUNDED 7-row frame per user: the
+    //      robust-smoothing window built-ins don't cover (no median over
+    //      ROWS frames in either engine's window set). Sorted-frame pick
+    //      via collect_list over the frame — per-row O(f log f) with f
+    //      bounded by the frame, so it scales; the even-count average is
+    //      the SAME (lo+hi)/2 formula in both engines (DuckDB's
+    //      quantile_cont interpolation a+0.5(b-a) is NOT bit-identical
+    //      to it, so the oracle mirrors the pick, not median()). ----
+    QueryDef("window_rolling_median",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+        val arr = sort_array(collect_list(col("value")).over(w))
+        val n = size(arr)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("med7",
+            (element_at(arr, (((n - 1) / 2) + 1).cast("int"))
+              + element_at(arr, ((n / 2) + 1).cast("int"))) / 2.0)
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      oracle = Some(
+        """WITH w AS (
+          |  SELECT user_id, event_id, ts, value,
+          |    list_sort(list(value) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id
+          |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+          |  FROM events
+          |)
+          |SELECT user_id, event_id, ts, value,
+          |  (arr[((len(arr)-1)//2) + 1] + arr[(len(arr)//2) + 1]) / 2.0 AS med7
+          |FROM w ORDER BY user_id, ts, event_id""".stripMargin),
+      bench = false),
+
     // ---- sessionization: 30-min inactivity gap via lag + running sum ----
     QueryDef("events_sessionize",
       (s, d) => {

@@ -125,6 +125,35 @@ class CurationSpec extends SparkSpec {
     sub.except(full).count() shouldBe 0L
   }
 
+  test("mixtureSampleWeighted: token-mass rates, saturation at 1, determinism") {
+    val docs = Tables.documents(spark, sf)
+    val shares = Map("src0" -> 0.5, "src1" -> 0.4, "src2" -> 2.0)
+    val out = Curation.mixtureSampleWeighted(docs, col("doc_id"),
+      col("source"), col("n_chars"), shares, totalFraction = 0.2, seed = 7L)
+    // rate_d = min(1, share_d * f * W / w_d), computed from token mass
+    val w = docs.groupBy("source").agg(sum(col("n_chars")).as("w"))
+      .as[(String, Long)].collect().toMap
+    val total = w.values.sum.toDouble
+    val gotRates = out.select("source", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    gotRates.foreach { case (src, rate) =>
+      val expect = math.min(1.0,
+        shares.getOrElse(src, 0.0) * 0.2 * total / w(src))
+      rate shouldBe expect +- 1e-12
+    }
+    // share 2.0 with f=0.2 can exceed 1 -> saturates, never upsamples
+    all(gotRates.values) should be <= 1.0
+    // absent domains dropped; kept rows satisfy the hash predicate
+    out.where(!col("source").isin(shares.keys.toSeq.map(lit(_)): _*))
+      .count() shouldBe 0L
+    out.where(col("u") >= col("rate")).count() shouldBe 0L
+    // deterministic across partitionings
+    val again = Curation.mixtureSampleWeighted(docs.repartition(7),
+      col("doc_id"), col("source"), col("n_chars"), shares, 0.2, 7L)
+      .select("doc_id").as[Long].collect().sorted
+    again shouldBe out.select("doc_id").as[Long].collect().sorted
+  }
+
   test("clusterSafeSplits: no group straddles splits; keyed on representative") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), md5(col("text")).as("fp"))
