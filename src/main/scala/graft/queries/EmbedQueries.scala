@@ -513,9 +513,13 @@ object EmbedQueries {
     // ---- mutual-kNN clustering (the corpus-map recipe): kNN graph →
     // keep only MUTUAL edges (a ∈ knn(b) ∧ b ∈ knn(a) — the standard
     // symmetrization that kills hub-induced chains) → connected
-    // components. Composes knnJoinIvf with Curation.connectedComponents;
-    // oracle = the same cells/probes/ranking SQL + a recursive-CTE
-    // transitive closure, so the WHOLE pipeline is hash-exact. ----
+    // components. STAR-CC, not min-label: a mutual-kNN graph is sparse
+    // chains, whose diameter grows with corpus size — min-label CC needs
+    // O(diameter) rounds and silently under-merged at sf0.1 (chains
+    // longer than its iteration cap), while large/small-star converges
+    // in O(log n) rounds at any diameter. Oracle = the same
+    // cells/probes/ranking SQL + a recursive-CTE transitive closure, so
+    // the WHOLE pipeline is hash-exact. ----
     QueryDef("embed_mutual_knn_clusters",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -526,7 +530,7 @@ object EmbedQueries {
           .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
           .where(col("a") < col("b"))
         val nodes = emb.select(col("vec_id").as("node"))
-        Curation.connectedComponents(mutual, nodes)
+        Curation.connectedComponentsStar(mutual, nodes)
           .withColumn("cluster_size",
             count(lit(1)).over(org.apache.spark.sql.expressions.Window
               .partitionBy(col("cluster_id"))))
