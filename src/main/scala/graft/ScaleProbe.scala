@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for operators whose CATALOG rows pin oracle-stability
+  * parameters that are wrong at scale. The catalog's ann_knn_join /
+  * embed_mutual_knn_clusters pin nCells = 16 so the DuckDB oracle
+  * reproduces the exact cells — but a fixed quantizer makes in-cell
+  * candidate work grow as n²/nCells; the documented scale path sizes
+  * nCells ∝ ⌈√n⌉ (bounding candidates at ~nProbe·√n per query, the
+  * standard IVF rule). This main runs that scale-sized variant on a
+  * slice and prints one JSON line with wall-clock + output invariants
+  * (row count = n·k, dense ranks) — the evidence SCALE_NEWOPS records
+  * for decades where the DuckDB oracle is computationally out of reach
+  * (the oracle's list-lambda cosine is ~10³× the codegen kernel).
+  *
+  * Usage: ScaleProbe <sfDir> <knn|mutual> [reps]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleProbe <sfDir> <knn|mutual> [reps]")
+    val sfDir = args(0)
+    val op = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val k = 3
+    val nCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    def run(): (Double, Long) = {
+      val df = op match {
+        case "knn" =>
+          operators.Similarity.knnJoinIvf(emb, k = k, nCells = nCells)
+        case "mutual" =>
+          import graft.util.Stage.StageOps
+          val knn = operators.Similarity.knnJoinIvf(emb, k = k, nCells = nCells)
+            .select(col("qid").as("a"), col("neighbor_id").as("b"))
+            .stageCheckpoint()
+          val mutual = knn
+            .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+            .where(col("a") < col("b"))
+          operators.Curation.connectedComponentsStar(
+            mutual, emb.select(col("vec_id").as("node")))
+        case other => throw new IllegalArgumentException(s"unknown op: $other")
+      }
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (sec, rows)
+    }
+    val results = (1 to reps).map(_ => run())
+    val rows = results.head._2
+    // invariants: knn emits exactly n*k ranked rows; CC labels every node
+    val expected = op match { case "knn" => n * k; case _ => n }
+    val secs = results.map(_._1).sorted
+    val median = secs(secs.length / 2)
+    def f(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", v: java.lang.Double)
+    println(s"""{"op":"$op","sf":"${sfDir.split('/').last}","n":$n,"nCells":$nCells,""" +
+      s""""rows":$rows,"rows_ok":${rows == expected},""" +
+      s""""reps":[${results.map(r => f(r._1)).mkString(",")}],"median":${f(median)}}""")
+    spark.stop()
+  }
+}

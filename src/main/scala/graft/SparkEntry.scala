@@ -60,7 +60,11 @@ object SparkEntry {
     "window_distribution_funcs", "window_rank_topn",
     "text_token_stats", "text_langid", "text_fingerprint",
     "sample_stratified", "scrub_pii",
-    "q4_priority_late_ship", "q6_revenue_forecast", "q7_volume_shipping")
+    "q4_priority_late_ship", "q6_revenue_forecast", "q7_volume_shipping",
+    // second r8 trim: the sf0.1 line measured 1805 chars with the two
+    // new heavy ops in — three flat joins (r5–r7 history, 0.3–0.5 s
+    // steady) restore ~100 chars of margin
+    "join_sort_merge_large", "join_anti_not_exists", "join_semi_exists")
   private val benchRotatedIn: Set[String] = Set(
     "dedup_clusters_star", "dedup_pipeline", "dedup_semantic",
     "dedup_span_suffix", "graph_pagerank", "embed_kmeans", "embed_pca_power",
