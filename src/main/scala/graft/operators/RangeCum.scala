@@ -28,10 +28,10 @@ import org.apache.spark.sql.functions._
   * consistent. Callers (Verify/Bench harness) clearCache() per query,
   * the same lifecycle as Dedup's staged signature tables.
   *
-  * Requirement: `orderCol` must be unique per row (callers pass distinct-
-  * value grids). With duplicate keys a ROWS-frame cumulative is
-  * tie-order-dependent — exactly as it is with the global window this
-  * replaces.
+  * Requirement: `orderCol` must be unique per row within its group
+  * (callers pass distinct-value grids). With duplicate keys a ROWS-frame
+  * cumulative is tie-order-dependent — exactly as it is with the global
+  * window this replaces.
   */
 object RangeCum {
 
@@ -42,8 +42,26 @@ object RangeCum {
   final case class Cum(src: String, as: String, agg: String = "sum",
       inclusive: Boolean = true)
 
+  /** Ungrouped prefix — the original entry point; equivalent to
+    * [[withCumsGrouped]] with no group columns. */
   def withCums(df: DataFrame, orderCol: String, cums: Seq[Cum],
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    withCumsGrouped(df, Nil, orderCol, cums, partitions)
+
+  /** Per-group distributed prefix: the cumulative restarts at each
+    * distinct `groupCols` value, like `Window.partitionBy(groupCols)
+    * .orderBy(orderCol)` — but WITHOUT requiring each group to fit one
+    * task. The range exchange keys on (groupCols, orderCol), so a hot
+    * group spans several ordered partitions and its prefix is stitched
+    * exactly like the ungrouped case; the per-(group, pid) totals table
+    * is ≤ |groups|·n rows — still partition-count-bounded per group, so
+    * the triangular offsets join stays a broadcast nested-loop. Use when
+    * per-group ECDF/rank statistics must survive groups with billions of
+    * rows (a plain grouped window is one task per group). Group keys are
+    * matched null-safely (`<=>`), so a null group behaves like any other
+    * value, matching window/groupBy null semantics. */
+  def withCumsGrouped(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, cums: Seq[Cum], partitions: Int = 0): DataFrame = {
     require(cums.nonEmpty, "at least one cumulative column")
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -55,36 +73,50 @@ object RangeCum {
       case other => throw new IllegalArgumentException(s"unknown agg: $other")
     }
 
-    val parted = df.repartitionByRange(n, col(orderCol))
+    val parted = df
+      .repartitionByRange(n, (groupCols :+ orderCol).map(col): _*)
       .withColumn(pid, spark_partition_id())
       .persist()
 
-    val wIncl = Window.partitionBy(col(pid)).orderBy(col(orderCol))
+    val partSpec = (groupCols :+ pid).map(col)
+    val wIncl = Window.partitionBy(partSpec: _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wExcl = Window.partitionBy(col(pid)).orderBy(col(orderCol))
+    val wExcl = Window.partitionBy(partSpec: _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = cums.foldLeft(parted) { (acc, c) =>
       acc.withColumn("_rc_loc_" + c.as,
         aggOf(c)(col(c.src)).over(if (c.inclusive) wIncl else wExcl))
     }
 
-    val totals = parted.groupBy(col(pid)).agg(
+    val totals = parted.groupBy(partSpec: _*).agg(
       aggOf(cums.head)(col(cums.head.src)).as("_rc_tot_" + cums.head.as),
       cums.tail.map(c => aggOf(c)(col(c.src)).as("_rc_tot_" + c.as)): _*)
-    // exclusive prefix of the totals: offset(p) = agg over all pid < p
-    // (null for the first partition). Left-join keeps empty-prefix rows.
-    val t1 = totals.select(col(pid).as("_rc_p1"))
-    val t2 = totals.select((col(pid).as("_rc_p2") +:
-      cums.map(c => col("_rc_tot_" + c.as))): _*)
-    val offsets = t1.join(t2, col("_rc_p2") < col("_rc_p1"), "left")
-      .groupBy(col("_rc_p1")).agg(
+    // exclusive prefix of the totals within each group: offset(g, p) =
+    // agg over the group's totals with pid < p (null for the group's
+    // first partition). Left-join keeps empty-prefix rows.
+    val t1 = totals.select(
+      groupCols.map(g => col(g).as("_rc_g1_" + g)) :+ col(pid).as("_rc_p1"): _*)
+    val t2 = totals.select(
+      (groupCols.map(g => col(g).as("_rc_g2_" + g)) :+ col(pid).as("_rc_p2"))
+        ++ cums.map(c => col("_rc_tot_" + c.as)): _*)
+    val cond = groupCols
+      .map(g => col("_rc_g1_" + g) <=> col("_rc_g2_" + g))
+      .foldLeft(col("_rc_p2") < col("_rc_p1"))(_ && _)
+    val offsets = t1.join(t2, cond, "left")
+      .groupBy(groupCols.map(g => col("_rc_g1_" + g)) :+ col("_rc_p1"): _*)
+      .agg(
         aggOf(cums.head)(col("_rc_tot_" + cums.head.as))
           .as("_rc_off_" + cums.head.as),
         cums.tail.map(c =>
           aggOf(c)(col("_rc_tot_" + c.as)).as("_rc_off_" + c.as)): _*)
-      .withColumnRenamed("_rc_p1", pid)
 
-    val joined = local.join(broadcast(offsets), pid)
+    // join keys renamed with a _rc_j_ prefix so the null-safe join
+    // condition is unambiguous; dropped after the join
+    val joinKeys = groupCols.map("_rc_g1_" + _) :+ "_rc_p1"
+    val origKeys = groupCols :+ pid
+    val cond2 = origKeys.zip(joinKeys)
+      .map { case (k, j) => col(k) <=> col(j) }.reduce(_ && _)
+    val joined = local.join(broadcast(offsets), cond2)
     val combined = cums.foldLeft(joined) { (acc, c) =>
       val l = col("_rc_loc_" + c.as)
       val o = col("_rc_off_" + c.as)
@@ -94,7 +126,7 @@ object RangeCum {
       }
       acc.withColumn(c.as, v)
     }
-    combined.drop(pid +: cums.flatMap(c =>
+    combined.drop((pid +: joinKeys) ++ cums.flatMap(c =>
       Seq("_rc_loc_" + c.as, "_rc_off_" + c.as)): _*)
   }
 }

@@ -529,22 +529,37 @@ object Similarity {
     * nCells cross-join window — that trick is only free for small query
     * sets). The only corpus-scale movement is ONE hash shuffle of each
     * side on `cell`, then the per-query top-k window (partitioned by
-    * query id, never global). A hot quantizer cell degrades to in-cell
-    * quadratic cost — at scale pass `refineIters > 0` (Lloyd-refined
-    * centroids even out cell sizes) the same way [[ivfTopK]] does; a
-    * sub-split cap is wrong HERE because dropping in-cell candidates
-    * silently truncates a vector's neighbor list rather than one dup
-    * pair.
+    * query id, never global).
+    *
+    * With `nCells` fixed, avg-cell-size grows with the corpus and the
+    * candidate table is |corpus|²·nProbe/nCells — measurably quadratic
+    * (the 10× slice multiplied wall-clock ~40×, one sort task holding a
+    * 625M-row rank window). `maxCellSize > 0` applies the same hot-cell
+    * sub-split [[semanticDedup]] certifies: oversized cells are hashed
+    * into ⌈cell/maxCellSize⌉ sub-cells, and each PROBE of a cell joins
+    * exactly one deterministic sub-cell (hash of the query id), so
+    * candidates are bounded at |corpus| · nProbe · maxCellSize — linear
+    * at every scale. The trade-off is recall, not shape: a probed hot
+    * cell contributes a 1/nsub deterministic sample of its vectors, so
+    * neighbor lists stay dense top-k (sub-cells hold ≫ k vectors by
+    * construction) but may rank farther neighbors in; small cells
+    * (nsub = 1) are exact, so the cap is a no-op below maxCellSize.
+    * `maxCellSize = 0` disables the cap (exact in-cell candidates;
+    * quadratic — only for bounded corpora or full-probe baselines).
+    * `refineIters > 0` (Lloyd-refined centroids) additionally evens out
+    * cell sizes so fewer cells hit the cap at all.
     *
     * Deterministic and oracle-reproducible: Knuth-hash centroid sample,
     * (cos DESC, cell ASC) probe tie-break, (cos DESC, id ASC) rank
-    * tie-break, integerized output cosine. */
+    * tie-break, seed+1 sub-split hash, integerized output cosine. */
   def knnJoinIvf(
       corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-      roundTo: Int = 6, refineIters: Int = 0): DataFrame = {
+      roundTo: Int = 6, refineIters: Int = 0,
+      maxCellSize: Int = 0): DataFrame = {
     require(k >= 1 && nProbe >= 1 && nCells >= 1, "k, nProbe, nCells >= 1")
+    require(maxCellSize >= 0, s"maxCellSize must be >= 0, got $maxCellSize")
     val centroids: Array[(Int, Seq[Float])] =
       if (refineIters > 0)
         VecKMeans.fit(corpus, vecCol, nCells, refineIters, seed, idCol)
@@ -562,9 +577,27 @@ object Similarity {
     val bestCell = array_max(array(centroids.map { case (i, c) =>
       struct(cosineSim(col(vecCol), typedlit(c)).as("cos"), lit(-i).as("negCell"))
     }: _*))
-    val cells = corpus
+    val cells0 = corpus
       .select(col(idCol), col(vecCol), (-bestCell.getField("negCell")).as("cell"))
       .stageCheckpoint()
+    // hot-cell guard (the semanticDedup sub-split): per-cell counts are
+    // quantizer-sized (≤ nCells rows) — broadcast them back, sub-split
+    // oversized cells row-locally, and give every probe one hashed
+    // sub-cell, bounding candidates at |corpus|·nProbe·maxCellSize.
+    // seed+1 decorrelates the sub-split hash from the centroid sample.
+    def subHash(id: Column): Column =
+      ((id * lit(2654435761L) + lit(seed + 1L)) % lit(4294967296L)
+        % col("nsub")).cast("int")
+    val nsubs =
+      if (maxCellSize <= 0) null
+      else broadcast(cells0.groupBy(col("cell"))
+        .agg(greatest(lit(1L),
+          ceil(count(lit(1)).cast("double") / lit(maxCellSize.toDouble))
+            .cast("long")).as("nsub")))
+    val cells =
+      if (maxCellSize <= 0) cells0.withColumn("subcell", lit(0))
+      else cells0.join(nsubs, Seq("cell"))
+        .withColumn("subcell", subHash(col(idCol))).drop("nsub")
     // probe side: top-nProbe cells as a row-local sorted-slice of the
     // centroid-literal struct array — ascending (−cos, cell) ≡
     // (cos DESC, cell ASC), the ranked-window tie-break without the
@@ -573,11 +606,15 @@ object Similarity {
       struct((-cosineSim(col(vecCol), typedlit(c))).as("negcos"),
         lit(i).as("cell"))
     }: _*))
-    val probes = cells
+    val probes0 = cells0
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         explode(slice(probeSorted, 1, nProbe)).as("pc"))
       .select(col("qid"), col("qvec"), col("pc.cell").as("cell"))
-    val scored = cells.join(probes, Seq("cell"))
+    val probes =
+      if (maxCellSize <= 0) probes0.withColumn("subcell", lit(0))
+      else probes0.join(nsubs, Seq("cell"))
+        .withColumn("subcell", subHash(col("qid"))).drop("nsub")
+    val scored = cells.join(probes, Seq("cell", "subcell"))
       .where(col("qid") =!= col(idCol))
       .withColumn("cos", Det.fixed(cosineSim(col("qvec"), col(vecCol)), roundTo))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))

@@ -1676,6 +1676,163 @@ object CurationQueries {
              |  CAST(g.pos AS DOUBLE) / g.n AS rate_raw, iso.rate_iso
              |FROM grid g JOIN iso ON g.bin = iso.bin
              |ORDER BY g.bin""".stripMargin),
+      bench = false),
+
+    // ---- robust outlier detection per group: median + MAD (median
+    //      absolute deviation), the heavy-tail-safe alternative to the
+    //      z-score flagger (stats_zscore_outliers). Both medians are
+    //      lower-medians off distinct-value grids selected with the
+    //      all-integer predicate 2k ≥ n — engine-exact, no interpolation
+    //      — and both per-group cumulatives run through the GROUPED
+    //      RangeCum prefix (range-partitioned on (group, value)), so a
+    //      group with billions of rows never lands in one window task.
+    //      Flag threshold = 3·1.4826·MAD (the normal-consistency
+    //      constant), pure IEEE arithmetic on exact inputs. ----
+    QueryDef("stats_mad_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val grid = ev.groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("cnt"))
+        val cum = RangeCum.withCumsGrouped(grid, Seq("event_type"), "value",
+          Seq(RangeCum.Cum("cnt", "k")))
+        val tot = grid.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+        val med = cum.join(broadcast(tot), "event_type")
+          .groupBy(col("event_type"), col("n"))
+          .agg(min(when(col("k") * 2 >= col("n"), col("value"))).as("med"))
+        val devGrid = grid.join(broadcast(med), "event_type")
+          .groupBy(col("event_type"), col("n"), col("med"),
+            abs(col("value") - col("med")).as("dev"))
+          .agg(sum(col("cnt")).as("dcnt"))
+        val dcum = RangeCum.withCumsGrouped(devGrid, Seq("event_type"), "dev",
+          Seq(RangeCum.Cum("dcnt", "dk")))
+        val mad = dcum.groupBy(col("event_type"), col("n"), col("med"))
+          .agg(min(when(col("dk") * 2 >= col("n"), col("dev"))).as("mad"))
+        ev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
+          .agg(sum(when(abs(col("value") - col("med")) >
+              lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        raw"""WITH g AS (
+             |  SELECT event_type, value, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2
+             |),
+             |c AS (
+             |  SELECT event_type, value, cnt,
+             |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY value) AS k
+             |  FROM g
+             |),
+             |t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+             |      FROM g GROUP BY 1),
+             |med AS (
+             |  SELECT c.event_type, t.n,
+             |    MIN(CASE WHEN k * 2 >= t.n THEN value END) AS med
+             |  FROM c JOIN t ON t.event_type = c.event_type GROUP BY 1, 2
+             |),
+             |dg AS (
+             |  SELECT g.event_type, med.n, med.med,
+             |    ABS(g.value - med.med) AS dev,
+             |    CAST(SUM(g.cnt) AS BIGINT) AS dcnt
+             |  FROM g JOIN med ON med.event_type = g.event_type
+             |  GROUP BY 1, 2, 3, 4
+             |),
+             |dc AS (
+             |  SELECT event_type, n, med, dev,
+             |    SUM(dcnt) OVER (PARTITION BY event_type ORDER BY dev) AS dk
+             |  FROM dg
+             |),
+             |mad AS (
+             |  SELECT event_type, n, med,
+             |    MIN(CASE WHEN dk * 2 >= n THEN dev END) AS mad
+             |  FROM dc GROUP BY 1, 2, 3
+             |)
+             |SELECT e.event_type, m.n, m.med, m.mad,
+             |  CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3.0 * 1.4826 * m.mad
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM events e JOIN mad m ON m.event_type = e.event_type
+             |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin),
+      bench = false),
+
+    // ---- declarative data-validation suite (the Deequ/great-expectations
+    //      capability): completeness, key uniqueness, value bounds,
+    //      positivity, domain membership, referential integrity — each a
+    //      (check, metric, passed) row from ONE pass over the fact table
+    //      (single multi-aggregate; the exact distinct is Spark's
+    //      standard two-phase expand) plus one anti-join for the foreign
+    //      key. All metrics are ratios/counts of exact BIGINTs, so the
+    //      row set is bit-identical cross-engine. ----
+    QueryDef("quality_constraints",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val m = li.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_returnflag")).as("n_flag"),
+          countDistinct(col("l_orderkey") * 8 + col("l_linenumber")).as("n_pk"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("n_qty_oob"),
+          sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+            .as("n_price_bad"),
+          sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+            .otherwise(0L)).as("n_flag_bad"))
+        val orphan = li
+          .join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+        val base = m.crossJoin(orphan)
+        def check(name: String, metric: Column, passed: Column) =
+          base.select(lit(name).as("check_name"),
+            metric.cast("double").as("metric"), passed.as("passed"))
+        check("completeness_l_returnflag",
+            col("n_flag").cast("double") / col("n_rows"),
+            col("n_flag") === col("n_rows"))
+          .unionByName(check("uniqueness_pk",
+            col("n_pk").cast("double") / col("n_rows"),
+            col("n_pk") === col("n_rows")))
+          .unionByName(check("bounds_l_quantity",
+            col("n_qty_oob"), col("n_qty_oob") === 0))
+          .unionByName(check("positivity_l_extendedprice",
+            col("n_price_bad"), col("n_price_bad") === 0))
+          .unionByName(check("domain_l_returnflag",
+            col("n_flag_bad"), col("n_flag_bad") === 0))
+          .unionByName(check("ref_integrity_orderkey",
+            col("n_orphan"), col("n_orphan") === 0))
+          .orderBy(col("check_name"))
+      },
+      oracle = Some(
+        raw"""WITH m AS (
+             |  SELECT count(*) AS n_rows,
+             |    count(l_returnflag) AS n_flag,
+             |    count(DISTINCT l_orderkey * 8 + l_linenumber) AS n_pk,
+             |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_qty_oob,
+             |    CAST(SUM(CASE WHEN l_extendedprice <= 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_price_bad,
+             |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_bad
+             |  FROM lineitem
+             |),
+             |o AS (
+             |  SELECT count(*) AS n_orphan FROM lineitem l
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)
+             |),
+             |b AS (SELECT * FROM m, o)
+             |SELECT 'completeness_l_returnflag' AS check_name,
+             |  CAST(n_flag AS DOUBLE) / n_rows AS metric,
+             |  n_flag = n_rows AS passed FROM b
+             |UNION ALL SELECT 'uniqueness_pk',
+             |  CAST(n_pk AS DOUBLE) / n_rows, n_pk = n_rows FROM b
+             |UNION ALL SELECT 'bounds_l_quantity',
+             |  CAST(n_qty_oob AS DOUBLE), n_qty_oob = 0 FROM b
+             |UNION ALL SELECT 'positivity_l_extendedprice',
+             |  CAST(n_price_bad AS DOUBLE), n_price_bad = 0 FROM b
+             |UNION ALL SELECT 'domain_l_returnflag',
+             |  CAST(n_flag_bad AS DOUBLE), n_flag_bad = 0 FROM b
+             |UNION ALL SELECT 'ref_integrity_orderkey',
+             |  CAST(n_orphan AS DOUBLE), n_orphan = 0 FROM b
+             |ORDER BY check_name""".stripMargin),
       bench = false)
   )
 }

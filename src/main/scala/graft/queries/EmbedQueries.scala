@@ -38,7 +38,12 @@ object EmbedQueries {
     * clustering row feeds these into a recursive closure, where DuckDB's
     * default CTE inlining re-evaluates the whole kernel chain per
     * reference (the GraphQueries 100×-scale lesson). */
-  private def knnJoinCtes(k: Int, nProbe: Int): String =
+  /** The [[Similarity.knnJoinIvf]] pipeline as DuckDB CTEs, including the
+    * hot-cell sub-split (maxCellSize) that keeps the candidate table
+    * linear: sub-cell hash = (id·2654435761 + 43) % 2^32 % nsub on both
+    * the corpus row and the probing query, mirroring the Spark kernel
+    * (seed 42 ⇒ sub-split seed 43). */
+  private def knnJoinCtes(k: Int, nProbe: Int, maxCellSize: Int): String =
     s"""cent AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
        |  FROM (
@@ -47,7 +52,7 @@ object EmbedQueries {
        |    LIMIT 16
        |  )
        |),
-       |cells AS MATERIALIZED (
+       |cells0 AS MATERIALIZED (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -55,18 +60,33 @@ object EmbedQueries {
        |    FROM embeddings e CROSS JOIN cent c
        |  ) WHERE r = 1
        |),
+       |nsubs AS MATERIALIZED (
+       |  SELECT cell, GREATEST(1, CAST(CEIL(
+       |      CAST(count(*) AS DOUBLE) / $maxCellSize.0) AS BIGINT)) AS nsub
+       |  FROM cells0 GROUP BY cell
+       |),
+       |cells AS MATERIALIZED (
+       |  SELECT c.vec_id, c.embedding, c.cell,
+       |    ((c.vec_id * 2654435761 + 43) % 4294967296) % n.nsub AS subcell
+       |  FROM cells0 c JOIN nsubs n ON n.cell = c.cell
+       |),
        |probes AS MATERIALIZED (
-       |  SELECT qid, qvec, cell FROM (
-       |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cell,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${cosSqlOf("q.embedding", "c.embedding")} DESC, c.cell) AS r
-       |    FROM embeddings q CROSS JOIN cent c
-       |  ) WHERE r <= $nProbe
+       |  SELECT p.qid, p.qvec, p.cell,
+       |    ((p.qid * 2654435761 + 43) % 4294967296) % n.nsub AS subcell
+       |  FROM (
+       |    SELECT qid, qvec, cell FROM (
+       |      SELECT q.vec_id AS qid, q.embedding AS qvec, c.cell,
+       |        row_number() OVER (PARTITION BY q.vec_id
+       |          ORDER BY ${cosSqlOf("q.embedding", "c.embedding")} DESC, c.cell) AS r
+       |      FROM embeddings q CROSS JOIN cent c
+       |    ) WHERE r <= $nProbe
+       |  ) p JOIN nsubs n ON n.cell = p.cell
        |),
        |scored AS MATERIALIZED (
        |  SELECT p.qid, ce.vec_id AS neighbor_id,
        |    ${Det.fixedSql(cosSqlOf("p.qvec", "ce.embedding"), 6)} AS cos
-       |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.qid
+       |  FROM probes p JOIN cells ce
+       |    ON ce.cell = p.cell AND ce.subcell = p.subcell AND ce.vec_id <> p.qid
        |),
        |ranked AS MATERIALIZED (
        |  SELECT qid, neighbor_id, cos,
@@ -497,15 +517,17 @@ object EmbedQueries {
     // ---- k-NN JOIN (kNN-graph build): every vector's top-3 neighbors,
     // IVF-blocked — query set = corpus, probes from a row-local
     // sorted-literal slice (no cross-join window on the corpus side),
-    // candidates bounded by nProbe x cell size. Same deterministic
-    // centroid sample + tie-breaks as ann_ivf_topk, so the full graph
-    // reproduces in SQL. ----
+    // candidates bounded by nProbe × maxCellSize PER VECTOR via the
+    // hot-cell sub-split (without the cap a fixed quantizer makes the
+    // candidate table |D|²·nProbe/nCells — measured quadratic at the
+    // 10× slice). Same deterministic centroid sample + tie-breaks as
+    // ann_ivf_topk, so the full graph reproduces in SQL. ----
     QueryDef("ann_knn_join",
       (s, d) => Similarity.knnJoinIvf(
-        Tables.embeddings(s, d), k = 3)
+        Tables.embeddings(s, d), k = 3, maxCellSize = 64)
         .orderBy(col("qid"), col("rank")),
       oracle = Some(
-        s"""WITH ${knnJoinCtes(k = 3, nProbe = 4)}
+        s"""WITH ${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 64)}
            |SELECT qid, rank, neighbor_id, cos FROM ranked
            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
       bench = false),
@@ -523,7 +545,7 @@ object EmbedQueries {
     QueryDef("embed_mutual_knn_clusters",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val knn = Similarity.knnJoinIvf(emb, k = 3)
+        val knn = Similarity.knnJoinIvf(emb, k = 3, maxCellSize = 64)
           .select(col("qid").as("a"), col("neighbor_id").as("b"))
           .stageCheckpoint() // probe side of the mutual join reads it twice
         val mutual = knn
@@ -539,7 +561,7 @@ object EmbedQueries {
           .orderBy(col("vec_id"))
       },
       oracle = Some(
-        s"""WITH RECURSIVE ${knnJoinCtes(k = 3, nProbe = 4)},
+        s"""WITH RECURSIVE ${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 64)},
            |knn AS MATERIALIZED (
            |  SELECT qid, neighbor_id FROM ranked WHERE rank <= 3
            |),

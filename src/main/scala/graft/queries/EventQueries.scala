@@ -1016,6 +1016,79 @@ object EventQueries {
              |    ROUND((a * CAST(0.875 AS DOUBLE) + b * CAST(0.125 AS DOUBLE))
              |      * 1000000000, 0) / 1000000000) AS ewma
              |FROM s ORDER BY user_id""".stripMargin),
+      bench = false),
+
+    // ---- classical seasonal decomposition (y = trend + seasonal +
+    //      residual) on the hourly mean series: trend = centered ±12h
+    //      moving average, seasonal = per-hour-of-day mean deviation.
+    //      NO global window anywhere: the moving average is the
+    //      events_sliding_window explode — each hour bucket map-side
+    //      emits its 25 target hours, one shuffle re-aggregates — so the
+    //      plan is three groupBys + two joins whatever the row count
+    //      (the hour grid itself grows with the calendar span, not the
+    //      data volume). Hourly means, the moving average and the
+    //      seasonal means are all exact-integer sums of 1e-6-fixed
+    //      values (merge-order-free), divisions written identically on
+    //      both sides — bit-identical cross-engine. Edge hours average
+    //      over the hours actually present in their ±12h band (tk<25),
+    //      the standard truncated-window convention. ----
+    QueryDef("events_seasonal_decompose",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(Det.fixedAvg(col("value"), 6).as("ymu"))
+          .withColumn("yfix", Det.toFixed(col("ymu"), 6))
+        val contrib = hourly
+          .select(col("h"), col("yfix"),
+            explode(sequence(lit(-12), lit(12))).as("kk"))
+          .select(expr("timestampadd(HOUR, kk, h)").as("th"), col("yfix"))
+        val tr = contrib.groupBy(col("th"))
+          .agg(sum(col("yfix")).as("tsum"), count(lit(1)).as("tk"))
+        val base = hourly.join(tr, hourly("h") === tr("th"))
+          .select(col("h"), col("ymu"),
+            ((col("tsum").cast("double") / lit(1e6)) / col("tk")).as("trend"))
+        val seas = base
+          .groupBy(hour(col("h")).as("hod"))
+          .agg((sum(Det.toFixed(col("ymu") - col("trend"), 6)).cast("double")
+            / lit(1e6) / count(lit(1))).as("seasonal"))
+        base.join(broadcast(seas), hour(col("h")) === seas("hod"))
+          .select(col("h"), col("hod"), col("ymu").as("y"), col("trend"),
+            col("seasonal"),
+            Det.fixed(col("ymu") - col("trend") - col("seasonal"), 6)
+              .as("resid"))
+          .orderBy(col("h"))
+      },
+      oracle = Some(
+        raw"""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS h,
+             |    ${Det.fixedAvgSql("value", 6)} AS ymu
+             |  FROM events GROUP BY 1
+             |),
+             |hf AS (SELECT h, ymu, ${Det.toFixedSql("ymu", 6)} AS yfix
+             |       FROM hourly),
+             |contrib AS (
+             |  SELECT h + to_hours(CAST(kk AS BIGINT)) AS th, yfix
+             |  FROM hf, (SELECT unnest(generate_series(-12, 12)) AS kk)
+             |),
+             |tr AS (
+             |  SELECT th, CAST(SUM(yfix) AS BIGINT) AS tsum, count(*) AS tk
+             |  FROM contrib GROUP BY 1
+             |),
+             |base AS (
+             |  SELECT h, ymu, (CAST(tsum AS DOUBLE) / 1000000) / tk AS trend
+             |  FROM hf JOIN tr ON tr.th = hf.h
+             |),
+             |seas AS (
+             |  SELECT CAST(hour(h) AS INTEGER) AS hod,
+             |    CAST(SUM(${Det.toFixedSql("ymu - trend", 6)}) AS DOUBLE)
+             |      / 1000000 / count(*) AS seasonal
+             |  FROM base GROUP BY 1
+             |)
+             |SELECT b.h AS h, s.hod AS hod, b.ymu AS y, b.trend AS trend,
+             |  s.seasonal AS seasonal,
+             |  ${Det.fixedSql("b.ymu - b.trend - s.seasonal", 6)} AS resid
+             |FROM base b JOIN seas s ON s.hod = CAST(hour(b.h) AS INTEGER)
+             |ORDER BY b.h""".stripMargin),
       bench = false)
   )
 }

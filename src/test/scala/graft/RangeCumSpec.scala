@@ -71,6 +71,59 @@ class RangeCumSpec extends SparkSpec {
     bare shouldBe empty
   }
 
+  test("grouped cum matches the grouped-window reference") {
+    val df = frame(4000)
+      .withColumn("g", pmod(col("v2"), lit(3L)))
+    val wi = Window.partitionBy(col("g")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val we = Window.partitionBy(col("g")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = df.select(col("g"), col("k"),
+        sum(col("v1")).over(wi).as("cs"),
+        max(col("v2")).over(we).as("pm"))
+      .orderBy("g", "k").collect().map(_.toSeq).toSeq
+    val got = RangeCum.withCumsGrouped(df, Seq("g"), "k",
+        Seq(Cum("v1", "cs"), Cum("v2", "pm", agg = "max", inclusive = false)),
+        partitions = 7)
+      .select(col("g"), col("k"), col("cs"), col("pm"))
+      .orderBy("g", "k").collect().map(_.toSeq).toSeq
+    got.size shouldBe ref.size
+    got shouldBe ref
+  }
+
+  test("grouped: each group's first row restarts the prefix") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 1L, 5L), ("b", 3L, 7L))
+      .toDF("g", "k", "v")
+    val out = RangeCum.withCumsGrouped(df, Seq("g"), "k",
+        Seq(Cum("v", "cs"), Cum("v", "pm", agg = "max", inclusive = false)),
+        partitions = 4)
+      .orderBy("g", "k").collect()
+    out.map(_.getAs[Long]("cs")).toSeq shouldBe Seq(10L, 30L, 5L, 12L)
+    out(0).isNullAt(out(0).fieldIndex("pm")) shouldBe true
+    out(2).isNullAt(out(2).fieldIndex("pm")) shouldBe true
+    out(1).getAs[Long]("pm") shouldBe 10L
+    out(3).getAs[Long]("pm") shouldBe 5L
+  }
+
+  test("grouped: null group key behaves as its own group") {
+    val df = Seq((Option("a"), 1L, 1L), (None, 1L, 2L), (None, 2L, 3L),
+        (Option("a"), 2L, 4L))
+      .toDF("g", "k", "v")
+    val out = RangeCum.withCumsGrouped(df, Seq("g"), "k",
+        Seq(Cum("v", "cs")), partitions = 3)
+      .orderBy(col("g").asc_nulls_first, col("k")).collect()
+    out.map(_.getAs[Long]("cs")).toSeq shouldBe Seq(2L, 5L, 1L, 5L)
+  }
+
+  test("grouped: no unpartitioned Window node in the plan") {
+    val df = frame(200).withColumn("g", pmod(col("v2"), lit(4L)))
+    val out = RangeCum.withCumsGrouped(df, Seq("g"), "k", Seq(Cum("v1", "cs")))
+    val bare = out.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    bare shouldBe empty
+  }
+
   // The four rewritten catalog queries must never fall back to a global
   // window: their grid cardinality scales with the data.
   private val rewritten =

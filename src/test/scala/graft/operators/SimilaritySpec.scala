@@ -104,6 +104,40 @@ class SimilaritySpec extends SparkSpec {
     withClue(s"recall=$recall") { recall should be >= 0.5 }
   }
 
+  test("knnJoinIvf: sub-split cap is a no-op when no cell exceeds it") {
+    val emb = Tables.embeddings(spark, sf)
+    val off = Similarity.knnJoinIvf(emb, k = 3)
+      .select("qid", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // fixture corpus is tiny: a cap far above any cell count must leave
+    // every candidate pair (and hence the graph) bit-identical
+    val capped = Similarity.knnJoinIvf(emb, k = 3, maxCellSize = 100000)
+      .select("qid", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    capped shouldBe off
+  }
+
+  test("knnJoinIvf: a biting cap keeps dense rank prefixes and is a " +
+      "subset of the uncapped candidate graph") {
+    val emb = Tables.embeddings(spark, sf)
+    // k = 1000 > any per-query candidate count, so this IS the full
+    // uncapped candidate graph
+    val uncapped = Similarity.knnJoinIvf(emb, k = 1000)
+      .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    val capped = Similarity.knnJoinIvf(emb, k = 3, maxCellSize = 4)
+    // ranks are a dense 1..n prefix per query (n ≤ k when a sub-cell
+    // holds fewer candidates than k)
+    val bad = capped.groupBy("qid")
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+      .where(col("mx") =!= col("n") || col("n") > 3).count()
+    bad shouldBe 0L
+    // every capped edge exists in the uncapped candidate graph: the
+    // sub-split only removes candidates, never invents them
+    val cappedSet = capped.select("qid", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    cappedSet.subsetOf(uncapped) shouldBe true
+  }
+
   test("PQ top-k (ADC shortlist + exact re-rank) achieves high recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where(col("vec_id") < 20)
