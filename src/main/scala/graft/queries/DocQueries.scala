@@ -1356,6 +1356,116 @@ object DocQueries {
              |WHERE p.a = na.doc_id AND p.b = nb.doc_id
              |  AND CAST(p.shared AS DOUBLE) / na.n_sh >= 0.5
              |ORDER BY containment DESC, p.a, p.b LIMIT 50""".stripMargin),
+      bench = false),
+
+    // ---- per-source token-budget quota fill (data-mixture budgeting):
+    //      each source contributes its best documents — ordered by
+    //      quality score DESC, doc_id ASC — until the source's token
+    //      budget is exhausted (a document STARTING under budget is kept
+    //      whole, the standard greedy-fill convention). The order is
+    //      packed into one BIGINT sort key ((1e6 − qfix)·2^33 + doc_id,
+    //      exact for doc_id < 2^33 ≈ 8.6e9 docs), and the per-source
+    //      running token count is the GROUPED RangeCum prefix — range-
+    //      partitioned on (source, key), so one hot source never lands
+    //      in a single window task. Quality is the text_quality_score
+    //      sigmoid at 1e-6 fixed precision; token counts are exact
+    //      integers — bit-identical cross-engine. ----
+    QueryDef("curation_quota_sample",
+      (s, d) => {
+        val budget = 600L
+        val f = TextAnalysis.qualityFeatures(col("text"))
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+            Det.toFixed(f.getField("quality_score"), 6).as("qfix"))
+          .withColumn("okey",
+            (lit(1000000L) - col("qfix")) * lit(8589934592L) + col("doc_id"))
+        val cum = graft.operators.RangeCum.withCumsGrouped(
+          docs, Seq("source"), "okey",
+          Seq(graft.operators.RangeCum.Cum("n_tokens", "cum_before",
+            inclusive = false)))
+        cum.withColumn("cum_before", coalesce(col("cum_before"), lit(0L)))
+          .where(col("cum_before") < budget)
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            (col("qfix").cast("double") / lit(1e6)).as("quality"),
+            col("cum_before"))
+          .orderBy(col("source"), col("cum_before"))
+      },
+      oracle = Some(
+        raw"""WITH feats AS (
+             |  SELECT source, doc_id,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             |      / len(string_split_regex(trim(text), '\s+')) AS awl,
+             |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+             |      AS DOUBLE) / length(text) AS pr
+             |  FROM documents
+             |),
+             |keyed AS (
+             |  SELECT source, doc_id, n_tokens,
+             |    ${Det.toFixedSql(
+                  "1.0 / (1.0 + exp(-(0.01 * n_tokens + 1.0 * awl " +
+                    "- 20.0 * pr - 3.0)))", 6)} AS qfix
+             |  FROM feats
+             |),
+             |c AS (
+             |  SELECT source, doc_id, n_tokens, qfix,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (
+             |      PARTITION BY source
+             |      ORDER BY (1000000 - qfix) * 8589934592 + doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cum_before
+             |  FROM keyed
+             |)
+             |SELECT source, doc_id, n_tokens,
+             |  CAST(qfix AS DOUBLE) / 1000000 AS quality, cum_before
+             |FROM c WHERE cum_before < 600
+             |ORDER BY source, cum_before""".stripMargin),
+      bench = false),
+
+    // ---- file-compaction layout planner (the small-files problem):
+    //      assign documents, in doc_id order within each lang partition,
+    //      to sequential output files of ~targetBytes — file_id =
+    //      ⌊bytes_before / target⌋, so a file absorbs the document that
+    //      crosses the boundary (files overflow by at most one document,
+    //      the standard size-targeted writer convention) and an
+    //      over-target document gets a file of its own. The running byte
+    //      count is the GROUPED RangeCum prefix — no per-lang window
+    //      task, so the planner itself scales to partitions with
+    //      billions of rows (its output is the file manifest, data/target
+    //      rows). Everything is exact integer arithmetic (floor on
+    //      doubles ≤ 2^53). ----
+    QueryDef("layout_file_compaction",
+      (s, d) => {
+        val target = 8192.0
+        val docs = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+        val cum = graft.operators.RangeCum.withCumsGrouped(
+          docs, Seq("lang"), "doc_id",
+          Seq(graft.operators.RangeCum.Cum("n_chars", "cb",
+            inclusive = false)))
+        cum.withColumn("file_id",
+            floor(coalesce(col("cb"), lit(0L)) / lit(target)).cast("long"))
+          .groupBy(col("lang"), col("file_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("bytes"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("lang"), col("file_id"))
+      },
+      oracle = Some(
+        raw"""WITH c AS (
+             |  SELECT lang, doc_id, n_chars,
+             |    CAST(COALESCE(SUM(n_chars) OVER (
+             |      PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cb
+             |  FROM documents
+             |)
+             |SELECT lang, CAST(FLOOR(cb / 8192.0) AS BIGINT) AS file_id,
+             |  count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bytes,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY 1, 2 ORDER BY lang, file_id""".stripMargin),
       bench = false)
   )
 }

@@ -69,4 +69,68 @@ class NewOpsR8Spec extends SparkSpec {
     rows.count(r => r.getAs[Double]("y") != r.getAs[Double]("trend")) should
       be > 0
   }
+
+  test("curation_quota_sample: greedy fill matches a driver-side " +
+      "recompute; every source stops under budget") {
+    val budget = 600L
+    val got = SparkEntry.queries("curation_quota_sample")(spark, sf).collect()
+    // independent recompute: same features, driver-side sort + prefix
+    val f = operators.TextAnalysis.qualityFeatures(col("text"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          operators.TextAnalysis.tokens(col("text"))).cast("long"),
+        util.Det.toFixed(f.getField("quality_score"), 6))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val ordered = ds.sortBy { case (_, id, _, q) => (-q, id) }
+      val cums = ordered.scanLeft(0L)(_ + _._3).init
+      ordered.zip(cums).collect {
+        case ((_, id, nt, _), cb) if cb < budget => (src, id, nt, cb)
+      }
+    }.toSet
+    got.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(4))).toSet shouldBe expect
+    // kept mass before the last document is under budget for EVERY source
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      rows.map(_.getAs[Long]("cum_before")).max should be < budget
+    }
+    // and something was dropped (the budget bites on the fixtures)
+    got.length should be < docs.length
+  }
+
+  test("layout_file_compaction: sequential packing invariants") {
+    val target = 8192L
+    val rows = SparkEntry.queries("layout_file_compaction")(spark, sf)
+      .collect()
+    val byLang = rows.groupBy(_.getString(0))
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    byLang.foreach { case (lang, fs) =>
+      val sorted = fs.sortBy(_.getAs[Long]("file_id"))
+      // file ids are a dense 0..n-1 sequence per lang
+      sorted.map(_.getAs[Long]("file_id")).toSeq shouldBe
+        sorted.indices.map(_.toLong)
+      // files tile the doc_id range: each file's first doc follows the
+      // previous file's last
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          b.getAs[Long]("first_doc") should be > a.getAs[Long]("last_doc")
+        case _ =>
+      }
+      // a file overflows target by at most its boundary document, and a
+      // non-last file undershoots by at most the PREVIOUS file's
+      // boundary overflow (its first doc starts within maxDoc after the
+      // band start) — so sizes live in (target - maxDoc, target + maxDoc)
+      val langDocs = docs.filter(_._1 == lang)
+      val maxDoc = langDocs.map(_._3).max
+      sorted.foreach(_.getAs[Long]("bytes") should be <= (target + maxDoc))
+      sorted.init.foreach(_.getAs[Long]("bytes") should be >= (target - maxDoc))
+      // manifest covers every document exactly once
+      sorted.map(_.getAs[Long]("n_docs")).sum shouldBe langDocs.length
+      sorted.map(_.getAs[Long]("bytes")).sum shouldBe langDocs.map(_._3).sum
+    }
+  }
 }
