@@ -338,6 +338,29 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** [[VectorOps.qualityCounts]]: one-pass (n_chars, n_tokens, n_ws,
+    * n_alnum) over a text column — replaces the 3-regex + split chain of
+    * the quality scorer (same results, one byte scan, no allocation). */
+  case class QualityCounts(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "string", child.dataType == StringType,
+        child.dataType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_chars", LongType),
+      StructField("n_tokens", LongType),
+      StructField("n_ws", LongType),
+      StructField("n_alnum", LongType)))
+    override def prettyName: String = "quality_counts"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorOps.qualityCounts(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.qualityCounts($a);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Hilbert-curve cell index of two LONG dimension keys (see
     * VectorOps.hilbertKey). A pure-Column formulation would nest the
     * per-level rotation conditionals ~2^order deep (each level reads the
@@ -422,6 +445,8 @@ object VectorExpressions {
     GraftBridge.column(WordShinglesAll(GraftBridge.expression(text), k))
   def aHashBands(payload: Column): Column =
     GraftBridge.column(AHashBands(GraftBridge.expression(payload)))
+  def qualityCounts(text: Column): Column =
+    GraftBridge.column(QualityCounts(GraftBridge.expression(text)))
   def hilbertKey(x: Column, y: Column, order: Int): Column =
     // cast here, not just in Layout/SQL: the kernel assumes LongType and
     // a non-long column would ClassCastException on the interpreted path

@@ -40,14 +40,25 @@ object TextAnalysis {
   }
 
   /** Heuristic quality features + score (length, word shape, punctuation).
-    * Returns a struct; callers select the fields they need. */
+    * Returns a struct; callers select the fields they need.
+    *
+    * Counting backend (round 8): ONE byte-scan kernel
+    * ([[graft.functions.VectorOps.qualityCounts]]) instead of the
+    * original `length(regexp_replace(...))` ×2 + `size(split(...))`
+    * chain — same values bit-for-bit ([[TextAnalysisSpec]] pins the
+    * parity on adversarial inputs), ~10× cheaper per row: quality
+    * scoring was the whole cost of curation_quota_sample at the 100×
+    * slice (50 s → regex-bound). CollapseProject re-inlines the struct
+    * per referenced field; the kernel is cheap enough that the repeated
+    * scan still beats one regex pass (the QuantStats precedent). */
   def qualityFeatures(text: Column): Column = {
-    val nChars = length(text).cast("double")
-    val toks = tokens(text)
-    val nTokens = size(toks).cast("double")
-    val lettersOnly = length(regexp_replace(text, "\\s", "")).cast("double")
+    val qc = graft.functions.VectorExpressions.qualityCounts(text)
+    val nChars = qc.getField("n_chars").cast("double")
+    val nTokens = qc.getField("n_tokens").cast("double")
+    val lettersOnly = (qc.getField("n_chars") - qc.getField("n_ws")).cast("double")
     val avgWordLen = when(nTokens > 0, lettersOnly / nTokens).otherwise(lit(0.0))
-    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double")
+    val punct = (qc.getField("n_chars") - qc.getField("n_alnum") -
+      qc.getField("n_ws")).cast("double")
     val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
     val score =
       lit(1.0) / (lit(1.0) + exp(-(lit(0.01) * nTokens + lit(1.0) * avgWordLen

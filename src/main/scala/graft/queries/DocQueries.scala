@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.util.Det
 import graft.util.Stage.StageOps
 import org.apache.spark.sql.Column
@@ -990,6 +990,130 @@ object DocQueries {
              |  CAST(SUM(s_int) AS DOUBLE) / 1000000000 AS bm25
              |FROM scored GROUP BY doc_id
              |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+      },
+      bench = false),
+
+    // ---- Hybrid retrieval: BM25 lexical ranking fused with dense cosine
+    //      ranking by reciprocal-rank fusion (RRF, k=60) — the standard
+    //      two-ranker front-end of a RAG / training-data search stack.
+    //      Each ranker first cuts a bounded top-50 shortlist with a
+    //      DISTRIBUTED reduction (BM25: TakeOrdered over the scored agg;
+    //      dense: per-qid WindowGroupLimit), so everything downstream of
+    //      the corpus-scale work is ≤50 rows per ranker. The lexical
+    //      shortlist is ranked by a broadcast triangular count-join, not
+    //      a window — the catalog's no-unpartitioned-window rule holds
+    //      even on bounded inputs. RRF terms 1/(60+rank) are IEEE
+    //      divisions of exact integer ranks added in a fixed order, so
+    //      the fused score is cross-engine bit-identical. ----
+    QueryDef("text_hybrid_rrf",
+      (s, d) => {
+        val terms = Seq("join", "hash", "scan")
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+          .stageShare()
+        val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val tf = toks.where(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val k1 = lit(1.2)
+        val b = lit(0.75)
+        val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+        val idf = log(
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0))
+        val norm = col("tf").cast("double") * (k1 + lit(1.0)) /
+          (col("tf").cast("double") +
+            k1 * (lit(1.0) - b + b * col("dl").cast("double") / avgdl))
+        // shortlist shared by both sides of the rank self-join (the
+        // whole BM25 pipeline would otherwise run twice)
+        val bmTop = tf.join(broadcast(dfreq), Seq("tok"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(corpus))
+          .select(col("doc_id"), Det.toFixed(idf * norm, 9).as("s_int"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("s_int")).as("si"))
+          .orderBy(col("si").desc, col("doc_id")).limit(50)
+          .stageShare()
+        // rank within the ≤50-row shortlist: rank(x) = #{y ordered at
+        // or before x} under (si desc, doc_id) — row_number semantics
+        val lexRank = bmTop.as("x")
+          .join(broadcast(bmTop.as("y")),
+            col("y.si") > col("x.si") ||
+              (col("y.si") === col("x.si") &&
+                col("y.doc_id") <= col("x.doc_id")))
+          .groupBy(col("x.doc_id"))
+          .agg(count(lit(1)).as("rank_bm25"))
+        // dense ranker: one standing query vector (vec_id 0; the doc_id
+        // and vec_id spaces are parallel). bruteForceTopK excludes the
+        // query vector itself from its neighbor list.
+        val qv = Tables.embeddings(s, d).where(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val denseRank = Similarity
+          .bruteForceTopK(Tables.embeddings(s, d), qv, k = 50)
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").cast("bigint").as("rank_cos"))
+        lexRank.join(denseRank, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("rank_bm25"), col("rank_cos"),
+            (coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rank_cos")), lit(0.0)))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      },
+      oracle = Some {
+        val idfSql = "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))" +
+          " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))"
+        val normSql = "CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))" +
+          " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)" +
+          " + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        val cosSql =
+          """list_sum(list_transform(list_zip(q.embedding, c.embedding),
+            |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            |  / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            |   * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+        raw"""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents
+             |),
+             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+             |corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+             |tf AS (
+             |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+             |  WHERE tok IN ('join', 'hash', 'scan') GROUP BY doc_id, tok
+             |),
+             |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+             |scored AS (
+             |  SELECT tf.doc_id,
+             |    ${Det.toFixedSql(s"($idfSql) * ($normSql)", 9)} AS s_int
+             |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+             |),
+             |bm AS (
+             |  SELECT doc_id, CAST(SUM(s_int) AS BIGINT) AS si
+             |  FROM scored GROUP BY doc_id
+             |  ORDER BY si DESC, doc_id LIMIT 50
+             |),
+             |lex AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY si DESC, doc_id) AS rank_bm25
+             |  FROM bm
+             |),
+             |dscored AS (
+             |  SELECT c.vec_id AS doc_id,
+             |    ${Det.fixedSql(cosSql, 6)} AS cos
+             |  FROM embeddings q JOIN embeddings c
+             |    ON q.vec_id = 0 AND c.vec_id <> 0
+             |),
+             |dranked AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_cos
+             |  FROM dscored
+             |),
+             |dense AS (SELECT doc_id, rank_cos FROM dranked WHERE rank_cos <= 50)
+             |SELECT doc_id, rank_bm25, rank_cos,
+             |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_bm25), CAST(0.0 AS DOUBLE)) +
+             |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_cos), CAST(0.0 AS DOUBLE)) AS rrf
+             |FROM lex FULL OUTER JOIN dense USING (doc_id)
+             |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
       },
       bench = false),
 

@@ -386,6 +386,90 @@ object EmbedQueries {
            |  ${Det.fixedSql("max(norm)", 6)} AS max_norm
            |FROM norms GROUP BY label ORDER BY label""".stripMargin)),
 
+    // ---- Embedding centroid drift: per-label cosine + L2 shift between
+    //      the centroids of two corpus snapshots (vec_id parity stands in
+    //      for before/after embedding batches) — the embedding-space
+    //      drift monitor of a continuously-re-embedded pipeline, the
+    //      vector sibling of stats_psi_drift. One corpus pass: per-dim
+    //      sums shuffle only (label, side, dim) cells; everything after
+    //      is label×dim-bounded. Per-dim sums are integerized (exact
+    //      BIGINT), centroid components are IEEE ratios of exact
+    //      integers, and the cross-centroid dot/norm terms re-integerize
+    //      per dimension before the final reduce — bit-identical across
+    //      engines and partitionings. (At 1e10+ rows per label·dim cell,
+    //      swap toFixed for toFixedWide: the long sum clamps at 9.2e18.) ----
+    QueryDef("embed_centroid_drift",
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+        val cnt = base.groupBy(col("label")).agg(
+          count(when(col("vec_id") % 2 === 0, lit(1))).as("n_a"),
+          count(when(col("vec_id") % 2 === 1, lit(1))).as("n_b"))
+        val x = base.select(col("label"), (col("vec_id") % 2).as("side"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("j", "v")))
+        val sums = x.groupBy(col("label"), col("j")).agg(
+          sum(when(col("side") === 0, Det.toFixed(col("v"), 7))).as("sa"),
+          sum(when(col("side") === 1, Det.toFixed(col("v"), 7))).as("sb"))
+        val m = sums.join(broadcast(cnt), Seq("label"))
+          .select(col("label"),
+            (col("sa").cast("double") / (col("n_a") * lit(1e7))).as("ma"),
+            (col("sb").cast("double") / (col("n_b") * lit(1e7))).as("mb"))
+        m.groupBy(col("label")).agg(
+          sum(Det.toFixed(col("ma") * col("mb"), 9)).as("dot_i"),
+          sum(Det.toFixed(col("ma") * col("ma"), 9)).as("a2_i"),
+          sum(Det.toFixed(col("mb") * col("mb"), 9)).as("b2_i"),
+          sum(Det.toFixed((col("ma") - col("mb")) * (col("ma") - col("mb")), 9))
+            .as("l2_i"))
+          .join(broadcast(cnt), Seq("label"))
+          .select(col("label"), col("n_a"), col("n_b"),
+            ((col("dot_i").cast("double") / lit(1e9)) /
+              (sqrt(col("a2_i").cast("double") / lit(1e9)) *
+                sqrt(col("b2_i").cast("double") / lit(1e9))))
+              .as("cos_centroid"),
+            sqrt(col("l2_i").cast("double") / lit(1e9)).as("l2_shift"))
+          .orderBy(col("label"))
+      },
+      oracle = Some(
+        s"""WITH cnt AS (
+           |  SELECT label,
+           |    COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_a,
+           |    COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_b
+           |  FROM embeddings GROUP BY label
+           |),
+           |x AS (
+           |  SELECT label, vec_id % 2 AS side,
+           |    unnest(range(0, len(embedding))) AS j,
+           |    unnest(list_transform(embedding, t -> CAST(t AS DOUBLE))) AS v
+           |  FROM embeddings
+           |),
+           |sums AS (
+           |  SELECT label, j,
+           |    CAST(SUM(CASE WHEN side = 0 THEN ${Det.toFixedSql("v", 7)} END) AS BIGINT) AS sa,
+           |    CAST(SUM(CASE WHEN side = 1 THEN ${Det.toFixedSql("v", 7)} END) AS BIGINT) AS sb
+           |  FROM x GROUP BY label, j
+           |),
+           |m AS (
+           |  SELECT s.label,
+           |    CAST(sa AS DOUBLE) / (n_a * CAST(10000000 AS DOUBLE)) AS ma,
+           |    CAST(sb AS DOUBLE) / (n_b * CAST(10000000 AS DOUBLE)) AS mb
+           |  FROM sums s JOIN cnt USING (label)
+           |),
+           |agg AS (
+           |  SELECT label,
+           |    CAST(SUM(${Det.toFixedSql("ma * mb", 9)}) AS BIGINT) AS dot_i,
+           |    CAST(SUM(${Det.toFixedSql("ma * ma", 9)}) AS BIGINT) AS a2_i,
+           |    CAST(SUM(${Det.toFixedSql("mb * mb", 9)}) AS BIGINT) AS b2_i,
+           |    CAST(SUM(${Det.toFixedSql("(ma - mb) * (ma - mb)", 9)}) AS BIGINT) AS l2_i
+           |  FROM m GROUP BY label
+           |)
+           |SELECT label, n_a, n_b,
+           |  (CAST(dot_i AS DOUBLE) / 1000000000) /
+           |    (sqrt(CAST(a2_i AS DOUBLE) / 1000000000) *
+           |     sqrt(CAST(b2_i AS DOUBLE) / 1000000000)) AS cos_centroid,
+           |  sqrt(CAST(l2_i AS DOUBLE) / 1000000000) AS l2_shift
+           |FROM agg JOIN cnt USING (label)
+           |ORDER BY label""".stripMargin),
+      bench = false),
+
     // ---- exact brute-force cosine top-k (the correctness baseline) ----
     QueryDef("ann_cosine_topk",
       (s, d) => Similarity.bruteForceTopK(

@@ -133,4 +133,101 @@ class NewOpsR8Spec extends SparkSpec {
       sorted.map(_.getAs[Long]("bytes")).sum shouldBe langDocs.map(_._3).sum
     }
   }
+
+  // HALF_UP fixed-point identical to Det.toFixed/Det.fixed on the same
+  // double (NOTES round-3: BigDecimal expansion == the FixedLong kernel)
+  private def fxLong(x: Double, scale: Int): Long =
+    BigDecimal(x * math.pow(10, scale.toDouble))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("text_hybrid_rrf: fused score identity, and both rank columns" +
+      " match independent re-rankings") {
+    val rows = SparkEntry.queries("text_hybrid_rrf")(spark, sf).collect()
+    rows.length should be > 0
+    rows.length should be <= 20
+    // RRF identity from the emitted ranks
+    rows.foreach { r =>
+      val rb = Option(r.getAs[java.lang.Long]("rank_bm25")).map(_.toLong)
+      val rc = Option(r.getAs[java.lang.Long]("rank_cos")).map(_.toLong)
+      (rb orElse rc).isDefined shouldBe true
+      val expect = rb.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+        rc.map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      r.getAs[Double]("rrf") shouldBe expect
+    }
+    // fused order is non-increasing
+    rows.map(_.getAs[Double]("rrf")).sliding(2).foreach {
+      case Array(a, b) => a should be >= b
+      case _ =>
+    }
+    // lexical ranks agree with the catalog's own BM25 top-50 ordering
+    val bmOrder = SparkEntry.queries("text_bm25_topk")(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).zipWithIndex
+      .map { case (id, i) => id -> (i + 1).toLong }.toMap
+    rows.foreach { r =>
+      Option(r.getAs[java.lang.Long]("rank_bm25")).foreach { rb =>
+        bmOrder(r.getAs[Long]("doc_id")) shouldBe rb.toLong
+      }
+    }
+    // dense ranks agree with an in-memory cosine ranking against vec 0
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    val q = embs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val denseRank = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, fxLong(cos(q, v), 6)) }
+      .sortBy { case (id, c6) => (-c6, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    rows.foreach { r =>
+      Option(r.getAs[java.lang.Long]("rank_cos")).foreach { rc =>
+        denseRank(r.getAs[Long]("doc_id")) shouldBe rc.toLong
+      }
+    }
+  }
+
+  test("embed_centroid_drift matches an in-memory integerized recompute" +
+      " exactly") {
+    val got = SparkEntry.queries("embed_centroid_drift")(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("cos_centroid"), r.getAs[Double]("l2_shift"))))
+      .toMap
+    val byLabel = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+      .groupBy(_._1)
+    got.keySet shouldBe byLabel.keySet
+    byLabel.foreach { case (label, rows) =>
+      val a = rows.filter(_._2 % 2 == 0).map(_._3)
+      val b = rows.filter(_._2 % 2 == 1).map(_._3)
+      val (nA, nB, cosC, l2) = got(label)
+      nA shouldBe a.length
+      nB shouldBe b.length
+      val dim = rows.head._3.length
+      def centroid(vs: Array[Array[Double]]): Array[Double] =
+        Array.tabulate(dim) { j =>
+          vs.map(v => fxLong(v(j), 7)).sum.toDouble / (vs.length * 1e7)
+        }
+      val ma = centroid(a)
+      val mb = centroid(b)
+      var dotI = 0L; var a2I = 0L; var b2I = 0L; var l2I = 0L
+      (0 until dim).foreach { j =>
+        dotI += fxLong(ma(j) * mb(j), 9)
+        a2I += fxLong(ma(j) * ma(j), 9)
+        b2I += fxLong(mb(j) * mb(j), 9)
+        l2I += fxLong((ma(j) - mb(j)) * (ma(j) - mb(j)), 9)
+      }
+      cosC shouldBe (dotI.toDouble / 1e9) /
+        (math.sqrt(a2I.toDouble / 1e9) * math.sqrt(b2I.toDouble / 1e9))
+      l2 shouldBe math.sqrt(l2I.toDouble / 1e9)
+      cosC should (be >= -1.0 and be <= 1.0 + 1e-9)
+      l2 should be >= 0.0
+    }
+  }
 }

@@ -35,6 +35,44 @@ class TextAnalysisSpec extends SparkSpec {
     r("soup") should (be >= 0.0 and be <= 1.0)
   }
 
+  test("qualityCounts kernel == the regex/split chain it replaced," +
+      " on fixture text and adversarial inputs") {
+    // the legacy formulation, kept verbatim as the parity reference
+    val F = org.apache.spark.sql.functions
+    def legacy(text: org.apache.spark.sql.Column) = struct(
+      F.length(text).cast("long").as("n_chars"),
+      F.size(F.split(F.trim(text), "\\s+")).cast("long").as("n_tokens"),
+      F.length(F.regexp_replace(text, "\\s", "")).cast("long").as("lo"),
+      F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("long").as("pu"))
+    def kernel(text: org.apache.spark.sql.Column) = {
+      val qc = graft.functions.VectorExpressions.qualityCounts(text)
+      struct(
+        qc.getField("n_chars").as("n_chars"),
+        qc.getField("n_tokens").as("n_tokens"),
+        (qc.getField("n_chars") - qc.getField("n_ws")).as("lo"),
+        (qc.getField("n_chars") - qc.getField("n_alnum") -
+          qc.getField("n_ws")).as("pu"))
+    }
+    val adversarial = Seq(
+      "", " ", "   ", "\t", "\ta b\t", " \t leading tab", "x",
+      "a  b\n\nc", "tab\tsep\ttoks", "\n", "ab\fc\rd",
+      "ünïcödé wörds häre", "中文 没有 空格", "mixed 中文 and ascii",
+      "punct!!! @#$ %^& *()", "123 456a a1b2", "trailing spaces   ",
+      "\r\n\r\n", "a" * 5000 + " " + "b" * 5000)
+      .toDF("text")
+    val fixture = Tables.documents(spark, sf).select(col("text"))
+    Seq(adversarial, fixture).foreach { df =>
+      val diff = df.select(legacy(col("text")).as("l"), kernel(col("text")).as("k"))
+        .where(col("l") =!= col("k"))
+      diff.count() shouldBe 0L
+    }
+    // null passes through (struct-null, matching the legacy chain's nulls)
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(graft.functions.VectorExpressions.qualityCounts(col("text")).as("k"))
+      .collect().head
+    nullRow.isNullAt(0) shouldBe true
+  }
+
   test("fingerprint collapses case/whitespace variants, separates real edits") {
     val r = Seq(
       (1L, "Hello   World"),
