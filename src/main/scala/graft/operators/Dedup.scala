@@ -188,19 +188,18 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** md5-family twin of [[nearDuplicatePairs]]: the SAME banded-LSH
-    * dataflow, but every hash is derived from md5 — h = first 15 hex
-    * chars of md5(shingle) as a 60-bit int, Kirsch-Mitzenmacher
-    * g_i = (h>>30 + i*(h & 2^30-1)) mod p over its 30-bit halves — so a
-    * SQL engine with md5 + hex parsing (DuckDB: ('0x'||…)::BIGINT)
-    * recomputes IDENTICAL signatures, buckets, candidates and verified
-    * pairs. ~10x the murmur kernel's per-shingle cost: use for oracle
-    * validation, keep [[nearDuplicatePairs]] as the throughput path.
-    * Returns (a, b, jaccard), a < b. */
-  def nearDuplicatePairsMd5(
+  /** The shared md5-LSH front-end: staged `(id, sh)` (persisted — read
+    * by the bucket self-join and by every caller-side verify join) and
+    * the banded candidate pairs (a < b). The signature — md5 per
+    * shingle + the numHashes-member Kirsch-Mitzenmacher family — is ONE
+    * codegen kernel call ([[graft.functions.VectorOps.md5MinhashSig]],
+    * bit-identical to the former conv(substring(md5…)) +
+    * nested-transform HOF chain that evaluated numHashes × |sh|
+    * interpreted lambdas per row). Exposed so the recall/precision eval
+    * harness can see RAW candidates, not just verified pairs. */
+  def md5StagedAndCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, shingleK: Int = 3,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      shingleK: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // identical semantics to array_distinct(transform(sequence…,
@@ -208,13 +207,6 @@ object Dedup {
     // one codegen loop instead of an interpreted per-shingle slice+concat
     val shingles =
       graft.functions.VectorExpressions.wordShingles(col(textCol), shingleK)
-    // staged (id, sh) persisted: read by both sides of the bucket
-    // self-join and the verify join (see Cache ownership note above).
-    // The signature — md5 per shingle + the numHashes-member hash family
-    // — is ONE codegen kernel call ([[graft.functions.VectorOps
-    // .md5MinhashSig]], bit-identical to the former
-    // conv(substring(md5…)) + nested-transform HOF chain that evaluated
-    // numHashes × |sh| interpreted lambdas per row).
     val staged = docs
       .select(col(idCol).as("id"), shingles.as("sh"))
       .persist()
@@ -233,8 +225,71 @@ object Dedup {
         Seq("band", "bucket"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+    (staged, cand)
+  }
+
+  /** md5-family twin of [[nearDuplicatePairs]]: the SAME banded-LSH
+    * dataflow, but every hash is derived from md5 — h = first 15 hex
+    * chars of md5(shingle) as a 60-bit int, Kirsch-Mitzenmacher
+    * g_i = (h>>30 + i*(h & 2^30-1)) mod p over its 30-bit halves — so a
+    * SQL engine with md5 + hex parsing (DuckDB: ('0x'||…)::BIGINT)
+    * recomputes IDENTICAL signatures, buckets, candidates and verified
+    * pairs. ~10x the murmur kernel's per-shingle cost: use for oracle
+    * validation, keep [[nearDuplicatePairs]] as the throughput path.
+    * Returns (a, b, jaccard), a < b. */
+  def nearDuplicatePairsMd5(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleK: Int = 3,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val (staged, cand) =
+      md5StagedAndCandidates(docs, idCol, textCol, shingleK, numHashes, bands)
     val sh = staged.select(col("id"), col("sh"))
     cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** EXACT Jaccard near-dup pairs via inverted-index blocking: every
+    * pair sharing ≥ 1 shingle whose document frequency is ≤
+    * `maxShingleDf`, verified with exact shingle Jaccard ≥ `threshold`.
+    * The ground-truth side of the LSH eval harness. Blocking is sound
+    * for near-dup thresholds: a pair at Jaccard ≥ t shares ≥
+    * t/(1+t)·|union| shingles, so unless EVERY shared shingle is
+    * hotter than the cap (boilerplate-only overlap — which the LSH
+    * path's maxBucketSize discards too), the pair lands in ≥ 1 block.
+    * Cost model is dedup_containment's: Σ_shingle df² over rare
+    * shingles, duplicate-mass-proportional, never corpus-quadratic.
+    * Join keys are xxhash64(shingle) — 8-byte shuffle rows; the df
+    * count runs on the same hashed keys (collision odds as accepted in
+    * [[containmentPairs]]). Returns (a, b, jaccard), a < b. */
+  def exactJaccardPairsBlocked(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Int = 20): DataFrame = {
+    val shingles =
+      graft.functions.VectorExpressions.wordShingles(col(textCol), shingleK)
+    val staged = docs
+      .select(col(idCol).as("id"), shingles.as("sh"))
+      .persist()
+    val ex = staged
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val rare = ex.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleDf)
+      .select(col("h"))
+    val blocked = ex.join(rare, Seq("h")).persist()
+    val pairs = blocked.select(col("h"), col("id").as("a"))
+      .join(blocked.select(col("h"), col("id").as("b")), Seq("h"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sh = staged.select(col("id"), col("sh"))
+    pairs
       .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
       .withColumn("jaccard",

@@ -493,6 +493,108 @@ object DocQueries {
              |ORDER BY doc_id""".stripMargin),
       bench = false),
 
+    // ---- LSH quality-evaluation harness: recall / precision of the
+    //      banded-MinHash candidate set against an exact blocked-Jaccard
+    //      ground truth (pairs sharing ≥1 rare shingle, df ≤ 20, exact
+    //      Jaccard ≥ 0.5). The question a pipeline owner asks before
+    //      trusting near-dedup at 100 TB: "what fraction of true dups do
+    //      4 bands × 4 rows catch, and how much verify work do false
+    //      candidates cost?" Both sides are bounded self-joins (band
+    //      buckets / rare-shingle blocks — never corpus-quadratic);
+    //      the metric joins run on pair keys, counts are exact ints,
+    //      ratios pure IEEE division — bit-identical cross-engine.
+    //      Truth re-stages shingles rather than sharing the LSH stage:
+    //      an eval runs once per config sweep, and the two stages'
+    //      lifetimes differ (the LSH stage persists into production). ----
+    QueryDef("dedup_lsh_eval",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (_, cand) = Dedup.md5StagedAndCandidates(
+          docs, "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
+        val truth = Dedup.exactJaccardPairsBlocked(
+          docs, "doc_id", "text", shingleK = 3, threshold = 0.5,
+          maxShingleDf = 20).select(col("a"), col("b"))
+        val nc = cand.agg(count(lit(1)).as("n_cand"))
+        val nt = truth.agg(count(lit(1)).as("n_true"))
+        val nh = cand.join(truth, Seq("a", "b"))
+          .agg(count(lit(1)).as("n_hit"))
+        val rec = when(col("n_true") > 0,
+          col("n_hit").cast("double") / col("n_true").cast("double"))
+          .otherwise(lit(0.0))
+        val prec = when(col("n_cand") > 0,
+          col("n_hit").cast("double") / col("n_cand").cast("double"))
+          .otherwise(lit(0.0))
+        nt.crossJoin(nc).crossJoin(nh)
+          .select(col("n_true"), col("n_cand"), col("n_hit"),
+            rec.as("recall"), prec.as("precision"))
+          .withColumn("f1",
+            when(col("recall") + col("precision") > 0,
+              lit(2.0) * col("recall") * col("precision") /
+                (col("recall") + col("precision")))
+              .otherwise(lit(0.0)))
+      },
+      oracle = Some(
+        raw"""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(t) - 1),
+             |        i -> array_to_string(t[i:i+2], ' ')))
+             |    ELSE CAST([] AS VARCHAR[]) END AS sh
+             |  FROM toks
+             |), hs AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(sh, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS harr
+             |  FROM sh
+             |), sigs AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 16), i -> list_min(list_transform(harr,
+             |      h -> ((h >> 30) + i * (h & 1073741823)) % 1073741789))) AS sig
+             |  FROM hs WHERE len(sh) > 0
+             |), buckets AS (
+             |  SELECT s.doc_id, b.band,
+             |    array_to_string(s.sig[b.band*4+1 : b.band*4+4], ',') AS bucket
+             |  FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+             |), cand AS (
+             |  SELECT l.doc_id AS a, r.doc_id AS b
+             |  FROM buckets l JOIN buckets r USING (band, bucket)
+             |  WHERE l.doc_id < r.doc_id
+             |  GROUP BY 1, 2
+             |), ex AS (
+             |  SELECT doc_id, unnest(sh) AS s FROM sh
+             |), rare AS (
+             |  SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 20
+             |), bl AS (
+             |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             |  FROM ex l JOIN rare USING (s) JOIN ex r USING (s)
+             |  WHERE l.doc_id < r.doc_id
+             |), truth AS (
+             |  SELECT bl.a, bl.b
+             |  FROM bl JOIN sh x ON x.doc_id = bl.a JOIN sh y ON y.doc_id = bl.b
+             |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5
+             |), m AS (
+             |  SELECT
+             |    (SELECT COUNT(*) FROM truth) AS n_true,
+             |    (SELECT COUNT(*) FROM cand) AS n_cand,
+             |    (SELECT COUNT(*) FROM cand JOIN truth USING (a, b)) AS n_hit
+             |), pr AS (
+             |  SELECT n_true, n_cand, n_hit,
+             |    CASE WHEN n_true > 0
+             |      THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+             |      ELSE CAST(0.0 AS DOUBLE) END AS recall,
+             |    CASE WHEN n_cand > 0
+             |      THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)
+             |      ELSE CAST(0.0 AS DOUBLE) END AS precision
+             |  FROM m
+             |)
+             |SELECT n_true, n_cand, n_hit, recall, precision,
+             |  CASE WHEN recall + precision > 0
+             |    THEN CAST(2.0 AS DOUBLE) * recall * precision / (recall + precision)
+             |    ELSE CAST(0.0 AS DOUBLE) END AS f1
+             |FROM pr""".stripMargin),
+      bench = false),
+
     // ---- the END-TO-END dedup pipeline, composed from the verified
     //      stages: MinHash-LSH candidates (md5 family — exact-twin) →
     //      shingle-Jaccard verify → large-star/small-star connected

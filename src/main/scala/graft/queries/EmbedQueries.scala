@@ -470,6 +470,88 @@ object EmbedQueries {
            |ORDER BY label""".stripMargin),
       bench = false),
 
+    // ---- Embedding outlier scrub: per-label diagonal-covariance
+    //      Mahalanobis² score, top-50 outliers — the "drop broken
+    //      embeddings before training" curation op (mis-encoded rows,
+    //      collapsed vectors, wrong-label strays all surface as large
+    //      z²-sums). Two corpus passes, both scale-safe: (1) per-dim
+    //      suffstats reduce to label×dim cells (integerized BIGINT sums;
+    //      at 1e10+ rows/label·dim swap scale-12 v² sums for
+    //      toFixedWide); (2) a broadcast join of the label-bounded
+    //      stats-array table, then a ROW-LOCAL zip_with/aggregate kernel
+    //      — no second corpus shuffle at all, the TakeOrdered top-50 is
+    //      the only reduction. The per-dim z² terms integerize at scale
+    //      6 before the array-order long sum, so the score — and the
+    //      (score, vec_id) ranking — is bit-identical cross-engine.
+    //      Variance comes from exact integer sums (E[v²]−m², population);
+    //      zero-variance dims contribute 0 by convention. ----
+    QueryDef("embed_outlier_mahalanobis",
+      (s, d) => {
+        val x = Tables.embeddings(s, d).select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("j", "v")))
+        val stats = x.groupBy(col("label"), col("j")).agg(
+          count(lit(1)).as("n"),
+          sum(Det.toFixed(col("v"), 7)).as("sa"),
+          sum(Det.toFixed(col("v") * col("v"), 12)).as("sq"))
+        val m = col("sa").cast("double") / (col("n") * lit(1e7))
+        val st2 = stats.select(col("label"), col("j"), m.as("m"),
+          (col("sq").cast("double") / (col("n") * lit(1e12)) - m * m).as("s2"))
+        // label-bounded arrays, dim-ordered: struct sort key is (j, …), j
+        // unique per label, so collect_list order cannot leak through
+        val arrs = st2.groupBy(col("label")).agg(
+          transform(array_sort(collect_list(struct(col("j"), col("m"), col("s2")))),
+            e => e.getField("m")).as("means"),
+          transform(array_sort(collect_list(struct(col("j"), col("m"), col("s2")))),
+            e => e.getField("s2")).as("vars"))
+        val terms = zip_with(
+          zip_with(col("embedding").cast("array<double>"), col("means"),
+            (v, mm) => v - mm),
+          col("vars"),
+          (dm, s2) => Det.toFixed(
+            when(s2 > 0, dm * dm / s2).otherwise(lit(0.0)), 6))
+        Tables.embeddings(s, d).join(broadcast(arrs), Seq("label"))
+          .select(col("vec_id"), col("label"),
+            (aggregate(terms, lit(0L), (acc, t) => acc + t).cast("double") /
+              lit(1e6)).as("maha2"))
+          .orderBy(col("maha2").desc, col("vec_id")).limit(50)
+      },
+      oracle = Some(
+        s"""WITH x AS (
+           |  SELECT vec_id, label,
+           |    unnest(range(0, len(embedding))) AS j,
+           |    unnest(list_transform(embedding, t -> CAST(t AS DOUBLE))) AS v
+           |  FROM embeddings
+           |),
+           |stats AS (
+           |  SELECT label, j, COUNT(*) AS n,
+           |    CAST(SUM(${Det.toFixedSql("v", 7)}) AS BIGINT) AS sa,
+           |    CAST(SUM(${Det.toFixedSql("v * v", 12)}) AS BIGINT) AS sq
+           |  FROM x GROUP BY label, j
+           |),
+           |st2 AS (
+           |  SELECT label, j,
+           |    CAST(sa AS DOUBLE) / (n * CAST(10000000 AS DOUBLE)) AS m,
+           |    CAST(sq AS DOUBLE) / (n * CAST(1000000000000 AS DOUBLE))
+           |      - (CAST(sa AS DOUBLE) / (n * CAST(10000000 AS DOUBLE)))
+           |        * (CAST(sa AS DOUBLE) / (n * CAST(10000000 AS DOUBLE))) AS s2
+           |  FROM stats
+           |),
+           |terms AS (
+           |  SELECT x.vec_id,
+           |    ${Det.toFixedSql(
+                  "CASE WHEN s2 > 0 THEN (v - m) * (v - m) / s2 ELSE 0.0 END", 6)} AS t
+           |  FROM x JOIN st2 USING (label, j)
+           |),
+           |sc AS (
+           |  SELECT vec_id, CAST(SUM(t) AS BIGINT) AS ti
+           |  FROM terms GROUP BY vec_id
+           |)
+           |SELECT e.vec_id, e.label,
+           |  CAST(ti AS DOUBLE) / 1000000 AS maha2
+           |FROM sc JOIN embeddings e USING (vec_id)
+           |ORDER BY maha2 DESC, vec_id LIMIT 50""".stripMargin),
+      bench = false),
+
     // ---- exact brute-force cosine top-k (the correctness baseline) ----
     QueryDef("ann_cosine_topk",
       (s, d) => Similarity.bruteForceTopK(

@@ -230,4 +230,98 @@ class NewOpsR8Spec extends SparkSpec {
       l2 should be >= 0.0
     }
   }
+
+  test("embed_outlier_mahalanobis: top-50 and scores match a full" +
+      " in-memory integerized ranking") {
+    val got = SparkEntry.queries("embed_outlier_mahalanobis")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Double]("maha2")))
+    got.length shouldBe 50
+    val rows = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    val dim = rows.head._3.length
+    val scored = rows.groupBy(_._2).toSeq.flatMap { case (_, vs) =>
+      val n = vs.length.toLong
+      val m = Array.tabulate(dim) { j =>
+        vs.map(v => fxLong(v._3(j), 7)).sum.toDouble / (n * 1e7)
+      }
+      val s2 = Array.tabulate(dim) { j =>
+        vs.map(v => fxLong(v._3(j) * v._3(j), 12)).sum.toDouble / (n * 1e12) -
+          m(j) * m(j)
+      }
+      vs.map { case (id, label, v) =>
+        var ti = 0L
+        (0 until dim).foreach { j =>
+          val t = if (s2(j) > 0) (v(j) - m(j)) * (v(j) - m(j)) / s2(j) else 0.0
+          ti += fxLong(t, 6)
+        }
+        (id, label, ti)
+      }
+    }
+    val expect = scored.sortBy { case (id, _, ti) => (-ti, id) }.take(50)
+      .map { case (id, label, ti) => (id, label, ti.toDouble / 1e6) }
+    got.toSeq shouldBe expect
+    // a healthy corpus: the mean of a chi^2(dim) is ~dim, outliers well
+    // above; ordering already pinned, this pins the magnitude regime
+    got.head._3 should be > got.last._3 - 1e-9
+  }
+
+  test("exactJaccardPairsBlocked finds near-dups through rare-shingle" +
+      " blocks and enforces the df cap") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base),                                // near-dup group {1,2}
+      (2L, base + " iota"),
+      (3L, "one two three four five six seven"), // unrelated
+      (4L, "totally different words here again now")
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map(t => Row(t._1, t._2))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val pairs = graft.operators.Dedup.exactJaccardPairsBlocked(
+      df, "doc_id", "text", shingleK = 3, threshold = 0.5, maxShingleDf = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    pairs.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
+    // sh(1)=6 shingles, sh(2)=7, intersect=6 => 6/7
+    pairs.head._3 shouldBe 6.0 / 7.0
+    // df cap: with every shared shingle hotter than the cap, the pair
+    // has no block to meet in (documented boilerplate-only blind spot)
+    val hot = (1L to 30L).map(i => (100L + i, base)) :+ (200L, base)
+    val hotDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(hot.map(t => Row(t._1, t._2))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    graft.operators.Dedup.exactJaccardPairsBlocked(
+      hotDf, "doc_id", "text", shingleK = 3, threshold = 0.5,
+      maxShingleDf = 20).count() shouldBe 0L
+  }
+
+  test("dedup_lsh_eval: counts tie to the operator outputs and the" +
+      " ratio identities hold") {
+    val r = SparkEntry.queries("dedup_lsh_eval")(spark, sf).collect().head
+    val nTrue = r.getAs[Long]("n_true")
+    val nCand = r.getAs[Long]("n_cand")
+    val nHit = r.getAs[Long]("n_hit")
+    nHit should be <= math.min(nTrue, nCand)
+    nTrue should be > 0L // the synthetic corpus has near-dup groups
+    r.getAs[Double]("recall") shouldBe nHit.toDouble / nTrue
+    r.getAs[Double]("precision") shouldBe nHit.toDouble / nCand
+    val p = r.getAs[Double]("precision"); val rc = r.getAs[Double]("recall")
+    r.getAs[Double]("f1") shouldBe (if (p + rc > 0) 2.0 * p * rc / (p + rc) else 0.0)
+    // recall re-derived from the operators the query composes
+    val docs = Tables.documents(spark, sf)
+    val (_, cand) = graft.operators.Dedup.md5StagedAndCandidates(
+      docs, "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
+    val truth = graft.operators.Dedup.exactJaccardPairsBlocked(
+      docs, "doc_id", "text", shingleK = 3, threshold = 0.5,
+      maxShingleDf = 20).select(col("a"), col("b"))
+    truth.count() shouldBe nTrue
+    cand.count() shouldBe nCand
+    cand.join(truth, Seq("a", "b")).count() shouldBe nHit
+  }
 }
