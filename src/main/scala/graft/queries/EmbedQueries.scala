@@ -680,6 +680,89 @@ object EmbedQueries {
            |SELECT qid, rank, neighbor_id, cos FROM ranked
            |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
+    // ---- ANN quality-evaluation harness: recall@5 of the IVF index
+    //      (the designated 100 TB path) against the exact brute-force
+    //      ranking, over the standing 20-query set — the dedup_lsh_eval
+    //      sibling for similarity search: "how much recall does nProbe=4
+    //      out of 16 cells give up?" Both rankings are the
+    //      already-oracle-exact operators; the metric join runs on
+    //      (qid, neighbor_id) keys, counts are exact ints, recall is
+    //      pure IEEE division — bit-identical cross-engine. ----
+    QueryDef("ann_recall_eval",
+      (s, d) => {
+        val exact = Similarity.bruteForceTopK(
+          Tables.embeddings(s, d), queryVectors(s, d), k = 5)
+          .select(col("qid"), col("neighbor_id"))
+        val ivf = Similarity.ivfTopK(
+          Tables.embeddings(s, d), queryVectors(s, d), k = 5)
+          .select(col("qid"), col("neighbor_id"))
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val nh = ivf.join(exact, Seq("qid", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        ne.crossJoin(nh).select(col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall_at_5"))
+      },
+      oracle = Some(
+        s"""WITH bscored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+           |    ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+           |), exact AS (
+           |  SELECT qid, neighbor_id FROM (
+           |    SELECT qid, neighbor_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM bscored
+           |  ) WHERE rank <= 5
+           |),
+           |cent AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+           |  FROM (
+           |    SELECT vec_id, embedding FROM embeddings
+           |    ORDER BY (vec_id * 2654435761 + 42) % 4294967296, vec_id
+           |    LIMIT 16
+           |  )
+           |),
+           |cells AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSqlOf("e.embedding", "c.embedding")} DESC, c.cell) AS r
+           |    FROM embeddings e CROSS JOIN cent c
+           |  ) WHERE r = 1
+           |),
+           |probes AS (
+           |  SELECT qid, qvec, cell FROM (
+           |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSqlOf("q.embedding", "c.embedding")} DESC, c.cell) AS r
+           |    FROM embeddings q CROSS JOIN cent c
+           |    WHERE q.vec_id < 20
+           |  ) WHERE r <= 4
+           |),
+           |iscored AS (
+           |  SELECT p.qid, ce.vec_id AS neighbor_id,
+           |    ${Det.fixedSql(cosSqlOf("p.qvec", "ce.embedding"), 6)} AS cos
+           |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.qid
+           |),
+           |ivf AS (
+           |  SELECT qid, neighbor_id FROM (
+           |    SELECT qid, neighbor_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM iscored
+           |  ) WHERE rank <= 5
+           |),
+           |m AS (
+           |  SELECT
+           |    (SELECT COUNT(*) FROM exact) AS n_exact,
+           |    (SELECT COUNT(*) FROM ivf JOIN exact USING (qid, neighbor_id)) AS n_hit
+           |)
+           |SELECT n_exact, n_hit,
+           |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_at_5
+           |FROM m""".stripMargin),
+      bench = false),
+
     // ---- k-NN JOIN (kNN-graph build): every vector's top-3 neighbors,
     // IVF-blocked — query set = corpus, probes from a row-local
     // sorted-literal slice (no cross-join window on the corpus side),

@@ -301,6 +301,25 @@ class NewOpsR8Spec extends SparkSpec {
       maxShingleDf = 20).count() shouldBe 0L
   }
 
+  test("ann_recall_eval: recall ties to the two rankings it compares") {
+    val r = SparkEntry.queries("ann_recall_eval")(spark, sf).collect().head
+    val nExact = r.getAs[Long]("n_exact")
+    val nHit = r.getAs[Long]("n_hit")
+    nExact shouldBe 20L * 5L // 20 standing queries, full top-5 each
+    nHit should be <= nExact
+    r.getAs[Double]("recall_at_5") shouldBe nHit.toDouble / nExact
+    val emb = Tables.embeddings(spark, sf)
+    val qv = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.operators.Similarity.bruteForceTopK(emb, qv, k = 5)
+      .select(col("qid"), col("neighbor_id"))
+    val ivf = graft.operators.Similarity.ivfTopK(emb, qv, k = 5)
+      .select(col("qid"), col("neighbor_id"))
+    ivf.join(exact, Seq("qid", "neighbor_id")).count() shouldBe nHit
+    // IVF with nProbe=4/16 should retain most of the exact set
+    r.getAs[Double]("recall_at_5") should be > 0.5
+  }
+
   test("dedup_lsh_eval: counts tie to the operator outputs and the" +
       " ratio identities hold") {
     val r = SparkEntry.queries("dedup_lsh_eval")(spark, sf).collect().head
