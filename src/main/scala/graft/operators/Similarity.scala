@@ -614,7 +614,22 @@ object Similarity {
       if (maxCellSize <= 0) probes0.withColumn("subcell", lit(0))
       else probes0.join(nsubs, Seq("cell"))
         .withColumn("subcell", subHash(col("qid"))).drop("nsub")
-    val scored = cells.join(probes, Seq("cell", "subcell"))
+    // USER-SPECIFIED repartition on the join keys: the candidate join's
+    // per-row cost is a 64-float cosine kernel, so its CPU:bytes ratio
+    // is extreme — AQE's coalescing (parallelismFirst targets
+    // minPartitionSize=1m of BYTES) folded the whole mid-scale job to
+    // 16 tasks on 32 cores (measured: 10× slice ran SLOWER than 100×,
+    // 9.3 s vs 7.4 s, tasks 16 vs 174). A user repartition is exempt
+    // from AQE coalescing, keeps the stage at the configured shuffle
+    // width, and is skew-safe here because subcell keys are
+    // maxCellSize-bounded by construction. A/B 5-rep medians:
+    // 10× slice 9.29 → 2.07 (and the composing mutual-kNN clustering
+    // 10.67 → 5.38); sf0.1 1.36 → 1.14; 100× flat (7.36 → 7.59 /
+    // 13.18 → 12.17 — the 32-wide shuffle was already saturated there).
+    // Decades are now monotone with log-log slopes 0.41 / 0.29.
+    val scored = cells.repartition(col("cell"), col("subcell"))
+      .join(probes.repartition(col("cell"), col("subcell")),
+        Seq("cell", "subcell"))
       .where(col("qid") =!= col(idCol))
       .withColumn("cos", Det.fixed(cosineSim(col("qvec"), col(vecCol)), roundTo))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))

@@ -32,10 +32,12 @@ duck10, duck100 = parse_duck(duck10_p), parse_duck(duck100_p)
 NOTES = {
     "dedup_lsh_eval":
         "cost tracks duplicate-PAIR mass (rare-shingle blocks + LSH "
-        "buckets), not corpus size: the sf0.1 fixture's organic dup "
-        "groups are denser than ScaleGen's bounded groups of 10, so the "
-        "10x slice runs FASTER than sf0.1; the 10x->100x decade is the "
-        "honest scaling signal",
+        "buckets), not corpus size: true pairs measured from the query "
+        "output = 256 (sf0.1) / 20,149 (10x) / 2,149,000 (100x). The "
+        "10x->100x decade grows verified-pair work 107x while wall "
+        "clock grows 20x - sub-proportional in the work driver; the "
+        "sf0.1->10x wall-clock INVERSION is the fixture's organic dup "
+        "groups being denser than ScaleGen's bounded groups of 10",
 }
 
 out = {}
