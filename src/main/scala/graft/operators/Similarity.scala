@@ -371,7 +371,17 @@ object Similarity {
       col(idCol).as("a"), col(vecCol).as("va"))
     val r = cells.select(col("cell"), col("subcell"),
       col(idCol).as("b"), col(vecCol).as("vb"))
-    val dups = l.join(r, Seq("cell", "subcell"))
+    // user-specified repartition on the join keys: the in-cell pair join
+    // evaluates a cosine kernel per candidate pair (CPU ≫ bytes), the
+    // exact stage shape AQE's byte-targeted coalescing under-parallelizes
+    // (knnJoinIvf measured −78% at its 10× slice from this one change).
+    // Here the certified config's pair volume is small enough that the
+    // A/B is neutral (sf0.1 0.87→0.91, 10× 1.19→1.16 medians — noise),
+    // but the repartition is what keeps the stage wide when a real
+    // corpus drives subcell count ≫ shuffle width; skew-safe via the
+    // subcell bound.
+    val dups = l.repartition(col("cell"), col("subcell"))
+      .join(r.repartition(col("cell"), col("subcell")), Seq("cell", "subcell"))
       .where(col("a") < col("b") &&
         Det.fixed(cosineSim(col("va"), col("vb")), roundTo) >= threshold)
       .groupBy(col("b"))
