@@ -541,6 +541,47 @@ object CurationQueries {
     // exact distinct counts, completeness, uniqueness — ONE scan via the
     // multi-distinct Expand plan. A derived NULLIF column exercises the
     // null/completeness path on the null-free fixture. ----
+    // ---- join-key skew audit (the pre-flight check before any big
+    //      equi-join or groupBy at 100 TB): per-key counts → the top-10
+    //      heaviest keys with their share of all rows and skew factor
+    //      (count ÷ mean-count), plus the salting factor ⌈skew⌉ a
+    //      salted-join rewrite would use (`Skew.saltedEquiJoin`). One
+    //      shuffle on the key; the summary side is a 2-value broadcast.
+    //      Counts are exact ints; share/skew are IEEE ratios of exact
+    //      ints — bit-identical cross-engine. ----
+    QueryDef("profile_key_skew",
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"))
+        val skew = col("cnt").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")
+        counts.crossJoin(broadcast(tot))
+          .select(col("user_id"), col("cnt"),
+            (col("cnt").cast("double") / col("n_rows").cast("double"))
+              .as("share"),
+            skew.as("skew_factor"),
+            ceil(skew).cast("long").as("salt_factor"))
+          .orderBy(col("cnt").desc, col("user_id")).limit(10)
+      },
+      oracle = Some(
+        """WITH counts AS (
+          |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+          |), tot AS (
+          |  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows
+          |  FROM counts
+          |)
+          |SELECT user_id, cnt,
+          |  CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+          |  CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+          |    / CAST(n_rows AS DOUBLE) AS skew_factor,
+          |  CAST(CEIL(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+          |    / CAST(n_rows AS DOUBLE)) AS BIGINT) AS salt_factor
+          |FROM counts CROSS JOIN tot
+          |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin),
+      bench = false),
+
     QueryDef("profile_columns",
       (s, d) => graft.operators.Profile.profile(
         Tables.documents(s, d)

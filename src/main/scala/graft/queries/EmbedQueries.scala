@@ -763,6 +763,65 @@ object EmbedQueries {
            |FROM m""".stripMargin),
       bench = false),
 
+    // ---- Matryoshka truncation eval: recall@5 of brute-force cosine on
+    //      the FIRST 32 of 64 dimensions against the full-dimension
+    //      ranking — the "can we halve the vector store?" question of an
+    //      MRL-style embedding pipeline, and the dimension-axis sibling
+    //      of ann_recall_eval (which evaluates the index axis). Both
+    //      rankings are the oracle-exact brute-force operator (one on a
+    //      sliced view); exact-int hits on (qid, neighbor_id), IEEE
+    //      recall ratio. ----
+    QueryDef("ann_matryoshka_eval",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val exact = Similarity.bruteForceTopK(emb, queryVectors(s, d), k = 5)
+          .select(col("qid"), col("neighbor_id"))
+        val half = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 32).as("embedding"))
+        val halfQ = queryVectors(s, d).select(col("qid"),
+          slice(col("qvec"), 1, 32).as("qvec"))
+        val trunc = Similarity.bruteForceTopK(half, halfQ, k = 5)
+          .select(col("qid"), col("neighbor_id"))
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val nh = trunc.join(exact, Seq("qid", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        ne.crossJoin(nh).select(col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall_at_5"))
+      },
+      oracle = Some(
+        s"""WITH bscored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+           |    ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+           |), exact AS (
+           |  SELECT qid, neighbor_id FROM (
+           |    SELECT qid, neighbor_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM bscored
+           |  ) WHERE rank <= 5
+           |), tscored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+           |    ${Det.fixedSql(cosSqlOf("q.embedding[1:32]", "c.embedding[1:32]"), 6)} AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+           |), trunc AS (
+           |  SELECT qid, neighbor_id FROM (
+           |    SELECT qid, neighbor_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM tscored
+           |  ) WHERE rank <= 5
+           |), m AS (
+           |  SELECT
+           |    (SELECT COUNT(*) FROM exact) AS n_exact,
+           |    (SELECT COUNT(*) FROM trunc JOIN exact USING (qid, neighbor_id)) AS n_hit
+           |)
+           |SELECT n_exact, n_hit,
+           |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_at_5
+           |FROM m""".stripMargin),
+      bench = false),
+
     // ---- k-NN JOIN (kNN-graph build): every vector's top-3 neighbors,
     // IVF-blocked — query set = corpus, probes from a row-local
     // sorted-literal slice (no cross-join window on the corpus side),

@@ -320,6 +320,42 @@ class NewOpsR8Spec extends SparkSpec {
     r.getAs[Double]("recall_at_5") should be > 0.5
   }
 
+  test("profile_key_skew matches an in-memory key histogram") {
+    val got = SparkEntry.queries("profile_key_skew")(spark, sf).collect()
+    got.length shouldBe 10
+    val hist = Tables.events(spark, sf).select(col("user_id")).collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nKeys = hist.size.toLong
+    val nRows = hist.values.sum
+    val expect = hist.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    got.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"))).toSeq shouldBe expect
+    got.foreach { r =>
+      val cnt = r.getAs[Long]("cnt")
+      val skew = cnt.toDouble * nKeys.toDouble / nRows.toDouble
+      r.getAs[Double]("share") shouldBe cnt.toDouble / nRows.toDouble
+      r.getAs[Double]("skew_factor") shouldBe skew
+      r.getAs[Long]("salt_factor") shouldBe math.ceil(skew).toLong
+    }
+  }
+
+  test("ann_matryoshka_eval: recall ties to the truncated-vs-full rankings") {
+    val r = SparkEntry.queries("ann_matryoshka_eval")(spark, sf).collect().head
+    val nExact = r.getAs[Long]("n_exact")
+    val nHit = r.getAs[Long]("n_hit")
+    nExact shouldBe 100L
+    r.getAs[Double]("recall_at_5") shouldBe nHit.toDouble / nExact
+    val emb = Tables.embeddings(spark, sf)
+    val qv = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.operators.Similarity.bruteForceTopK(emb, qv, k = 5)
+      .select(col("qid"), col("neighbor_id"))
+    val half = emb.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+    val halfQ = qv.select(col("qid"), slice(col("qvec"), 1, 32).as("qvec"))
+    val trunc = graft.operators.Similarity.bruteForceTopK(half, halfQ, k = 5)
+      .select(col("qid"), col("neighbor_id"))
+    trunc.join(exact, Seq("qid", "neighbor_id")).count() shouldBe nHit
+  }
+
   test("dedup_lsh_eval: counts tie to the operator outputs and the" +
       " ratio identities hold") {
     val r = SparkEntry.queries("dedup_lsh_eval")(spark, sf).collect().head
