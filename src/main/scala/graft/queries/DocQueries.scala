@@ -682,6 +682,118 @@ object DocQueries {
              |ORDER BY doc_id""".stripMargin),
       bench = false),
 
+    // ---- MULTI-SIGNAL ensemble dedup: the union of two COMPLEMENTARY
+    //      near-dup signals — banded-MinHash verified Jaccard ≥ 0.5
+    //      (symmetric rewrites) and shingle CONTAINMENT ≥ 0.9 (subset
+    //      quotes, which Jaccard structurally misses when |A| ≪ |B|) —
+    //      fed into one star-CC clustering with keep-longest survivors.
+    //      The belt-and-braces config a production corpus actually runs:
+    //      each signal is the already-oracle-exact operator, the union
+    //      is a distinct over canonical (a < b) pair keys, and the
+    //      CC/survivor tail is dedup_pipeline's. Both signals are
+    //      bounded (band buckets / df-capped shingle blocks); the
+    //      ensemble adds no new scale risk. Oracle: the pipeline CTE
+    //      chain + the containment chain over the SAME sh arrays,
+    //      UNION, recursive closure (MATERIALIZED, per graphCtes). ----
+    QueryDef("dedup_multi_signal",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val jac = Dedup.nearDuplicatePairsMd5(docs, "doc_id", "text",
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+          .select(col("a"), col("b"))
+        val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+            k = 3, maxShingleDf = 100)
+          .where(col("containment") >= 0.9)
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+        val edges = jac.unionByName(cont).distinct()
+        val nodes = docs.select(col("doc_id").as("node"))
+        val cc = graft.operators.Curation.connectedComponentsStar(edges, nodes)
+        val labeled = cc.join(
+          docs.select(col("doc_id").as("node"), col("n_chars")), Seq("node"))
+        graft.operators.Curation.bestInCluster(labeled, "n_chars")
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster_id"))))
+          .select(col("node").as("doc_id"), col("cluster_id"),
+            col("cluster_size"), col("n_chars"), col("keep_id"), col("kept"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        raw"""WITH RECURSIVE toks AS MATERIALIZED (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+             |), sh AS MATERIALIZED (
+             |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(t) - 1),
+             |        i -> array_to_string(t[i:i+2], ' ')))
+             |    ELSE CAST([] AS VARCHAR[]) END AS sh
+             |  FROM toks
+             |), hs AS MATERIALIZED (
+             |  SELECT doc_id, sh,
+             |    list_transform(sh, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS harr
+             |  FROM sh
+             |), sigs AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 16), i -> list_min(list_transform(harr,
+             |      h -> ((h >> 30) + i * (h & 1073741823)) % 1073741789))) AS sig
+             |  FROM hs WHERE len(sh) > 0
+             |), buckets AS MATERIALIZED (
+             |  SELECT s.doc_id, b.band,
+             |    array_to_string(s.sig[b.band*4+1 : b.band*4+4], ',') AS bucket
+             |  FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+             |), cand AS MATERIALIZED (
+             |  SELECT l.doc_id AS a, r.doc_id AS b
+             |  FROM buckets l JOIN buckets r USING (band, bucket)
+             |  WHERE l.doc_id < r.doc_id
+             |  GROUP BY 1, 2
+             |), ver AS MATERIALIZED (
+             |  SELECT c.a AS a, c.b AS b,
+             |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+             |  FROM cand c JOIN hs x ON x.doc_id = c.a JOIN hs y ON y.doc_id = c.b
+             |), jac_edges AS MATERIALIZED (
+             |  SELECT a, b FROM ver WHERE jaccard >= 0.5
+             |), cex AS MATERIALIZED (
+             |  SELECT doc_id, unnest(sh) AS s FROM sh
+             |), hot AS MATERIALIZED (
+             |  SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+             |                 FROM cex GROUP BY s) WHERE df > 100
+             |), csh AS MATERIALIZED (
+             |  SELECT * FROM cex WHERE s NOT IN (SELECT s FROM hot)
+             |), cn AS MATERIALIZED (
+             |  SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY 1
+             |), cpairs AS MATERIALIZED (
+             |  SELECT x.doc_id AS pa, y.doc_id AS pb, count(*) AS shared
+             |  FROM csh x JOIN csh y ON x.s = y.s AND x.doc_id <> y.doc_id
+             |  GROUP BY 1, 2
+             |), cont_edges AS MATERIALIZED (
+             |  SELECT LEAST(pa, pb) AS a, GREATEST(pa, pb) AS b
+             |  FROM cpairs p JOIN cn na ON p.pa = na.doc_id
+             |  WHERE CAST(p.shared AS DOUBLE) / na.n_sh >= 0.9
+             |), all_edges AS MATERIALIZED (
+             |  SELECT a, b FROM jac_edges UNION SELECT a, b FROM cont_edges
+             |), sym2 AS MATERIALIZED (
+             |  SELECT a AS x, b AS y FROM all_edges
+             |  UNION ALL SELECT b AS x, a AS y FROM all_edges
+             |), reach AS (
+             |  SELECT doc_id AS node, doc_id AS lab FROM documents
+             |  UNION
+             |  SELECT s.y AS node, r.lab FROM reach r JOIN sym2 s ON s.x = r.node
+             |), lab AS MATERIALIZED (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+             |j AS MATERIALIZED (
+             |  SELECT lab.node, lab.cluster_id, d.n_chars
+             |  FROM lab JOIN documents d ON d.doc_id = lab.node
+             |), rk AS MATERIALIZED (
+             |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+             |    ORDER BY n_chars DESC, node) AS rn FROM j
+             |), reps AS MATERIALIZED (SELECT cluster_id, node AS keep_id FROM rk WHERE rn = 1)
+             |SELECT j.node AS doc_id, j.cluster_id,
+             |  count(*) OVER (PARTITION BY j.cluster_id) AS cluster_size,
+             |  j.n_chars, reps.keep_id, j.node = reps.keep_id AS kept
+             |FROM j JOIN reps ON j.cluster_id = reps.cluster_id
+             |ORDER BY doc_id""".stripMargin),
+      bench = false),
+
     // ---- SimHash oracle twin: 60-bit fingerprint over the md5-derived
     // token hash (bit b set iff tokens with bit b set outnumber those
     // without), chunk-blocked nearest neighbor (4 x 15-bit chunks),

@@ -320,6 +320,44 @@ class NewOpsR8Spec extends SparkSpec {
     r.getAs[Double]("recall_at_5") should be > 0.5
   }
 
+  test("dedup_multi_signal: every union edge is intra-cluster, the" +
+      " ensemble coarsens the Jaccard-only clustering, one keeper per" +
+      " cluster") {
+    val rows = SparkEntry.queries("dedup_multi_signal")(spark, sf).collect()
+    val cl = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("cluster_id")).toMap
+    // every edge of BOTH signals has endpoints in one cluster
+    val docs = Tables.documents(spark, sf)
+    val jac = graft.operators.Dedup.nearDuplicatePairsMd5(
+      docs, "doc_id", "text", threshold = 0.5, shingleK = 3,
+      numHashes = 16, bands = 4).select(col("a"), col("b")).collect()
+    val cont = graft.operators.Dedup.containmentPairs(
+      docs, "doc_id", "text", k = 3, maxShingleDf = 100)
+      .where(col("containment") >= 0.9)
+      .select(col("a"), col("b")).collect()
+    (jac ++ cont).foreach { e =>
+      cl(e.getLong(0)) shouldBe cl(e.getLong(1))
+    }
+    // ensemble coarsens the Jaccard-only pipeline clustering: doc pairs
+    // the pipeline co-clusters stay co-clustered under the union
+    val pipe = SparkEntry.queries("dedup_pipeline")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    pipe.groupBy(_._2).values.foreach { members =>
+      members.map(m => cl(m._1)).distinct.length shouldBe 1
+    }
+    // exactly one keeper per cluster; the keeper maximizes (n_chars, -id)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.values.foreach { ms =>
+      ms.count(_.getAs[Boolean]("kept")) shouldBe 1
+      val keeper = ms.find(_.getAs[Boolean]("kept")).get
+      val best = ms.minBy(r =>
+        (-r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      keeper.getAs[Long]("doc_id") shouldBe best.getAs[Long]("doc_id")
+      ms.foreach(_.getAs[Long]("keep_id") shouldBe keeper.getAs[Long]("doc_id"))
+      ms.foreach(_.getAs[Long]("cluster_size") shouldBe ms.length.toLong)
+    }
+  }
+
   test("profile_key_skew matches an in-memory key histogram") {
     val got = SparkEntry.queries("profile_key_skew")(spark, sf).collect()
     got.length shouldBe 10
