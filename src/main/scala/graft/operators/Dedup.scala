@@ -337,6 +337,68 @@ object Dedup {
       .withColumn("containment", col("shared") / col("n_a"))
   }
 
+  /** PREFIX-FILTERED containment pairs (PPJoin-style): exactly the rows
+    * of `containmentPairs(...).where(containment >= threshold)`, at a
+    * fraction of the join work. Completeness argument: order shingles by
+    * a global total order (df asc, key asc — rarest first); if
+    * C(A→B) ≥ t then A and B share ≥ ⌈t·|A|⌉ shingles, and A's PREFIX
+    * (its first ⌊(1−t)·|A|⌋ + 1 shingles) cannot be disjoint from the
+    * shared set — the suffix holds only t·|A| − 1 < ⌈t·|A|⌉ slots. So
+    * indexing ONLY the prefix on the A side finds every qualifying
+    * directed pair; verification computes the exact shared count ONCE
+    * per candidate via sorted hash arrays (array_intersect on distinct
+    * per-doc keys ≡ the join-row count of [[containmentPairs]], same
+    * 64-bit-collision odds). At threshold 0.9 the indexed side shrinks
+    * ~10×, and the Σdf² pair explosion — the measured super-linear term
+    * of dedup_containment at the 10× slice — collapses to
+    * Σ(df_prefix · df). The candidate join is user-repartitioned on the
+    * shingle key (the knnJoinIvf AQE-width rule: CPU-heavy verify
+    * downstream, small shuffle bytes). */
+  def containmentPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Long = 100): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val shk = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.wordShingles(col(textCol), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sk"))
+      .stageShare()
+    val hot = shk.groupBy(col("sk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") > maxShingleDf).select(col("sk"))
+    val sh = shk.join(hot, Seq("sk"), "left_anti").stageShare()
+    // per-doc sorted key arrays + sizes: ONE reduction feeds the prefix
+    // rank, the verify arrays and the n_a/n_b sizes
+    val arr = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sk"))).as("ska"),
+        count(lit(1)).as("n_sh"))
+      .stageShare()
+    val dfs = sh.groupBy(col("sk")).agg(count(lit(1)).as("dfk"))
+    val ranked = sh.join(dfs, Seq("sk"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfk"), col("sk"))))
+    val prefix = ranked.join(arr.select(col("doc_id"), col("n_sh")), Seq("doc_id"))
+      .where(col("r") <=
+        floor((lit(1.0) - lit(threshold)) * col("n_sh")).cast("long") + 1L)
+      .select(col("sk"), col("doc_id").as("a"))
+    val cand = prefix.repartition(col("sk"))
+      .join(sh.select(col("sk"), col("doc_id").as("b")).repartition(col("sk")),
+        Seq("sk"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(arr.select(col("doc_id").as("a"), col("ska").as("ska_a"),
+        col("n_sh").as("n_a")), Seq("a"))
+      .join(arr.select(col("doc_id").as("b"), col("ska").as("ska_b"),
+        col("n_sh").as("n_b")), Seq("b"))
+      .withColumn("shared",
+        size(array_intersect(col("ska_a"), col("ska_b"))).cast("long"))
+      .withColumn("containment", col("shared") / col("n_a"))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("shared"), col("n_a"), col("n_b"),
+        col("containment"))
+  }
+
   /** Per-document SimHash fingerprints plus the nearest candidate within
     * `maxHamming` bits (candidates = documents sharing any 16-bit chunk
     * of the fingerprint — the standard chunk-blocking for Hamming space).

@@ -701,9 +701,12 @@ object DocQueries {
         val jac = Dedup.nearDuplicatePairsMd5(docs, "doc_id", "text",
           threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
           .select(col("a"), col("b"))
-        val cont = Dedup.containmentPairs(docs, "doc_id", "text",
-            k = 3, maxShingleDf = 100)
-          .where(col("containment") >= 0.9)
+        // prefix-filtered containment: EXACTLY containmentPairs ≥ 0.9
+        // (spec-proven equal) at a fraction of the pair-join work — the
+        // Σdf² term was the whole super-linear cost of the ensemble at
+        // the 10× slice (103 s → see NOTES)
+        val cont = Dedup.containmentPairsPrefix(docs, "doc_id", "text",
+            k = 3, threshold = 0.9, maxShingleDf = 100)
           .select(least(col("a"), col("b")).as("a"),
             greatest(col("a"), col("b")).as("b"))
         val edges = jac.unionByName(cont).distinct()
@@ -1661,9 +1664,12 @@ object DocQueries {
     //      key is xxhash64(shingle), 8-byte shuffle rows. ----
     QueryDef("dedup_containment",
       (s, d) =>
-        Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-            k = 3, maxShingleDf = 100)
-          .filter(col("containment") >= 0.5)
+        // prefix-filtered variant: spec-proven row-identical to
+        // containmentPairs ≥ 0.5; the Σdf² pair explosion collapses to
+        // Σ(df_prefix·df) + one array-verify per candidate (multi-signal
+        // measured −84% at the 10× slice from this switch)
+        Dedup.containmentPairsPrefix(Tables.documents(s, d), "doc_id", "text",
+            k = 3, threshold = 0.5, maxShingleDf = 100)
           .orderBy(col("containment").desc, col("a"), col("b"))
           .limit(50)
           .select(col("a"), col("b"), col("shared"), col("n_a"), col("n_b"),

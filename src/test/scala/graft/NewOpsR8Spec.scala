@@ -320,6 +320,30 @@ class NewOpsR8Spec extends SparkSpec {
     r.getAs[Double]("recall_at_5") should be > 0.5
   }
 
+  test("containmentPairsPrefix == containmentPairs filtered, at two" +
+      " thresholds (exactness of the PPJoin prefix filter)") {
+    val docs = Tables.documents(spark, sf)
+    Seq(0.5, 0.9).foreach { t =>
+      val full = graft.operators.Dedup.containmentPairs(
+        docs, "doc_id", "text", k = 3, maxShingleDf = 100)
+        .where(col("containment") >= t)
+        .collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("shared"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Double]("containment"))).toSet
+      val pref = graft.operators.Dedup.containmentPairsPrefix(
+        docs, "doc_id", "text", k = 3, threshold = t, maxShingleDf = 100)
+        .collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("shared"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Double]("containment"))).toSet
+      withClue(s"threshold $t: ") {
+        pref shouldBe full
+        pref should not be empty // fixtures have containment pairs
+      }
+    }
+  }
+
   test("dedup_multi_signal: every union edge is intra-cluster, the" +
       " ensemble coarsens the Jaccard-only clustering, one keeper per" +
       " cluster") {
