@@ -377,9 +377,18 @@ object Dedup {
     val ranked = sh.join(dfs, Seq("sk"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("dfk"), col("sk"))))
+    // prefix bound: required size is ⌊(1−t)·n⌋ + 1 in EXACT rational
+    // arithmetic, but (1.0 − t) in IEEE can land one ulp BELOW the
+    // rational value (1.0 − 0.9 = 0.0999…98), under-sizing the prefix
+    // by 1 at exact multiples (n = 10, t = 0.9 → floor gives 0, true
+    // floor is 1) and silently missing boundary pairs whose one
+    // non-shared shingle is the rarest. Over-size by one (+2): any
+    // prefix ≥ the required length stays complete, and the cost is one
+    // extra indexed shingle per document. Pinned by the adversarial
+    // boundary case in NewOpsR8Spec.
     val prefix = ranked.join(arr.select(col("doc_id"), col("n_sh")), Seq("doc_id"))
       .where(col("r") <=
-        floor((lit(1.0) - lit(threshold)) * col("n_sh")).cast("long") + 1L)
+        floor((lit(1.0) - lit(threshold)) * col("n_sh")).cast("long") + 2L)
       .select(col("sk"), col("doc_id").as("a"))
     val cand = prefix.repartition(col("sk"))
       .join(sh.select(col("sk"), col("doc_id").as("b")).repartition(col("sk")),

@@ -344,6 +344,42 @@ class NewOpsR8Spec extends SparkSpec {
     }
   }
 
+  test("containmentPairsPrefix: IEEE boundary case — a pair at exactly" +
+      " t whose one non-shared shingle is A's rarest is still found") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // A = 12 distinct tokens -> 10 distinct 3-shingles s1..s10;
+    // B = A's first 11 tokens -> shares s1..s9; C(A->B) = 9/10 = 0.9.
+    // s10 is A-only (df=1) and every shared shingle has df=2, so A's
+    // RAREST shingle is the one NOT shared: under the IEEE-undersized
+    // prefix (floor((1.0-0.9)*10)+1 = 1) the A-side index held only
+    // s10 and the pair was silently missed in the A->B direction.
+    val aText = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val bText = (1 to 11).map(i => s"tok$i").mkString(" ")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, aText), Row(2L, bText))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val got = graft.operators.Dedup.containmentPairsPrefix(
+      df, "doc_id", "text", k = 3, threshold = 0.9, maxShingleDf = 100)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("shared"), r.getAs[Long]("n_a"),
+        r.getAs[Double]("containment"))).toSet
+    // direction A->B sits exactly at the threshold; B->A is 9/9 = 1.0
+    got should contain ((1L, 2L, 9L, 10L, 0.9))
+    got should contain ((2L, 1L, 9L, 9L, 1.0))
+    // and the reference operator agrees
+    val full = graft.operators.Dedup.containmentPairs(
+      df, "doc_id", "text", k = 3, maxShingleDf = 100)
+      .where(col("containment") >= 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("shared"), r.getAs[Long]("n_a"),
+        r.getAs[Double]("containment"))).toSet
+    got shouldBe full
+  }
+
   test("dedup_multi_signal: every union edge is intra-cluster, the" +
       " ensemble coarsens the Jaccard-only clustering, one keeper per" +
       " cluster") {
