@@ -693,8 +693,12 @@ object DocQueries {
     //      CC/survivor tail is dedup_pipeline's. Both signals are
     //      bounded (band buckets / df-capped shingle blocks); the
     //      ensemble adds no new scale risk. Oracle: the pipeline CTE
-    //      chain + the containment chain over the SAME sh arrays,
-    //      UNION, recursive closure (MATERIALIZED, per graphCtes). ----
+    //      chain + the containment chain over the SAME sh arrays —
+    //      in the PREFIX form (any complete prefix yields the identical
+    //      edge set, so the SQL uses its own (dfk, s) order and the
+    //      same +2 safety bound; this is what makes the 100×-slice
+    //      DuckDB check tractable) — UNION, recursive closure
+    //      (MATERIALIZED, per graphCtes). ----
     QueryDef("dedup_multi_signal",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -765,14 +769,29 @@ object DocQueries {
              |  SELECT * FROM cex WHERE s NOT IN (SELECT s FROM hot)
              |), cn AS MATERIALIZED (
              |  SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY 1
-             |), cpairs AS MATERIALIZED (
-             |  SELECT x.doc_id AS pa, y.doc_id AS pb, count(*) AS shared
-             |  FROM csh x JOIN csh y ON x.s = y.s AND x.doc_id <> y.doc_id
-             |  GROUP BY 1, 2
+             |), cdf AS MATERIALIZED (
+             |  SELECT s, count(*) AS dfk FROM csh GROUP BY s
+             |), cranked AS MATERIALIZED (
+             |  SELECT c.doc_id, c.s,
+             |    row_number() OVER (PARTITION BY c.doc_id ORDER BY d.dfk, c.s) AS r,
+             |    n.n_sh
+             |  FROM csh c JOIN cdf d USING (s) JOIN cn n USING (doc_id)
+             |), cprefix AS MATERIALIZED (
+             |  SELECT doc_id, s FROM cranked
+             |  WHERE r <= CAST(FLOOR((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * n_sh) AS BIGINT) + 2
+             |), ccand AS MATERIALIZED (
+             |  SELECT DISTINCT p.doc_id AS pa, y.doc_id AS pb
+             |  FROM cprefix p JOIN csh y USING (s)
+             |  WHERE p.doc_id <> y.doc_id
+             |), clists AS MATERIALIZED (
+             |  SELECT doc_id, list(s ORDER BY s) AS ls FROM csh GROUP BY doc_id
              |), cont_edges AS MATERIALIZED (
-             |  SELECT LEAST(pa, pb) AS a, GREATEST(pa, pb) AS b
-             |  FROM cpairs p JOIN cn na ON p.pa = na.doc_id
-             |  WHERE CAST(p.shared AS DOUBLE) / na.n_sh >= 0.9
+             |  SELECT LEAST(c.pa, c.pb) AS a, GREATEST(c.pa, c.pb) AS b
+             |  FROM ccand c
+             |  JOIN clists xa ON xa.doc_id = c.pa
+             |  JOIN cn na ON na.doc_id = c.pa
+             |  JOIN clists xb ON xb.doc_id = c.pb
+             |  WHERE CAST(len(list_intersect(xa.ls, xb.ls)) AS DOUBLE) / na.n_sh >= 0.9
              |), all_edges AS MATERIALIZED (
              |  SELECT a, b FROM jac_edges UNION SELECT a, b FROM cont_edges
              |), sym2 AS MATERIALIZED (
