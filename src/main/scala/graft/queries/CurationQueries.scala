@@ -341,6 +341,82 @@ object CurationQueries {
              |ORDER BY d.doc_id""".stripMargin),
       bench = false),
 
+    // ---- k-anonymity audit (the re-identification risk check before a
+    //      dataset release): group the table by its quasi-identifier
+    //      tuple — nation × market segment × account-balance band — and
+    //      report the corpus k (smallest group), the groups and rows
+    //      below the k=10 release threshold, and the at-risk share. ONE
+    //      groupBy at quasi-identifier cardinality + a 1-row reduce;
+    //      counts exact ints, share a pure IEEE ratio. ----
+    QueryDef("privacy_k_anonymity",
+      (s, d) => {
+        val qi = Tables.customer(s, d).groupBy(
+          col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"))
+          .agg(count(lit(1)).as("n"))
+        qi.agg(
+          min(col("n")).as("k_anonymity"),
+          count(lit(1)).as("n_groups"),
+          sum(col("n")).as("n_rows"),
+          count(when(col("n") < 10, lit(1))).as("groups_below_k"),
+          coalesce(sum(when(col("n") < 10, col("n"))), lit(0L))
+            .as("rows_at_risk"))
+          .withColumn("risk_share",
+            col("rows_at_risk").cast("double") / col("n_rows").cast("double"))
+      },
+      oracle = Some(
+        """WITH qi AS (
+          |  SELECT c_nationkey, c_mktsegment,
+          |    CAST(FLOOR(c_acctbal / CAST(1000.0 AS DOUBLE)) AS BIGINT) AS bal_band,
+          |    COUNT(*) AS n
+          |  FROM customer GROUP BY 1, 2, 3
+          |)
+          |SELECT CAST(MIN(n) AS BIGINT) AS k_anonymity,
+          |  COUNT(*) AS n_groups,
+          |  CAST(SUM(n) AS BIGINT) AS n_rows,
+          |  COUNT(CASE WHEN n < 10 THEN 1 END) AS groups_below_k,
+          |  COALESCE(CAST(SUM(CASE WHEN n < 10 THEN n END) AS BIGINT),
+          |    CAST(0 AS BIGINT)) AS rows_at_risk,
+          |  CAST(COALESCE(CAST(SUM(CASE WHEN n < 10 THEN n END) AS BIGINT),
+          |    CAST(0 AS BIGINT)) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS risk_share
+          |FROM qi""".stripMargin),
+      bench = false),
+
+    // ---- active-learning batch selection: the 25 documents CLOSEST to
+    //      the quality classifier's decision boundary (smallest |score|;
+    //      uncertainty/margin sampling — the label-these-next batch).
+    //      score is an IEEE ratio of exact integers (classifier contract
+    //      above), so |score| ordering is bit-identical cross-engine;
+    //      the cut is a distributed TakeOrdered, never a global sort. ----
+    QueryDef("sample_uncertainty",
+      (s, d) => Curation.qualityClassifierScore(
+          Tables.documents(s, d), "doc_id", "text", dim = 2001)
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          abs(col("score")).as("margin"))
+        .orderBy(col("margin"), col("doc_id")).limit(25),
+      oracle = Some(
+        raw"""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents
+             |), w AS (
+             |  SELECT doc_id,
+             |    (('0x' || substring(md5(tok), 1, 15))::BIGINT % 2001) - 1000 AS w
+             |  FROM tok
+             |), s AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |    CAST(sum(w) AS BIGINT) AS w_sum
+             |  FROM w GROUP BY 1
+             |), scored AS (
+             |  SELECT d.doc_id,
+             |    coalesce(s.n_tokens, 0) AS n_tokens,
+             |    coalesce(CAST(s.w_sum AS DOUBLE) / (1000.0 * CAST(s.n_tokens AS DOUBLE)),
+             |      0.0) AS score
+             |  FROM documents d LEFT JOIN s USING (doc_id)
+             |)
+             |SELECT doc_id, n_tokens, score, abs(score) AS margin
+             |FROM scored ORDER BY margin, doc_id LIMIT 25""".stripMargin),
+      bench = false),
+
     // ---- PII scrubbing. The fixture corpus carries no PII, so each doc
     // is augmented with deterministic synthetic contact info derived from
     // its id; the scrub chain (URL -> email -> phone) and the pre-scrub
