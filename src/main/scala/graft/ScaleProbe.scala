@@ -64,13 +64,20 @@ object ScaleProbe {
     }
     val results = (1 to reps).map(_ => run())
     val rows = results.head._2
-    // invariants: knn emits exactly n*k ranked rows; CC labels every node
+    // determinism invariant first: every rep must emit the same row count
+    require(results.forall(_._2 == rows),
+      s"non-deterministic row counts across reps: ${results.map(_._2)}")
+    // invariants: knn emits AT MOST n*k ranked rows (a query whose probed
+    // cells hold fewer than k other vectors legitimately emits fewer — so
+    // equality is not required); CC labels every node exactly once.
     val expected = op match { case "knn" => n * k; case _ => n }
+    val rowsOk = op match { case "knn" => rows <= expected; case _ => rows == expected }
+    val shortfall = op match { case "knn" => expected - rows; case _ => 0L }
     val secs = results.map(_._1).sorted
     val median = secs(secs.length / 2)
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", v: java.lang.Double)
     println(s"""{"op":"$op","sf":"${sfDir.split('/').last}","n":$n,"nCells":$nCells,""" +
-      s""""rows":$rows,"rows_ok":${rows == expected},""" +
+      s""""rows":$rows,"rows_ok":$rowsOk,"shortfall":$shortfall,""" +
       s""""reps":[${results.map(r => f(r._1)).mkString(",")}],"median":${f(median)}}""")
     spark.stop()
   }

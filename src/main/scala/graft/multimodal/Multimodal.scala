@@ -197,7 +197,15 @@ object Multimodal {
     * hashing). Beyond 3 it degrades to approximate recall, the LSH
     * trade. `maxBucketSize` caps a hot band bucket (e.g. a degenerate
     * all-zero band over tiny payloads) at bounded pair work — the same
-    * guard as MinHash-LSH's, mirrored in the catalog oracle.
+    * guard as MinHash-LSH's, mirrored in the catalog oracle. The cap
+    * DROPS every row of an over-sized bucket in that band, so a record
+    * whose ALL four bands land in hot buckets (e.g. many tiny payloads
+    * sharing all-zero bands) generates no candidates at all — recall
+    * loss under the cap concentrates on exactly the densest duplicate
+    * groups, not uniformly. That is stronger than merely bounding pair
+    * work: callers sizing `maxBucketSize` should set it above the
+    * largest EXPECTED legitimate dup-group size so only degenerate
+    * (near-constant-band) buckets are sacrificed.
     *
     * Returns one row per record: (id, b0..b3, dup_of, kept), dup_of =
     * smallest matched id (NULL if none). */

@@ -556,6 +556,9 @@ object Similarity {
     * (nsub = 1) are exact, so the cap is a no-op below maxCellSize.
     * `maxCellSize = 0` disables the cap (exact in-cell candidates;
     * quadratic — only for bounded corpora or full-probe baselines).
+    * The DEFAULT is a finite 4096 (matching [[semanticDedup]]'s guard)
+    * so callers who omit the parameter get the linear shape; pass 0
+    * explicitly to opt in to the exact/quadratic baseline.
     * `refineIters > 0` (Lloyd-refined centroids) additionally evens out
     * cell sizes so fewer cells hit the cap at all.
     *
@@ -567,7 +570,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       roundTo: Int = 6, refineIters: Int = 0,
-      maxCellSize: Int = 0): DataFrame = {
+      maxCellSize: Int = 4096): DataFrame = {
     require(k >= 1 && nProbe >= 1 && nCells >= 1, "k, nProbe, nCells >= 1")
     require(maxCellSize >= 0, s"maxCellSize must be >= 0, got $maxCellSize")
     val centroids: Array[(Int, Seq[Float])] =

@@ -106,7 +106,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("knnJoinIvf: sub-split cap is a no-op when no cell exceeds it") {
     val emb = Tables.embeddings(spark, sf)
-    val off = Similarity.knnJoinIvf(emb, k = 3)
+    val off = Similarity.knnJoinIvf(emb, k = 3, maxCellSize = 0)
       .select("qid", "rank", "neighbor_id", "cos")
       .as[(Long, Int, Long, Double)].collect().toSet
     // fixture corpus is tiny: a cap far above any cell count must leave
@@ -122,7 +122,7 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf)
     // k = 1000 > any per-query candidate count, so this IS the full
     // uncapped candidate graph
-    val uncapped = Similarity.knnJoinIvf(emb, k = 1000)
+    val uncapped = Similarity.knnJoinIvf(emb, k = 1000, maxCellSize = 0)
       .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
     val capped = Similarity.knnJoinIvf(emb, k = 3, maxCellSize = 4)
     // ranks are a dense 1..n prefix per query (n ≤ k when a sub-cell

@@ -73,6 +73,20 @@ class TextAnalysisSpec extends SparkSpec {
     nullRow.isNullAt(0) shouldBe true
   }
 
+  test("fixture text is free of vertical tab (0x0B) — the one byte where " +
+      "Java \\s (kernel parity reference) and RE2 \\s (DuckDB oracles) diverge") {
+    // qualityCounts treats 0x09..0x0D as whitespace (Java's \s); DuckDB's
+    // RE2 \s excludes 0x0B. Oracle hash parity for every \s-based row
+    // (curation_quota_sample etc.) therefore rests on fixture text never
+    // containing a vertical tab. Pin that invariant so a fixture regen
+    // that violates it fails HERE with a named cause, not as an opaque
+    // oracle hash mismatch.
+    val vt = Tables.documents(spark, sf)
+      .where(col("text").contains("\u000B"))
+      .count()
+    vt shouldBe 0L
+  }
+
   test("fingerprint collapses case/whitespace variants, separates real edits") {
     val r = Seq(
       (1L, "Hello   World"),

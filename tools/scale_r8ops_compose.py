@@ -42,6 +42,11 @@ NOTES = {
 
 out = {}
 for q in reps100:
+    if q not in reps1 or q not in reps10:
+        print("skip %s: missing from %s" % (
+            q, "sf0.1 reps" if q not in reps1 else "10x reps"),
+            file=sys.stderr)
+        continue
     m1, m10, m100 = (reps1[q]["median"], reps10[q]["median"],
                      reps100[q]["median"])
     entry = {
