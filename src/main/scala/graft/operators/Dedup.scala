@@ -299,6 +299,56 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Sampled-ground-truth variant of [[exactJaccardPairsBlocked]]: the
+    * exact truth pairs whose MIN-id endpoint is in `sampledIds` (one
+    * column `id`). The estimator rule "a pair is sampled iff its min-id
+    * doc is sampled" gives every (a,b) pair exactly ONE inclusion
+    * Bernoulli — probability = the sampling rate of a's stratum — so
+    * per-stratum counts reweight to unbiased full-truth estimates with
+    * exact-integer arithmetic (no 1−(1−p)² both-endpoint algebra).
+    *
+    * Cost is the point: the rare-shingle df index is still one linear
+    * pass over the corpus, but the Σdf² block self-join — the term that
+    * made the FULL ground truth the catalog's heaviest 100× row (90.6 s
+    * median) and would be unaffordable at 100 TB — shrinks by the
+    * sample fraction, because only sampled docs' postings enter the
+    * LEFT side. Verification joins then touch only candidate pairs with
+    * a sampled endpoint. Returns (a, b, jaccard), a < b, a ∈ sample. */
+  def exactJaccardPairsBlockedSampled(
+      docs: DataFrame, idCol: String, textCol: String,
+      sampledIds: DataFrame,
+      shingleK: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Int = 20): DataFrame = {
+    val shingles =
+      graft.functions.VectorExpressions.wordShingles(col(textCol), shingleK)
+    val staged = docs
+      .select(col(idCol).as("id"), shingles.as("sh"))
+      .persist()
+    val ex = staged
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val rare = ex.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleDf)
+      .select(col("h"))
+    val blocked = ex.join(rare, Seq("h")).persist()
+    val sampledBlocked = blocked
+      .join(sampledIds.select(col("id")), Seq("id"))
+    val pairs = sampledBlocked.select(col("h"), col("id").as("a"))
+      .join(blocked.select(col("h"), col("id").as("b")), Seq("h"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sh = staged.select(col("id"), col("sh"))
+    pairs
+      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Asymmetric shingle CONTAINMENT pairs: C(A→B) = |sh(A)∩sh(B)| /
     * |sh(A)| — catches quotes/subsets that Jaccard misses when |A| ≪ |B|.
     * Hot-shingle guard: shingles in > `maxShingleDf` docs are dropped

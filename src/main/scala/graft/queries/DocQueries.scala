@@ -595,6 +595,197 @@ object DocQueries {
              |FROM pr""".stripMargin),
       bench = false),
 
+    // ---- SAMPLED-ground-truth LSH eval: the scale-affordable variant
+    //      of dedup_lsh_eval. The full row's exact blocked-Jaccard truth
+    //      is the one catalog computation a 100 TB run could never
+    //      afford (its Σdf² block join is duplicate-mass-proportional —
+    //      90.6 s median at the 100× slice). Here the truth runs only
+    //      for a SEEDED STRATIFIED doc sample — strata = source ×
+    //      dup-mass (dense = the doc appears in ≥1 LSH candidate pair,
+    //      the cheap production artifact we are evaluating anyway),
+    //      rates 1/2 dense / 1/8 sparse via the engine-portable
+    //      multiplicative hashU. A pair is sampled iff its MIN-id
+    //      endpoint is sampled (exactly one inclusion Bernoulli per
+    //      pair), so per-stratum counts reweight by exact integer
+    //      inverse rates (2, 8) into unbiased recall/precision
+    //      estimates: recall_est = Σw·hit / Σw·true,
+    //      precision_est = Σw·cand_true / Σw·cand. Output = one row per
+    //      stratum (exact-integer counts) with the global estimates
+    //      repeated — everything integers + one IEEE division,
+    //      bit-identical cross-engine. ----
+    QueryDef("dedup_lsh_eval_sampled",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (staged, cand0) = Dedup.md5StagedAndCandidates(
+          docs, "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
+        val cand = cand0.stageShare()
+        val inCand = cand.select(col("a").as("doc_id"))
+          .union(cand.select(col("b").as("doc_id"))).distinct()
+        val samp = docs.select(col("doc_id"), col("source"))
+          .join(inCand.withColumn("dc", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("dc").isNotNull.as("dense"))
+          .withColumn("in_s",
+            graft.operators.Curation.hashU(col("doc_id"), 91L) <
+              when(col("dense"), lit(0.5)).otherwise(lit(0.125)))
+          .stageShare()
+        val sampleIds = samp.where(col("in_s")).select(col("doc_id").as("id"))
+        val truth = Dedup.exactJaccardPairsBlockedSampled(
+          docs, "doc_id", "text", sampleIds, shingleK = 3, threshold = 0.5,
+          maxShingleDf = 20).select(col("a"), col("b")).stageShare()
+        val hits = truth.join(cand, Seq("a", "b"))
+        val candS = cand.join(sampleIds.select(col("id").as("a")), Seq("a"))
+          .stageShare()
+        val sh = staged.select(col("id"), col("sh"))
+        val candTrue = candS
+          .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+          .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+          .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+          .select(col("a"), col("b"))
+        val aStrat = samp.select(col("doc_id").as("a"), col("source"), col("dense"))
+        def perStratum(pairs: org.apache.spark.sql.DataFrame, name: String) =
+          pairs.join(aStrat, Seq("a")).groupBy(col("source"), col("dense"))
+            .agg(count(lit(1)).as(name))
+        val per = samp.groupBy(col("source"), col("dense"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("in_s"), 1L).otherwise(0L)).as("n_sampled"))
+          .join(perStratum(truth, "n_true"), Seq("source", "dense"), "left")
+          .join(perStratum(hits, "n_hit"), Seq("source", "dense"), "left")
+          .join(perStratum(candS, "n_cand"), Seq("source", "dense"), "left")
+          .join(perStratum(candTrue, "n_cand_true"), Seq("source", "dense"), "left")
+          .na.fill(0L, Seq("n_true", "n_hit", "n_cand", "n_cand_true"))
+        val w = when(col("dense"), lit(2L)).otherwise(lit(8L))
+        val tot = per.agg(
+          sum(w * col("n_true")).as("wt"), sum(w * col("n_hit")).as("wh"),
+          sum(w * col("n_cand")).as("wc"), sum(w * col("n_cand_true")).as("wv"))
+          .select(
+            when(col("wt") > 0,
+              col("wh").cast("double") / col("wt").cast("double"))
+              .otherwise(lit(0.0)).as("recall_est"),
+            when(col("wc") > 0,
+              col("wv").cast("double") / col("wc").cast("double"))
+              .otherwise(lit(0.0)).as("precision_est"))
+          .withColumn("f1_est",
+            when(col("recall_est") + col("precision_est") > 0,
+              lit(2.0) * col("recall_est") * col("precision_est") /
+                (col("recall_est") + col("precision_est")))
+              .otherwise(lit(0.0)))
+        per.crossJoin(tot).orderBy(col("source"), col("dense"))
+      },
+      oracle = Some(
+        raw"""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(t) - 1),
+             |        i -> array_to_string(t[i:i+2], ' ')))
+             |    ELSE CAST([] AS VARCHAR[]) END AS sh
+             |  FROM toks
+             |), hs AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(sh, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS harr
+             |  FROM sh
+             |), sigs AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 16), i -> list_min(list_transform(harr,
+             |      h -> ((h >> 30) + i * (h & 1073741823)) % 1073741789))) AS sig
+             |  FROM hs WHERE len(sh) > 0
+             |), buckets AS (
+             |  SELECT s.doc_id, b.band,
+             |    array_to_string(s.sig[b.band*4+1 : b.band*4+4], ',') AS bucket
+             |  FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+             |), cand AS (
+             |  SELECT l.doc_id AS a, r.doc_id AS b
+             |  FROM buckets l JOIN buckets r USING (band, bucket)
+             |  WHERE l.doc_id < r.doc_id
+             |  GROUP BY 1, 2
+             |), incand AS (
+             |  SELECT a AS doc_id FROM cand UNION SELECT b FROM cand
+             |), samp AS (
+             |  SELECT doc_id, source, dense,
+             |    (u < CASE WHEN dense THEN 0.5 ELSE 0.125 END) AS in_s
+             |  FROM (
+             |    SELECT d.doc_id, d.source, (i.doc_id IS NOT NULL) AS dense,
+             |      CAST(((CAST(d.doc_id AS HUGEINT) * 2654435761 + 91) % 4294967296
+             |        + 4294967296) % 4294967296 AS BIGINT) / 4294967296.0 AS u
+             |    FROM documents d LEFT JOIN incand i ON i.doc_id = d.doc_id
+             |  )
+             |), ss AS (
+             |  SELECT doc_id FROM samp WHERE in_s
+             |), ex AS (
+             |  SELECT doc_id, unnest(sh) AS s FROM sh
+             |), rare AS (
+             |  SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 20
+             |), bl AS (
+             |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             |  FROM ex l
+             |  JOIN ss ON ss.doc_id = l.doc_id
+             |  JOIN rare ON rare.s = l.s
+             |  JOIN ex r ON r.s = l.s
+             |  WHERE l.doc_id < r.doc_id
+             |), truth AS (
+             |  SELECT bl.a, bl.b
+             |  FROM bl JOIN sh x ON x.doc_id = bl.a JOIN sh y ON y.doc_id = bl.b
+             |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5
+             |), hitp AS (
+             |  SELECT t.a, t.b FROM truth t JOIN cand c ON c.a = t.a AND c.b = t.b
+             |), cand_s AS (
+             |  SELECT c.a, c.b FROM cand c JOIN ss ON ss.doc_id = c.a
+             |), cand_true AS (
+             |  SELECT c.a, c.b
+             |  FROM cand_s c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b
+             |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5
+             |), pt AS (
+             |  SELECT sa.source, sa.dense, COUNT(*) AS c
+             |  FROM truth t JOIN samp sa ON sa.doc_id = t.a GROUP BY 1, 2
+             |), ph AS (
+             |  SELECT sa.source, sa.dense, COUNT(*) AS c
+             |  FROM hitp t JOIN samp sa ON sa.doc_id = t.a GROUP BY 1, 2
+             |), pc AS (
+             |  SELECT sa.source, sa.dense, COUNT(*) AS c
+             |  FROM cand_s t JOIN samp sa ON sa.doc_id = t.a GROUP BY 1, 2
+             |), pv AS (
+             |  SELECT sa.source, sa.dense, COUNT(*) AS c
+             |  FROM cand_true t JOIN samp sa ON sa.doc_id = t.a GROUP BY 1, 2
+             |), per AS (
+             |  SELECT b.source, b.dense, b.n_docs, b.n_sampled,
+             |    COALESCE(pt.c, 0) AS n_true, COALESCE(ph.c, 0) AS n_hit,
+             |    COALESCE(pc.c, 0) AS n_cand, COALESCE(pv.c, 0) AS n_cand_true
+             |  FROM (
+             |    SELECT source, dense, COUNT(*) AS n_docs,
+             |      COUNT(*) FILTER (WHERE in_s) AS n_sampled
+             |    FROM samp GROUP BY 1, 2
+             |  ) b
+             |  LEFT JOIN pt ON pt.source = b.source AND pt.dense = b.dense
+             |  LEFT JOIN ph ON ph.source = b.source AND ph.dense = b.dense
+             |  LEFT JOIN pc ON pc.source = b.source AND pc.dense = b.dense
+             |  LEFT JOIN pv ON pv.source = b.source AND pv.dense = b.dense
+             |), tot AS (
+             |  SELECT
+             |    CASE WHEN SUM(w * n_true) > 0
+             |      THEN CAST(SUM(w * n_hit) AS DOUBLE) / CAST(SUM(w * n_true) AS DOUBLE)
+             |      ELSE CAST(0.0 AS DOUBLE) END AS recall_est,
+             |    CASE WHEN SUM(w * n_cand) > 0
+             |      THEN CAST(SUM(w * n_cand_true) AS DOUBLE) / CAST(SUM(w * n_cand) AS DOUBLE)
+             |      ELSE CAST(0.0 AS DOUBLE) END AS precision_est
+             |  FROM (SELECT *, CASE WHEN dense THEN 2 ELSE 8 END AS w FROM per)
+             |), tot2 AS (
+             |  SELECT recall_est, precision_est,
+             |    CASE WHEN recall_est + precision_est > 0
+             |      THEN CAST(2.0 AS DOUBLE) * recall_est * precision_est
+             |        / (recall_est + precision_est)
+             |      ELSE CAST(0.0 AS DOUBLE) END AS f1_est
+             |  FROM tot
+             |)
+             |SELECT per.source, per.dense, per.n_docs, per.n_sampled,
+             |  per.n_true, per.n_hit, per.n_cand, per.n_cand_true,
+             |  tot2.recall_est, tot2.precision_est, tot2.f1_est
+             |FROM per CROSS JOIN tot2
+             |ORDER BY source, dense""".stripMargin),
+      bench = false),
+
     // ---- the END-TO-END dedup pipeline, composed from the verified
     //      stages: MinHash-LSH candidates (md5 family — exact-twin) →
     //      shingle-Jaccard verify → large-star/small-star connected

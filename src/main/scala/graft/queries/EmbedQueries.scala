@@ -43,8 +43,9 @@ object EmbedQueries {
     * linear: sub-cell hash = (id·2654435761 + 43) % 2^32 % nsub on both
     * the corpus row and the probing query, mirroring the Spark kernel
     * (seed 42 ⇒ sub-split seed 43). */
-  private def knnJoinCtes(k: Int, nProbe: Int, maxCellSize: Int): String =
-    s"""cent AS MATERIALIZED (
+  private def knnJoinCtes(k: Int, nProbe: Int, maxCellSize: Int,
+      p: String = ""): String =
+    s"""${p}cent AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
        |  FROM (
        |    SELECT vec_id, embedding FROM embeddings
@@ -52,25 +53,25 @@ object EmbedQueries {
        |    LIMIT 16
        |  )
        |),
-       |cells0 AS MATERIALIZED (
+       |${p}cells0 AS MATERIALIZED (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSqlOf("e.embedding", "c.embedding")} DESC, c.cell) AS r
-       |    FROM embeddings e CROSS JOIN cent c
+       |    FROM embeddings e CROSS JOIN ${p}cent c
        |  ) WHERE r = 1
        |),
-       |nsubs AS MATERIALIZED (
+       |${p}nsubs AS MATERIALIZED (
        |  SELECT cell, GREATEST(1, CAST(CEIL(
        |      CAST(count(*) AS DOUBLE) / $maxCellSize.0) AS BIGINT)) AS nsub
-       |  FROM cells0 GROUP BY cell
+       |  FROM ${p}cells0 GROUP BY cell
        |),
-       |cells AS MATERIALIZED (
+       |${p}cells AS MATERIALIZED (
        |  SELECT c.vec_id, c.embedding, c.cell,
        |    ((c.vec_id * 2654435761 + 43) % 4294967296) % n.nsub AS subcell
-       |  FROM cells0 c JOIN nsubs n ON n.cell = c.cell
+       |  FROM ${p}cells0 c JOIN ${p}nsubs n ON n.cell = c.cell
        |),
-       |probes AS MATERIALIZED (
+       |${p}probes AS MATERIALIZED (
        |  SELECT p.qid, p.qvec, p.cell,
        |    ((p.qid * 2654435761 + 43) % 4294967296) % n.nsub AS subcell
        |  FROM (
@@ -78,20 +79,20 @@ object EmbedQueries {
        |      SELECT q.vec_id AS qid, q.embedding AS qvec, c.cell,
        |        row_number() OVER (PARTITION BY q.vec_id
        |          ORDER BY ${cosSqlOf("q.embedding", "c.embedding")} DESC, c.cell) AS r
-       |      FROM embeddings q CROSS JOIN cent c
+       |      FROM embeddings q CROSS JOIN ${p}cent c
        |    ) WHERE r <= $nProbe
-       |  ) p JOIN nsubs n ON n.cell = p.cell
+       |  ) p JOIN ${p}nsubs n ON n.cell = p.cell
        |),
-       |scored AS MATERIALIZED (
+       |${p}scored AS MATERIALIZED (
        |  SELECT p.qid, ce.vec_id AS neighbor_id,
        |    ${Det.fixedSql(cosSqlOf("p.qvec", "ce.embedding"), 6)} AS cos
-       |  FROM probes p JOIN cells ce
+       |  FROM ${p}probes p JOIN ${p}cells ce
        |    ON ce.cell = p.cell AND ce.subcell = p.subcell AND ce.vec_id <> p.qid
        |),
-       |ranked AS MATERIALIZED (
+       |${p}ranked AS MATERIALIZED (
        |  SELECT qid, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
-       |  FROM scored
+       |  FROM ${p}scored
        |)""".stripMargin
 
   /** The planes CTE rows for [[Similarity.hyperplanes]] — each row
@@ -763,6 +764,99 @@ object EmbedQueries {
            |FROM m""".stripMargin),
       bench = false),
 
+    // ---- SAMPLED-query ANN recall eval: the scale path of
+    //      ann_recall_eval. The standing 20-query set is an id-PREFIX —
+    //      at scale that is both biased (ScaleGen keeps original docs at
+    //      low ids, so upscaled decades never contribute queries) and
+    //      frozen (the eval stops exercising new data). Here the query
+    //      set is an exact-k hash sample (32 smallest multiplicative-hash
+    //      u values, seed 93, ties by id — Curation.exactKSample, plans
+    //      as TakeOrdered): unbiased across the id space, deterministic,
+    //      engine-portable, and CONSTANT work at every corpus size —
+    //      truth cost stays 32·|corpus| row-local cosines while the full
+    //      exact-truth shape of a per-doc eval would grow quadratically.
+    //      Same metric join as ann_recall_eval: exact-int hits on
+    //      (qid, neighbor_id), IEEE recall ratio. ----
+    QueryDef("ann_recall_eval_sampled",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = graft.operators.Curation
+          .exactKSample(emb, col("vec_id"), 32, 93L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+          .select(col("qid"), col("neighbor_id"))
+        val ivf = Similarity.ivfTopK(emb, q, k = 5)
+          .select(col("qid"), col("neighbor_id"))
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val nh = ivf.join(exact, Seq("qid", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        ne.crossJoin(nh).select(col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall_at_5"))
+      },
+      oracle = Some(
+        s"""WITH qs AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  ORDER BY (vec_id * 2654435761 + 93) % 4294967296, vec_id
+           |  LIMIT 32
+           |),
+           |bscored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+           |    ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} AS cos
+           |  FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |), exact AS (
+           |  SELECT qid, neighbor_id FROM (
+           |    SELECT qid, neighbor_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM bscored
+           |  ) WHERE rank <= 5
+           |),
+           |cent AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+           |  FROM (
+           |    SELECT vec_id, embedding FROM embeddings
+           |    ORDER BY (vec_id * 2654435761 + 42) % 4294967296, vec_id
+           |    LIMIT 16
+           |  )
+           |),
+           |cells AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSqlOf("e.embedding", "c.embedding")} DESC, c.cell) AS r
+           |    FROM embeddings e CROSS JOIN cent c
+           |  ) WHERE r = 1
+           |),
+           |probes AS (
+           |  SELECT qid, qvec, cell FROM (
+           |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cell,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSqlOf("q.embedding", "c.embedding")} DESC, c.cell) AS r
+           |    FROM qs q CROSS JOIN cent c
+           |  ) WHERE r <= 4
+           |),
+           |iscored AS (
+           |  SELECT p.qid, ce.vec_id AS neighbor_id,
+           |    ${Det.fixedSql(cosSqlOf("p.qvec", "ce.embedding"), 6)} AS cos
+           |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.qid
+           |),
+           |ivf AS (
+           |  SELECT qid, neighbor_id FROM (
+           |    SELECT qid, neighbor_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM iscored
+           |  ) WHERE rank <= 5
+           |),
+           |m AS (
+           |  SELECT
+           |    (SELECT COUNT(*) FROM exact) AS n_exact,
+           |    (SELECT COUNT(*) FROM ivf JOIN exact USING (qid, neighbor_id)) AS n_hit
+           |)
+           |SELECT n_exact, n_hit,
+           |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_at_5
+           |FROM m""".stripMargin),
+      bench = false),
+
     // ---- Matryoshka truncation eval: recall@5 of brute-force cosine on
     //      the FIRST 32 of 64 dimensions against the full-dimension
     //      ranking — the "can we halve the vector store?" question of an
@@ -838,6 +932,64 @@ object EmbedQueries {
         s"""WITH ${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 64)}
            |SELECT qid, rank, neighbor_id, cos FROM ranked
            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+      bench = false),
+
+    // ---- hot-cell cap QUALITY eval: the one scale knob of knnJoinIvf
+    //      with no measured quality number until now. The sub-split cap
+    //      trades recall for linear candidate work ("recall, not shape");
+    //      this row measures that trade directly as a CAP-SIZE SWEEP:
+    //      edge recall@3 of the capped kNN graph against the UNCAPPED
+    //      exact-in-cell graph, one output row per cap. cap = 8 bites at
+    //      every fixture scale (cells hold ~31 vectors at sf0.01 —
+    //      nsub = 4 quarters each probed cell); cap = 64 is the
+    //      production ann_knn_join config, a no-op at sf0.01 and biting
+    //      from sf0.1 up — so the row discriminates at CI scale AND
+    //      stays meaningful on the 10× decade. Both graphs are the
+    //      oracle-exact operator; n_capped < n·k shortfalls (a probed
+    //      sub-cell holding < k candidates) are reported, not hidden.
+    //      Exact-int hits on (qid, neighbor_id), IEEE recall ratio. ----
+    QueryDef("ann_knn_cap_eval",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val uncapped = Similarity.knnJoinIvf(emb, k = 3, maxCellSize = 0)
+          .select(col("qid"), col("neighbor_id")).stageShare()
+        val nu = uncapped.agg(count(lit(1)).as("n_uncapped"))
+        val perCap = Seq(8, 64).map { cap =>
+          val capped = Similarity
+            .knnJoinIvf(emb, k = 3, maxCellSize = cap)
+            .select(col("qid"), col("neighbor_id")).stageShare()
+          val nc = capped.agg(count(lit(1)).as("n_capped"))
+          val nh = capped.join(uncapped, Seq("qid", "neighbor_id"))
+            .agg(count(lit(1)).as("n_hit"))
+          nu.crossJoin(nc).crossJoin(nh)
+            .select(lit(cap.toLong).as("max_cell_size"),
+              col("n_uncapped"), col("n_capped"), col("n_hit"),
+              (col("n_hit").cast("double") / col("n_uncapped").cast("double"))
+                .as("edge_recall"))
+        }
+        perCap.reduce(_ unionByName _).orderBy(col("max_cell_size"))
+      },
+      oracle = Some(
+        s"""WITH ${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 1000000, p = "u_")},
+           |${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 8, p = "c8_")},
+           |${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 64, p = "c64_")},
+           |ug AS (SELECT qid, neighbor_id FROM u_ranked WHERE rank <= 3),
+           |c8g AS (SELECT qid, neighbor_id FROM c8_ranked WHERE rank <= 3),
+           |c64g AS (SELECT qid, neighbor_id FROM c64_ranked WHERE rank <= 3),
+           |m AS (
+           |  SELECT CAST(8 AS BIGINT) AS max_cell_size,
+           |    (SELECT COUNT(*) FROM ug) AS n_uncapped,
+           |    (SELECT COUNT(*) FROM c8g) AS n_capped,
+           |    (SELECT COUNT(*) FROM c8g JOIN ug USING (qid, neighbor_id)) AS n_hit
+           |  UNION ALL
+           |  SELECT CAST(64 AS BIGINT) AS max_cell_size,
+           |    (SELECT COUNT(*) FROM ug) AS n_uncapped,
+           |    (SELECT COUNT(*) FROM c64g) AS n_capped,
+           |    (SELECT COUNT(*) FROM c64g JOIN ug USING (qid, neighbor_id)) AS n_hit
+           |)
+           |SELECT max_cell_size, n_uncapped, n_capped, n_hit,
+           |  CAST(n_hit AS DOUBLE) / CAST(n_uncapped AS DOUBLE) AS edge_recall
+           |FROM m ORDER BY max_cell_size""".stripMargin),
       bench = false),
 
     // ---- mutual-kNN clustering (the corpus-map recipe): kNN graph →

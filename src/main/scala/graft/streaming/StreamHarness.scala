@@ -29,12 +29,30 @@ import org.apache.spark.sql.DataFrame
 object StreamHarness {
   private val seq = new AtomicInteger(0)
 
+  /** `recentProgress` of the most recent run, captured BEFORE the query
+    * stops (stop clears it). Read by [[graft.StreamScaleProbe]] for the
+    * per-micro-batch state-store evidence; Nil outside a probe. */
+  @volatile var lastProgress
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+
   def run(
       source: DataFrame,
       build: DataFrame => DataFrame,
       outputMode: String,
       flushes: Seq[DataFrame] = Nil): DataFrame = {
     val spark = source.sparkSession
+    // SPARK_GRAFT_STREAM_CHUNKS > 1 switches the staging write to N
+    // event-time-ordered single-file chunks consumed one per micro-batch
+    // (maxFilesPerTrigger = 1) — the shape that lets the watermark
+    // advance BETWEEN batches so state eviction is observable. Results
+    // are unchanged: chunks are range-partitioned on the first timestamp
+    // column, so no row ever arrives behind the watermark (a row in
+    // chunk i+1 is >= every ts in chunk i, and the watermark trails
+    // max(ts) by the pipeline's delay). Sources without a timestamp
+    // column fall back to the single-write path.
+    val chunks = sys.props.get("graft.stream.chunks")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_CHUNKS"))
+      .map(_.toInt).filter(_ > 1).getOrElse(0)
     // transformWithState (ewma, running totals, timer sessions) requires
     // the RocksDB state store; the default HDFSBackedStateStoreProvider
     // rejects its multiple column families. Session-wide and harmless for
@@ -52,8 +70,39 @@ object StreamHarness {
     val rootPath = Files.createTempDirectory("graft-stream")
     val root = rootPath.toString
     val in = s"$root/in"
-    source.write.mode("overwrite").parquet(in)
-    val stream = spark.readStream.schema(source.schema).parquet(in)
+    val tsCol = source.schema.fields
+      .find(_.dataType == org.apache.spark.sql.types.TimestampType)
+      .map(_.name)
+    val chunked = chunks > 1 && tsCol.isDefined
+    if (chunked) {
+      import org.apache.spark.sql.functions.col
+      val c = tsCol.get
+      // range boundaries from an approximate quantile sketch on epoch
+      // micros — distributed, no global sort of the staged table
+      val micros = source.select(
+        org.apache.spark.sql.functions.expr(s"unix_micros(`$c`)")
+          .cast("double").as("m"))
+      val probs = (1 until chunks).map(_.toDouble / chunks).toArray
+      val bounds = micros.stat.approxQuantile("m", probs, 0.01)
+        .map(_.toLong).distinct.sorted
+      val staged = source.persist()
+      staged.count()
+      val edges = ((Long.MinValue +: bounds) :+ Long.MaxValue).toSeq
+      edges.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        staged
+          .where(org.apache.spark.sql.functions.expr(s"unix_micros(`$c`)")
+            .between(lo, hi - 1))
+          .coalesce(1)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(in)
+        Thread.sleep(3) // distinct mtimes => deterministic batch order
+      }
+      staged.unpersist()
+    } else {
+      source.write.mode("overwrite").parquet(in)
+    }
+    val reader = spark.readStream.schema(source.schema)
+    val stream = (if (chunked) reader.option("maxFilesPerTrigger", "1")
+                  else reader).parquet(in)
     val name = s"graft_stream_sink_${seq.incrementAndGet()}"
     val q = build(stream).writeStream
       .format("memory").queryName(name).outputMode(outputMode)
@@ -65,6 +114,7 @@ object StreamHarness {
         f.write.mode("append").parquet(in)
         q.processAllAvailable()
       }
+      lastProgress = q.recentProgress.toSeq
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
