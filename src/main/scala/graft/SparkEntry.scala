@@ -69,14 +69,20 @@ object SparkEntry {
     "dedup_clusters_star", "dedup_pipeline", "dedup_semantic",
     "dedup_span_suffix", "graph_pagerank", "embed_kmeans", "embed_pca_power",
     "ann_pq_topk", "text_bm25_topk", "text_inverted_index", "tokens_bpe_train",
-    "sketch_cms_heavy_hitters", "stats_ks_drift", "events_funnel",
+    // round-9 out-rotation (VERDICT r8 #3): sketch_cms_heavy_hitters,
+    // stats_ks_drift and events_funnel left this set — flat r5–r8
+    // history (0.3–0.7 s steady) makes room for the r8 heavy dedup rows
+    // that were the round-8 line-budget casualty
     "q9_product_type_profit", "q21_suppliers_kept_waiting",
     // round-8 in-rotation: the r7-s2 operators (VERDICT r7 #7)
     "curation_source_overlap", "events_ohlc_bars",
     "profile_weighted_quantiles", "profile_weighted_quantiles_by_lang",
     "stats_js_divergence",
     // round-8 new scale-bearing operators
-    "ann_knn_join", "embed_mutual_knn_clusters")
+    "ann_knn_join", "embed_mutual_knn_clusters",
+    // round-9 in-rotation (VERDICT r8 #3): the r8 heavy dedup rows with
+    // no recorded sf0.1 sweep number yet
+    "dedup_multi_signal", "dedup_lsh_eval", "dedup_containment")
 
   /** Headline benchmark subset (graft.Bench). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -44,12 +44,17 @@ object StreamHarness {
     // SPARK_GRAFT_STREAM_CHUNKS > 1 switches the staging write to N
     // event-time-ordered single-file chunks consumed one per micro-batch
     // (maxFilesPerTrigger = 1) — the shape that lets the watermark
-    // advance BETWEEN batches so state eviction is observable. Results
-    // are unchanged: chunks are range-partitioned on the first timestamp
-    // column, so no row ever arrives behind the watermark (a row in
-    // chunk i+1 is >= every ts in chunk i, and the watermark trails
-    // max(ts) by the pipeline's delay). Sources without a timestamp
-    // column fall back to the single-write path.
+    // advance BETWEEN batches so state eviction is observable. No row
+    // ever arrives behind the watermark (chunks are range-partitioned on
+    // the first timestamp column, so a row in chunk i+1 is >= every ts
+    // in chunk i and the watermark trails max(ts) by the pipeline's
+    // delay): APPEND-mode results are therefore unchanged. UPDATE-mode
+    // pipelines re-emit a key's row on every batch that touches it, so
+    // the memory sink accumulates per-batch updates — a PROBE-ONLY
+    // shape (StreamScaleProbe measured stream_ewma at 236k sink rows
+    // for 15k final keys at 16 chunks); the certification path stays
+    // unchunked. Sources without a timestamp column fall back to the
+    // single-write path.
     val chunks = sys.props.get("graft.stream.chunks")
       .orElse(sys.env.get("SPARK_GRAFT_STREAM_CHUNKS"))
       .map(_.toInt).filter(_ > 1).getOrElse(0)
