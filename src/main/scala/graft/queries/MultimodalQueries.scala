@@ -132,6 +132,109 @@ object MultimodalQueries {
           |)
           |SELECT h.doc_id, b0, b1, b2, b3, d.dup_of, d.dup_of IS NULL AS kept
           |FROM h LEFT JOIN dups d ON d.b = h.doc_id
-          |ORDER BY h.doc_id""".stripMargin))
+          |ORDER BY h.doc_id""".stripMargin)),
+
+    // ---- AUDIO modality (round 9): payload bytes as 16-bit LE signed
+    //      mono PCM (graft.multimodal.Audio.RawPcm16 — the oracle-
+    //      hashable twin; the REAL javax.sound.sampled WAV codec runs
+    //      the same kernels in AudioCodecSpec). Per-frame energy Σs²
+    //      over 64-sample frames as EXACT BIGINTs — one mapPartitions
+    //      pass, no shuffle, frames doc-local. The oracle recomputes
+    //      every sample from hex digit pairs (byte j = hex chars
+    //      2j+1..2j+2; sample k = LE pair 4k+1 / 4k+3, sign-fixed). ----
+    QueryDef("audio_frame_energy",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[graft.multimodal.Multimodal.MediaRecord]
+        graft.multimodal.Audio.frameEnergies(media).toDF()
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT doc_id, hex(encode(text)) AS hx,
+          |    octet_length(encode(text)) // 2 AS n_samples
+          |  FROM documents
+          |), raw AS (
+          |  SELECT doc_id, k,
+          |    CAST(('0x' || substr(hx, CAST(4*k+1 AS BIGINT), 2)) AS INT)
+          |      + 256 * CAST(('0x' || substr(hx, CAST(4*k+3 AS BIGINT), 2)) AS INT) AS u
+          |  FROM (SELECT doc_id, hx, unnest(range(0, n_samples)) AS k FROM b)
+          |), v AS (
+          |  SELECT doc_id, k,
+          |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+          |  FROM raw
+          |)
+          |SELECT doc_id, CAST(k // 64 AS INT) AS frame_idx,
+          |  CAST(COUNT(*) AS INT) AS n_samples,
+          |  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy_fx
+          |FROM v GROUP BY doc_id, k // 64
+          |ORDER BY doc_id, frame_idx""".stripMargin),
+      bench = false),
+
+    // ---- silence segmentation (the VAD front-end shape): adaptive
+    //      threshold — a frame is silent iff its per-sample energy is
+    //      under 1/4 of the doc's mean, evaluated as a BIGINT cross-
+    //      multiplication (no division, no floats) — then
+    //      gaps-and-islands over silent frames, windows PARTITIONED BY
+    //      doc (never global). One row per doc with frame/silence
+    //      counts, contiguous-segment count and the longest run. ----
+    QueryDef("audio_silence_segments",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[graft.multimodal.Multimodal.MediaRecord]
+        graft.multimodal.Audio.silenceSegments(
+          graft.multimodal.Audio.frameEnergies(media).toDF())
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT doc_id, hex(encode(text)) AS hx,
+          |    octet_length(encode(text)) // 2 AS n_samples
+          |  FROM documents
+          |), raw AS (
+          |  SELECT doc_id, k,
+          |    CAST(('0x' || substr(hx, CAST(4*k+1 AS BIGINT), 2)) AS INT)
+          |      + 256 * CAST(('0x' || substr(hx, CAST(4*k+3 AS BIGINT), 2)) AS INT) AS u
+          |  FROM (SELECT doc_id, hx, unnest(range(0, n_samples)) AS k FROM b)
+          |), v AS (
+          |  SELECT doc_id, k,
+          |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+          |  FROM raw
+          |), fr AS (
+          |  SELECT doc_id, k // 64 AS frame_idx,
+          |    COUNT(*) AS n_s, SUM(CAST(s AS BIGINT) * s) AS e
+          |  FROM v GROUP BY 1, 2
+          |), tot AS (
+          |  SELECT doc_id, COUNT(*) AS n_frames, SUM(n_s) AS n_total,
+          |    SUM(e) AS tot_e
+          |  FROM fr GROUP BY 1
+          |), sil AS (
+          |  SELECT f.doc_id, f.frame_idx,
+          |    f.frame_idx - row_number()
+          |      OVER (PARTITION BY f.doc_id ORDER BY f.frame_idx) AS island
+          |  FROM fr f JOIN tot t ON t.doc_id = f.doc_id
+          |  WHERE f.e * t.n_total * 4 < t.tot_e * f.n_s
+          |), runs AS (
+          |  SELECT doc_id, island, COUNT(*) AS run_len
+          |  FROM sil GROUP BY 1, 2
+          |), seg AS (
+          |  SELECT doc_id, COUNT(*) AS n_seg, MAX(run_len) AS longest
+          |  FROM runs GROUP BY 1
+          |)
+          |SELECT t.doc_id,
+          |  CAST(t.n_frames AS BIGINT) AS n_frames,
+          |  CAST(COALESCE(ns.n_silent, 0) AS BIGINT) AS n_silent,
+          |  CAST(COALESCE(seg.n_seg, 0) AS BIGINT) AS n_silence_segments,
+          |  CAST(COALESCE(seg.longest, 0) AS BIGINT) AS longest_silence_frames
+          |FROM tot t
+          |LEFT JOIN (SELECT doc_id, COUNT(*) AS n_silent FROM sil GROUP BY 1) ns
+          |  ON ns.doc_id = t.doc_id
+          |LEFT JOIN seg ON seg.doc_id = t.doc_id
+          |ORDER BY t.doc_id""".stripMargin),
+      bench = false)
   )
 }
