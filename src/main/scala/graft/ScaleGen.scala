@@ -40,7 +40,10 @@ import org.apache.spark.sql.functions._
   * and DuckDB reads the same files for the oracle, so hash checks work
   * at any scale.
   *
-  * Usage: `sbt "runMain graft.ScaleGen <baseSfDir> <outDir> [mult]"`.
+  * Usage: `sbt "runMain graft.ScaleGen <baseSfDir> <outDir> [mult] [tables]"`
+  * — `tables` (optional, comma-separated) restricts output to a subset
+  * (plus the bounded dims), so a fourth-decade probe of a documents-only
+  * operator family doesn't pay for a 600M-row lineitem write.
   */
 object ScaleGen {
   /** Near-duplicate cluster size for documents (and the decorrelation
@@ -54,6 +57,8 @@ object ScaleGen {
     val out = args(1)
     val mult = if (args.length > 2) args(2).toInt else 10
     require(mult >= 1, s"mult must be >= 1, got $mult")
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,7 +67,7 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, base, out, mult)
+    write(spark, base, out, mult, only)
     spark.stop()
   }
 
@@ -74,9 +79,12 @@ object ScaleGen {
       key: String): Long =
     Tables(spark, base, table).agg(max(col(key))).head().getLong(0) + 1L
 
-  def write(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
+  def write(spark: SparkSession, base: String, out: String, mult: Int,
+      only: Set[String] = Set.empty): Unit = {
     val copies = spark.range(0, mult.toLong).select(col("id").as("_copy"))
     def replicate(df: DataFrame): DataFrame = df.crossJoin(broadcast(copies))
+    def wanted(name: String): Boolean = only.isEmpty || only(name) ||
+      name == "region" || name == "nation" // bounded dims always ship
 
     val okStride = stride(spark, base, "orders", "o_orderkey")
     val ckStride = stride(spark, base, "customer", "c_custkey")
@@ -92,6 +100,7 @@ object ScaleGen {
     // single FILE per table (<name>.parquet), the driver's fixture layout
     // — DuckDB's oracle views read bare file paths, not directories
     def save(name: String, df: DataFrame): Unit = {
+      if (!wanted(name)) { System.err.println(s"[scalegen] $name skipped"); return }
       val tmp = s"$out/_tmp_$name"
       df.drop("_copy").coalesce(1).write.mode("overwrite").parquet(tmp)
       val dir = new java.io.File(tmp)

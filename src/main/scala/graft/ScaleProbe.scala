@@ -40,6 +40,38 @@ object ScaleProbe {
     val n = emb.count()
     val k = 3
     val nCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", v: java.lang.Double)
+    if (op == "caprecall") {
+      // the REAL scale config's cap cost: nCells ∝ √n (so cellSize ≈ √n)
+      // with maxCellSize = args(3) (default the library's 4096) — the
+      // complement of the catalog's ann_knn_cap_eval, which pins
+      // nCells = 16 and therefore measures the undersized-quantizer
+      // worst case. Edge recall of the capped graph vs the uncapped
+      // exact-in-cell graph; timing reps cover the capped build + join.
+      val cap = if (args.length > 3) args(3).toInt else 4096
+      def graph(mcs: Int) =
+        operators.Similarity
+          .knnJoinIvf(emb, k = k, nCells = nCells, maxCellSize = mcs)
+          .select(col("qid"), col("neighbor_id"))
+      val uncapped = graph(0).persist()
+      val nUncapped = uncapped.count()
+      val timed = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val nHit = graph(cap).join(uncapped, Seq("qid", "neighbor_id")).count()
+        ((System.nanoTime() - t0) / 1e9, nHit)
+      }
+      require(timed.map(_._2).distinct.size == 1,
+        s"non-deterministic hit counts: ${timed.map(_._2)}")
+      val nHit = timed.head._2
+      val nCapped = graph(cap).count()
+      println(s"""{"op":"caprecall","sf":"${sfDir.split('/').last}","n":$n,""" +
+        s""""nCells":$nCells,"cap":$cap,"n_uncapped":$nUncapped,""" +
+        s""""n_capped":$nCapped,"n_hit":$nHit,""" +
+        s""""edge_recall":${fmt(nHit.toDouble / nUncapped)},""" +
+        s""""reps":[${timed.map(t => fmt(t._1)).mkString(",")}]}""")
+      spark.stop()
+      return
+    }
     def run(): (Double, Long) = {
       val df = op match {
         case "knn" =>

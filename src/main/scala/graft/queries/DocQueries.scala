@@ -612,7 +612,20 @@ object DocQueries {
     //      precision_est = Σw·cand_true / Σw·cand. Output = one row per
     //      stratum (exact-integer counts) with the global estimates
     //      repeated — everything integers + one IEEE division,
-    //      bit-identical cross-engine. ----
+    //      bit-identical cross-engine.
+    //
+    //      ESTIMAND NOTE: recall_est matches the full row's recall
+    //      definition exactly (blocked truth both sides — 100× slice:
+    //      0.947807 sampled vs 0.947827 full, Δ=2e-5). precision_est
+    //      deliberately verifies sampled candidates DIRECTLY (exact
+    //      Jaccard) instead of intersecting with the df-capped blocked
+    //      truth: that is the question a pipeline owner asks ("how much
+    //      verify work is wasted"), and at 100× it exposed the blocked
+    //      truth's documented df-cap blind spot — 0.9926 direct vs
+    //      0.8835 blocked-intersection, i.e. ~11% of candidates are
+    //      REAL J≥0.5 pairs whose every shared shingle is hotter than
+    //      df=20 (ScaleGen dup groups × organic groups push shared-
+    //      shingle df past the cap at scale). ----
     QueryDef("dedup_lsh_eval_sampled",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -947,7 +947,18 @@ object EmbedQueries {
     //      stays meaningful on the 10× decade. Both graphs are the
     //      oracle-exact operator; n_capped < n·k shortfalls (a probed
     //      sub-cell holding < k candidates) are reported, not hidden.
-    //      Exact-int hits on (qid, neighbor_id), IEEE recall ratio. ----
+    //      Exact-int hits on (qid, neighbor_id), IEEE recall ratio.
+    //
+    //      READ THE NUMBERS WITH THE QUANTIZER IN MIND: this row pins
+    //      nCells = 16 (oracle reproducibility), so cell size grows
+    //      with the corpus and the cap's sub-sampling fraction — hence
+    //      recall — degrades as ~cap/cellSize by construction (measured
+    //      cap=64: 1.0 at sf0.01/31-per-cell, 0.42 at sf0.1/375,
+    //      0.075 at 10×/1250). That is the WORST-CASE curve, i.e. what
+    //      the cap costs when the quantizer is undersized. The scale
+    //      path sizes nCells ∝ √n (ScaleProbe), keeping cellSize ≈ √n,
+    //      where the 4096 default cap is a no-op below ~16M vectors —
+    //      ScaleProbe's caprecall op measures THAT config. ----
     QueryDef("ann_knn_cap_eval",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
