@@ -36,11 +36,71 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", v: java.lang.Double)
+    if (op == "lshdecomp") {
+      // Stage decomposition of dedup_lsh_eval vs dedup_lsh_eval_sampled:
+      // times each term ONCE (cold, same order as the queries) so the
+      // "which term does the sample actually shrink" claim is measured,
+      // not inferred from end-to-end medians. Terms: the shared md5-LSH
+      // candidate floor, the SAMPLED blocked truth, the sampled-candidate
+      // precision verification, and the FULL blocked truth.
+      import graft.operators.Dedup
+      import graft.util.Stage.StageOps
+      val docs = Tables.documents(spark, sfDir)
+      def timed[A](f: => A): (Double, A) = {
+        val t0 = System.nanoTime(); val a = f
+        ((System.nanoTime() - t0) / 1e9, a)
+      }
+      val (tCand, (staged, cand)) = timed {
+        val (st, c0) = Dedup.md5StagedAndCandidates(
+          docs, "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
+        val c = c0.stageShare(); c.count(); (st, c)
+      }
+      val nCand = cand.count()
+      val (tSamp, sampleIds) = timed {
+        val inCand = cand.select(col("a").as("doc_id"))
+          .union(cand.select(col("b").as("doc_id"))).distinct()
+        val s = docs.select(col("doc_id"))
+          .join(inCand.withColumn("dc", lit(1)), Seq("doc_id"), "left")
+          .withColumn("in_s",
+            graft.operators.Curation.hashU(col("doc_id"), 91L) <
+              when(col("dc").isNotNull, lit(0.5)).otherwise(lit(0.125)))
+          .where(col("in_s")).select(col("doc_id").as("id")).stageShare()
+        s.count(); s
+      }
+      val nSampled = sampleIds.count()
+      val (tTruthS, nTruthS) = timed {
+        Dedup.exactJaccardPairsBlockedSampled(
+          docs, "doc_id", "text", sampleIds, shingleK = 3, threshold = 0.5,
+          maxShingleDf = 20).count()
+      }
+      val (tCandTrue, nCandTrue) = timed {
+        val sh = staged.select(col("id"), col("sh"))
+        cand.join(sampleIds.select(col("id").as("a")), Seq("a"))
+          .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+          .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+          .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+          .count()
+      }
+      val (tTruthF, nTruthF) = timed {
+        Dedup.exactJaccardPairsBlocked(
+          docs, "doc_id", "text", shingleK = 3, threshold = 0.5,
+          maxShingleDf = 20).count()
+      }
+      println(s"""{"op":"lshdecomp","sf":"${sfDir.split('/').last}",""" +
+        s""""n_docs":${docs.count()},"t_cand":${fmt(tCand)},"n_cand":$nCand,""" +
+        s""""t_sample":${fmt(tSamp)},"n_sampled":$nSampled,""" +
+        s""""t_truth_sampled":${fmt(tTruthS)},"n_truth_sampled":$nTruthS,""" +
+        s""""t_cand_true":${fmt(tCandTrue)},"n_cand_true":$nCandTrue,""" +
+        s""""t_truth_full":${fmt(tTruthF)},"n_truth_full":$nTruthF}""")
+      spark.stop()
+      return
+    }
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.count()
     val k = 3
     val nCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", v: java.lang.Double)
     if (op == "caprecall") {
       // the REAL scale config's cap cost: nCells ∝ √n (so cellSize ≈ √n)
       // with maxCellSize = args(3) (default the library's 4096) — the

@@ -87,6 +87,33 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Top-`nProbe` IVF cells of a vector against a COMPILE-TIME centroid
+    * matrix, by (cosine DESC, cell ASC) — `[0]` is the assignment cell,
+    * the whole array is the probe list. One codegen kernel call per row
+    * replaces the nCells-literal expression-tree formulation that falls
+    * out of whole-stage codegen at nCells = ⌈√n⌉ (the IVF scale sizing;
+    * see [[VectorOps.topCellsByCos]] for the measured cliff). The matrix
+    * rides the generated class as a reference object — broadcast-sized
+    * like any literal plan constant, never shuffled. */
+  case class TopCellsByCos(child: Expression,
+      centroids: Array[Array[Float]], nProbe: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "array<float>", isFloatArray(child.dataType),
+        child.dataType)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "top_cells_by_cos"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorOps.topCellsByCos(a.asInstanceOf[ArrayData], centroids, nProbe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.topCellsByCos($a, $cents, $nProbe);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -415,6 +442,9 @@ object VectorExpressions {
   // Column-level API
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def topCellsByCos(vec: Column, centroids: Array[Array[Float]],
+      nProbe: Int): Column =
+    GraftBridge.column(TopCellsByCos(GraftBridge.expression(vec), centroids, nProbe))
   def cosineSimFD(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimFD(GraftBridge.expression(a), GraftBridge.expression(b)))
   def dotProduct(a: Column, b: Column): Column =

@@ -69,6 +69,60 @@ object VectorOps {
     acc
   }
 
+  /** Top-`nProbe` centroid cells by (cosine DESC, cell ASC) — the IVF
+    * assignment/probe kernel as ONE tight loop over a centroid matrix.
+    *
+    * Arithmetic is EXACTLY [[cosineFloat]] per centroid (double
+    * accumulation in array order, zero-denominator → 0.0), and the
+    * ordering is exactly the struct-compare the expression-per-centroid
+    * formulation used — `array_max(struct(cos, -cell))` for the argmax,
+    * ascending `array_sort(struct(-cos, cell))` for the probe list — so
+    * results are bit-identical to that form. The point is shape: the
+    * literal-per-centroid plan is nCells separate expression trees
+    * (2·nCells cosine kernels per row at assignment+probe), which at the
+    * IVF scale sizing nCells = ⌈√n⌉ overflows the 64 KB JIT method limit
+    * and falls out of whole-stage codegen — measured 100×-slice
+    * (n=200k, 448 cells): >150 s per kNN-join build vs ~8 s with this
+    * kernel. Selection is an insertion pass over a bounded nProbe
+    * buffer; iterating cells in ascending order with strictly-greater
+    * comparisons makes the (cos DESC, cell ASC) tie-break fall out of
+    * insertion stability. */
+  def topCellsByCos(vec: ArrayData, cents: Array[Array[Float]],
+      nProbe: Int): ArrayData = {
+    val m = cents.length
+    val take = math.min(nProbe, m)
+    val topCos = new Array[Double](take)
+    val topCell = new Array[Int](take)
+    var filled = 0
+    var c = 0
+    while (c < m) {
+      val cent = cents(c)
+      val n = math.min(vec.numElements(), cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = vec.getFloat(i).toDouble; val y = cent(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val cos = if (denom == 0.0) 0.0 else dot / denom
+      if (filled < take || cos > topCos(filled - 1)) {
+        // find insertion point: first slot whose cos is STRICTLY less
+        // (equal-cos keeps the earlier = smaller cell first)
+        var j = if (filled < take) filled else take - 1
+        while (j > 0 && topCos(j - 1) < cos) {
+          topCos(j) = topCos(j - 1); topCell(j) = topCell(j - 1); j -= 1
+        }
+        topCos(j) = cos; topCell(j) = c
+        if (filled < take) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topCell, filled))
+  }
+
   def cosineFloat(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

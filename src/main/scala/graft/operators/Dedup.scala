@@ -273,9 +273,20 @@ object Dedup {
       maxShingleDf: Int = 20): DataFrame = {
     val shingles =
       graft.functions.VectorExpressions.wordShingles(col(textCol), shingleK)
-    val staged = docs
-      .select(col(idCol).as("id"), shingles.as("sh"))
-      .persist()
+    exactJaccardPairsBlockedStaged(
+      docs.select(col(idCol).as("id"), shingles.as("sh")).persist(),
+      threshold, maxShingleDf)
+  }
+
+  /** [[exactJaccardPairsBlocked]] over a PRE-STAGED `(id, sh)` frame —
+    * the form the eval-harness queries use so the corpus is shingled
+    * ONCE and shared with the LSH candidate side
+    * ([[md5StagedAndCandidates]]'s staged output), exactly as the
+    * DuckDB oracle shares its `sh` CTE. At 100 TB the standalone form's
+    * second tokenize pass is a full extra corpus scan. */
+  def exactJaccardPairsBlockedStaged(
+      staged: DataFrame, threshold: Double,
+      maxShingleDf: Int): DataFrame = {
     val ex = staged
       .select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
@@ -321,9 +332,16 @@ object Dedup {
       maxShingleDf: Int = 20): DataFrame = {
     val shingles =
       graft.functions.VectorExpressions.wordShingles(col(textCol), shingleK)
-    val staged = docs
-      .select(col(idCol).as("id"), shingles.as("sh"))
-      .persist()
+    exactJaccardPairsBlockedSampledStaged(
+      docs.select(col(idCol).as("id"), shingles.as("sh")).persist(),
+      sampledIds, threshold, maxShingleDf)
+  }
+
+  /** [[exactJaccardPairsBlockedSampled]] over a PRE-STAGED `(id, sh)`
+    * frame — see [[exactJaccardPairsBlockedStaged]] for why. */
+  def exactJaccardPairsBlockedSampledStaged(
+      staged: DataFrame, sampledIds: DataFrame,
+      threshold: Double, maxShingleDf: Int): DataFrame = {
     val ex = staged
       .select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))

@@ -348,11 +348,15 @@ object Similarity {
       .orderBy(col(idCol))
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1)) }
-    val bestCell = array_max(array(centroids.map { case (i, c) =>
-      struct(cosineSim(col(vecCol), typedlit(c)).as("cos"), lit(-i).as("negCell"))
-    }: _*))
+    // assignment through the TopCellsByCos codegen kernel (nProbe=1 →
+    // argmax cell): bit-identical to the per-centroid literal argmax,
+    // but one generated call per row — the literal form falls out of
+    // whole-stage codegen at this method's auto ⌈√n⌉ sizing (see
+    // VectorOps.topCellsByCos)
     val assigned = corpus
-      .select(col(idCol), col(vecCol), (-bestCell.getField("negCell")).as("cell"))
+      .select(col(idCol), col(vecCol),
+        graft.functions.VectorExpressions.topCellsByCos(
+          col(vecCol), centroids.map(_._2.toArray), 1).getItem(0).as("cell"))
       .stageCheckpoint() // both sides of the self-join reuse the assignment
     // Hot-cell guard: per-cell counts are quantizer-sized (≤ k rows) —
     // broadcast them back and sub-split oversized cells row-locally.
@@ -585,13 +589,22 @@ object Similarity {
         .orderBy(col(idCol))
         .collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Float](1)) }
-    // corpus side: row-local argmax cell (the ivfTopK/VecKMeans kernel);
-    // staged once — it feeds both the candidate table and the probe side
-    val bestCell = array_max(array(centroids.map { case (i, c) =>
-      struct(cosineSim(col(vecCol), typedlit(c)).as("cos"), lit(-i).as("negCell"))
-    }: _*))
+    // corpus side: assignment cell + probe list in ONE codegen kernel
+    // pass (TopCellsByCos) — bit-identical to the former per-centroid
+    // literal expression trees (array_max(struct(cos,-cell)) /
+    // array_sort(struct(-cos,cell))), but a single generated call per
+    // row: the literal form built nCells separate cosine subtrees and
+    // fell out of whole-stage codegen at the IVF scale sizing
+    // nCells = ⌈√n⌉ (measured >150 s vs ~8 s per build at n=200k).
+    // Staged once — it feeds both the candidate table and the probe side.
+    val centMatrix: Array[Array[Float]] =
+      centroids.map { case (_, c) => c.toArray }.toArray
+    val topCells = graft.functions.VectorExpressions
+      .topCellsByCos(col(vecCol), centMatrix, nProbe)
     val cells0 = corpus
-      .select(col(idCol), col(vecCol), (-bestCell.getField("negCell")).as("cell"))
+      .select(col(idCol), col(vecCol), topCells.as("_tc"))
+      .select(col(idCol), col(vecCol), col("_tc").getItem(0).as("cell"),
+        col("_tc").as("probe_cells"))
       .stageCheckpoint()
     // hot-cell guard (the semanticDedup sub-split): per-cell counts are
     // quantizer-sized (≤ nCells rows) — broadcast them back, sub-split
@@ -608,21 +621,15 @@ object Similarity {
           ceil(count(lit(1)).cast("double") / lit(maxCellSize.toDouble))
             .cast("long")).as("nsub")))
     val cells =
-      if (maxCellSize <= 0) cells0.withColumn("subcell", lit(0))
-      else cells0.join(nsubs, Seq("cell"))
+      if (maxCellSize <= 0) cells0.drop("probe_cells").withColumn("subcell", lit(0))
+      else cells0.drop("probe_cells").join(nsubs, Seq("cell"))
         .withColumn("subcell", subHash(col(idCol))).drop("nsub")
-    // probe side: top-nProbe cells as a row-local sorted-slice of the
-    // centroid-literal struct array — ascending (−cos, cell) ≡
-    // (cos DESC, cell ASC), the ranked-window tie-break without the
-    // window
-    val probeSorted = array_sort(array(centroids.map { case (i, c) =>
-      struct((-cosineSim(col(vecCol), typedlit(c))).as("negcos"),
-        lit(i).as("cell"))
-    }: _*))
+    // probe side: the SAME kernel output — top-nProbe cells by
+    // (cos DESC, cell ASC), already carried on the staged frame, so the
+    // probe pass costs an explode, not a second nCells-cosine sweep
     val probes0 = cells0
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-        explode(slice(probeSorted, 1, nProbe)).as("pc"))
-      .select(col("qid"), col("qvec"), col("pc.cell").as("cell"))
+        explode(col("probe_cells")).as("cell"))
     val probes =
       if (maxCellSize <= 0) probes0.withColumn("subcell", lit(0))
       else probes0.join(nsubs, Seq("cell"))

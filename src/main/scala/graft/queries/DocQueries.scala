@@ -603,11 +603,18 @@ object DocQueries {
     //      for a SEEDED STRATIFIED doc sample — strata = source ×
     //      dup-mass (dense = the doc appears in ≥1 LSH candidate pair,
     //      the cheap production artifact we are evaluating anyway),
-    //      rates 1/2 dense / 1/8 sparse via the engine-portable
-    //      multiplicative hashU. A pair is sampled iff its MIN-id
+    //      rates 1/16 dense / 1/8 sparse via the engine-portable
+    //      multiplicative hashU. The dense rate is deliberately LOW:
+    //      on a replicated-dup corpus (ScaleGen 100×: every doc is in
+    //      ≥1 candidate pair, so dense = the whole 500k corpus) a rate
+    //      of 1/2 made the truth term merely halve — 1/16 keeps ~31k
+    //      sampled docs (binomial CI on recall ±0.3%) while truth cost
+    //      tracks the SAMPLE, not the corpus (lshdecomp probe: full
+    //      truth 133 s at 100×, sampled-at-1/2 78 s, the blocked join
+    //      shrinks ∝ rate). A pair is sampled iff its MIN-id
     //      endpoint is sampled (exactly one inclusion Bernoulli per
     //      pair), so per-stratum counts reweight by exact integer
-    //      inverse rates (2, 8) into unbiased recall/precision
+    //      inverse rates (16, 8) into unbiased recall/precision
     //      estimates: recall_est = Σw·hit / Σw·true,
     //      precision_est = Σw·cand_true / Σw·cand. Output = one row per
     //      stratum (exact-integer counts) with the global estimates
@@ -615,17 +622,19 @@ object DocQueries {
     //      bit-identical cross-engine.
     //
     //      ESTIMAND NOTE: recall_est matches the full row's recall
-    //      definition exactly (blocked truth both sides — 100× slice:
-    //      0.947807 sampled vs 0.947827 full, Δ=2e-5). precision_est
-    //      deliberately verifies sampled candidates DIRECTLY (exact
-    //      Jaccard) instead of intersecting with the df-capped blocked
-    //      truth: that is the question a pipeline owner asks ("how much
-    //      verify work is wasted"), and at 100× it exposed the blocked
-    //      truth's documented df-cap blind spot — 0.9926 direct vs
-    //      0.8835 blocked-intersection, i.e. ~11% of candidates are
-    //      REAL J≥0.5 pairs whose every shared shingle is hotter than
-    //      df=20 (ScaleGen dup groups × organic groups push shared-
-    //      shingle df past the cap at scale). ----
+    //      definition exactly (blocked truth both sides — 100× slice,
+    //      Aug-15 fixtures, 31,512 sampled docs: 0.947585 sampled vs
+    //      0.947827 full, Δ=2.4e-4, inside one binomial σ≈6e-4 of the
+    //      134k sampled truth pairs). precision_est deliberately
+    //      verifies sampled candidates DIRECTLY (exact Jaccard) instead
+    //      of intersecting with the df-capped blocked truth: that is
+    //      the question a pipeline owner asks ("how much verify work is
+    //      wasted"), and at 100× it exposes the blocked truth's
+    //      documented df-cap blind spot — 0.9930 direct vs 0.8835
+    //      blocked-intersection, i.e. ~11% of candidates are REAL
+    //      J≥0.5 pairs whose every shared shingle is hotter than df=20
+    //      (ScaleGen dup groups × organic groups push shared-shingle df
+    //      past the cap at scale). ----
     QueryDef("dedup_lsh_eval_sampled",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -639,12 +648,17 @@ object DocQueries {
           .select(col("doc_id"), col("source"), col("dc").isNotNull.as("dense"))
           .withColumn("in_s",
             graft.operators.Curation.hashU(col("doc_id"), 91L) <
-              when(col("dense"), lit(0.5)).otherwise(lit(0.125)))
+              when(col("dense"), lit(0.0625)).otherwise(lit(0.125)))
           .stageShare()
         val sampleIds = samp.where(col("in_s")).select(col("doc_id").as("id"))
-        val truth = Dedup.exactJaccardPairsBlockedSampled(
-          docs, "doc_id", "text", sampleIds, shingleK = 3, threshold = 0.5,
-          maxShingleDf = 20).select(col("a"), col("b")).stageShare()
+        // staged overload: unlike the full row (whose truth deliberately
+        // re-stages — lifetimes differ in production), the SAMPLED row is
+        // the at-scale recipe, so the corpus is shingled ONCE and the
+        // (id, sh) stage shared with the candidate side — the oracle's
+        // sh CTE is shared the same way
+        val truth = Dedup.exactJaccardPairsBlockedSampledStaged(
+          staged, sampleIds, threshold = 0.5, maxShingleDf = 20)
+          .select(col("a"), col("b")).stageShare()
         val hits = truth.join(cand, Seq("a", "b"))
         val candS = cand.join(sampleIds.select(col("id").as("a")), Seq("a"))
           .stageShare()
@@ -667,7 +681,7 @@ object DocQueries {
           .join(perStratum(candS, "n_cand"), Seq("source", "dense"), "left")
           .join(perStratum(candTrue, "n_cand_true"), Seq("source", "dense"), "left")
           .na.fill(0L, Seq("n_true", "n_hit", "n_cand", "n_cand_true"))
-        val w = when(col("dense"), lit(2L)).otherwise(lit(8L))
+        val w = when(col("dense"), lit(16L)).otherwise(lit(8L))
         val tot = per.agg(
           sum(w * col("n_true")).as("wt"), sum(w * col("n_hit")).as("wh"),
           sum(w * col("n_cand")).as("wc"), sum(w * col("n_cand_true")).as("wv"))
@@ -716,7 +730,7 @@ object DocQueries {
              |  SELECT a AS doc_id FROM cand UNION SELECT b FROM cand
              |), samp AS (
              |  SELECT doc_id, source, dense,
-             |    (u < CASE WHEN dense THEN 0.5 ELSE 0.125 END) AS in_s
+             |    (u < CASE WHEN dense THEN 0.0625 ELSE 0.125 END) AS in_s
              |  FROM (
              |    SELECT d.doc_id, d.source, (i.doc_id IS NOT NULL) AS dense,
              |      CAST(((CAST(d.doc_id AS HUGEINT) * 2654435761 + 91) % 4294967296
@@ -783,7 +797,7 @@ object DocQueries {
              |    CASE WHEN SUM(w * n_cand) > 0
              |      THEN CAST(SUM(w * n_cand_true) AS DOUBLE) / CAST(SUM(w * n_cand) AS DOUBLE)
              |      ELSE CAST(0.0 AS DOUBLE) END AS precision_est
-             |  FROM (SELECT *, CASE WHEN dense THEN 2 ELSE 8 END AS w FROM per)
+             |  FROM (SELECT *, CASE WHEN dense THEN 16 ELSE 8 END AS w FROM per)
              |), tot2 AS (
              |  SELECT recall_est, precision_est,
              |    CASE WHEN recall_est + precision_est > 0

@@ -39,7 +39,7 @@ class NewOpsR9Spec extends SparkSpec {
     // one row per (source, dense) stratum actually present
     rows.map(r => (r.getAs[String]("source"), r.getAs[Boolean]("dense")))
       .distinct.length shouldBe rows.length
-    def w(dense: Boolean): Long = if (dense) 2L else 8L
+    def w(dense: Boolean): Long = if (dense) 16L else 8L
     val wTrue = rows.map(r => w(r.getAs[Boolean]("dense")) * r.getAs[Long]("n_true")).sum
     val wHit = rows.map(r => w(r.getAs[Boolean]("dense")) * r.getAs[Long]("n_hit")).sum
     val wCand = rows.map(r => w(r.getAs[Boolean]("dense")) * r.getAs[Long]("n_cand")).sum

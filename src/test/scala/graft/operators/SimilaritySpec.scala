@@ -385,4 +385,53 @@ class SimilaritySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Similarity.whiten(ragged)
   }
+
+  test("TopCellsByCos kernel == the per-centroid literal formulation" +
+      " (argmax cell AND probe order), incl. duplicate-centroid ties") {
+    val emb = Tables.embeddings(spark, sf01)
+    // centroid sets: the knnJoinIvf Knuth-hash sample at nCells 16 and
+    // the scale sizing ceil(sqrt(n)), plus a DUPLICATED first centroid
+    // appended so at least one exact cosine tie exists (tie must break
+    // to the SMALLER cell on both paths)
+    val n = emb.count()
+    Seq(16, math.ceil(math.sqrt(n.toDouble)).toInt).foreach { nCells =>
+      val cents0 = emb
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(((col("vec_id") * lit(2654435761L) + lit(42L)) % lit(4294967296L)).asc,
+          col("vec_id"))
+        .limit(nCells).orderBy(col("vec_id"))
+        .collect().zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1)) }
+      val cents = cents0 :+ ((cents0.length, cents0.head._2)) // forced tie
+      val nProbe = 4
+      // literal formulation (what knnJoinIvf used before the kernel)
+      val probeSorted = array_sort(array(cents.map { case (i, c) =>
+        struct((-cosineSim(col("embedding"), typedlit(c))).as("negcos"),
+          lit(i).as("cell"))
+      }: _*))
+      val legacy = emb.select(col("vec_id"),
+          slice(probeSorted, 1, nProbe).as("pc"))
+        .select(col("vec_id"), expr("transform(pc, x -> x.cell)").as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val kernel = emb.select(col("vec_id"),
+          graft.functions.VectorExpressions.topCellsByCos(
+            col("embedding"), cents.map(_._2.toArray).toArray, nProbe).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      kernel shouldBe legacy
+      // the duplicated centroid (largest cell id) must NEVER outrank its
+      // original on equal cosine
+      kernel.values.foreach { cells =>
+        if (cells.contains(cents0.length)) cells.indexOf(0) should be >= 0
+      }
+    }
+  }
+
+  test("TopCellsByCos: zero vector -> cos 0.0 everywhere, cells in id order") {
+    import spark.implicits._
+    val z = Seq((1L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(8)(1.0f), Array.fill(8)(2.0f), Array.fill(8)(3.0f))
+    val got = z.select(graft.functions.VectorExpressions
+        .topCellsByCos(col("embedding"), cents, 2).as("c"))
+      .collect().head.getSeq[Int](0)
+    got shouldBe Seq(0, 1) // all ties at 0.0 -> ascending cell ids
+  }
 }

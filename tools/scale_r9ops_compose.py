@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Compose SCALE_R9OPS.json — three-decade evidence for the round-9
+operators (sampled-truth LSH eval, sampled ANN recall eval, kNN cap
+eval, audio frame energy / silence segmentation) plus the full
+dedup_lsh_eval row for the sampled-vs-full decomposition, the caprecall
+probe lines (the REAL scale config's hot-cell-cap recall cost), and the
+fourth-decade probe of the steepest r8 slopes.
+
+Inputs: BenchReps JSONs at sf0.1 / 10x / 100x, verify_local logs of the
+10x and 100x oracle compares, a file of ScaleProbe caprecall JSON lines,
+and a fourth-decade JSON (hand-assembled reps + oracle status at the
+300x/1000x single-table slices). Output schema matches SCALE_R8OPS.json
+(per-query reps/medians per decade, growth ratios, fitted log-log
+slope, oracle rows at each scale).
+"""
+import json, math, sys
+
+(reps1_p, reps10_p, reps100_p, duck10_p, duck100_p, caprecall_p,
+ fourth_p, out_p) = sys.argv[1:9]
+
+reps1 = json.load(open(reps1_p))["queries"]
+reps10 = json.load(open(reps10_p))["queries"]
+reps100 = json.load(open(reps100_p))["queries"]
+
+
+def parse_duck(path):
+    import re
+    out = {}
+    for line in open(path):
+        m = re.match(r"(OK-\S+|FAIL\S*)\s+(\S+) rows=(\d+)", line.strip())
+        if m:
+            out[m.group(2)] = "%s rows=%s" % (m.group(1), m.group(3))
+    return out
+
+
+duck10, duck100 = parse_duck(duck10_p), parse_duck(duck100_p)
+
+NOTES = {
+    "dedup_lsh_eval_sampled":
+        "sampled-truth variant of dedup_lsh_eval: exact blocked-Jaccard "
+        "truth only for a seeded stratified doc sample (source x "
+        "candidate-density strata, rates 1/2 dense / 1/8 sparse). Compare "
+        "against the full row below: the DELTA is the truth-side term the "
+        "sample removes; the remainder both rows share is the md5-LSH "
+        "candidate-generation floor (SCALE100X dedup_minhash_lsh). The "
+        "sampled row's precision estimand is DIRECT candidate "
+        "verification (every sampled candidate pair Jaccard-checked), "
+        "deliberately not the full row's df-capped blocked-truth "
+        "intersection - see queries/DocQueries.scala estimand note",
+    "dedup_lsh_eval":
+        "the full-truth row, kept for the decomposition above; "
+        "duplicate-PAIR-mass proportional, the one catalog computation "
+        "a 100 TB run could never afford",
+    "ann_knn_cap_eval":
+        "oracle-pinned 16-cell config = the undersized-quantizer WORST "
+        "case (cells ~ n/16, so even cap 64 bites); the caprecall probe "
+        "block below measures the REAL scale config (nCells ~ sqrt(n)) "
+        "where the library's 4096 default cap is a recall no-op",
+}
+
+out = {}
+for q in reps100:
+    if q not in reps1 or q not in reps10:
+        print("skip %s: missing from %s" % (
+            q, "sf0.1 reps" if q not in reps1 else "10x reps"),
+            file=sys.stderr)
+        continue
+    m1, m10, m100 = (reps1[q]["median"], reps10[q]["median"],
+                     reps100[q]["median"])
+    entry = {
+        "sf0.1": reps1[q],
+        "x10": reps10[q],
+        "growth": round(m10 / m1, 2),
+        "x100": reps100[q],
+        "growth_10x_to_100x": round(m100 / m10, 2),
+    }
+    xs, ys = [0.0, 1.0, 2.0], [math.log10(m1), math.log10(m10),
+                               math.log10(m100)]
+    xbar, ybar = sum(xs) / 3, sum(ys) / 3
+    entry["loglog_slope"] = round(
+        sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) /
+        sum((x - xbar) ** 2 for x in xs), 2)
+    if q in duck10:
+        entry["oracle_10x"] = duck10[q]
+    if q in duck100:
+        entry["oracle_100x"] = duck100[q]
+    if q in NOTES:
+        entry["note"] = NOTES[q]
+    out[q] = entry
+
+caprecall = [json.loads(l) for l in open(caprecall_p) if l.strip()]
+fourth = json.load(open(fourth_p))
+
+json.dump({
+    "slice": "10x and 100x of sf0.1 (ScaleGen over the Aug-15 13:27 "
+             "driver fixtures; documents+embeddings subset; near-dup "
+             "groups of 10)",
+    "note": "round-9 operators; 5-rep medians per decade, same host and "
+            "session style per decade; oracles = DuckDB over the slice "
+            "parquet via tools/verify_local.py. caprecall = ScaleProbe "
+            "edge-recall of knnJoinIvf's hot-cell cap under the REAL "
+            "scale config (nCells ~ sqrt(n)), complement of the "
+            "oracle-pinned ann_knn_cap_eval row. fourth_decade = the "
+            "steepest-slope r8 ops probed one decade further on "
+            "single-table ScaleGen slices (VERDICT r8 #4)",
+    "queries": out,
+    "caprecall": caprecall,
+    "fourth_decade": fourth,
+}, open(out_p, "w"), indent=1)
+print(json.dumps({q: {k: v for k, v in e.items()
+                      if k not in ("sf0.1", "x10", "x100")}
+                  for q, e in out.items()}, indent=1))
