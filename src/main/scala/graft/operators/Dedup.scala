@@ -188,6 +188,100 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** The md5-family persistent signature table: (id, sh, sig) for every
+    * document with a non-empty shingle set (fewer than `shingleK` tokens
+    * can never shingle-match), hashes from [[VectorExpressions
+    * .md5MinhashSig]] so a SQL engine with md5 + hex parsing recomputes
+    * the rows bit-exactly. The frozen-corpus side of
+    * [[incrementalNearDuplicatePairsMd5]]. */
+  def writeSignatureTableMd5(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      shingleK: Int = 3, numHashes: Int = 16): Unit =
+    docs
+      .select(
+        col(idCol).as("id"),
+        VectorExpressions.wordShingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig",
+        VectorExpressions.md5MinhashSig(col("sh"), numHashes))
+      .write.mode("overwrite").parquet(path)
+
+  /** md5-family twin of [[incrementalNearDuplicatePairs]] — the
+    * dedup-the-delta operating mode (new crawl increment vs a FROZEN
+    * corpus whose signature table is already on disk) with the
+    * DuckDB-reproducible hash family, so the whole incremental dataflow
+    * — persisted signatures, band buckets, delta-bounded candidate
+    * join, exact-Jaccard verify against the STORED shingle arrays —
+    * carries an exact cross-engine oracle (`dedup_incremental_lsh`).
+    * `existing` is the (id, sh, sig) frame written by
+    * [[writeSignatureTableMd5]]: the old corpus text is never re-read
+    * or re-shingled (this signature's type makes that impossible — no
+    * text column comes in), and the candidate join touches only band
+    * buckets the NEW documents land in, so cost scales with the delta
+    * plus the duplicate mass it hits, not the corpus.
+    *
+    * Returns (a, b, jaccard) with `a` always a new-document id;
+    * new-new pairs appear once (a < b), new-old pairs keep their
+    * (new, old) orientation. Equivalence contract (spec-enforced):
+    * identical to running [[nearDuplicatePairsMd5]] on old ∪ new and
+    * keeping the pairs with ≥ 1 new endpoint. */
+  def incrementalNearDuplicatePairsMd5(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      existing: DataFrame,
+      threshold: Double = 0.5, shingleK: Int = 3,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val fresh = newDocs
+      .select(
+        col(idCol).as("id"),
+        VectorExpressions.wordShingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig",
+        VectorExpressions.md5MinhashSig(col("sh"), numHashes))
+      .stageShare()
+    def bandKeys(df: DataFrame): DataFrame = {
+      val keys = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until rowsPerBand).map(r =>
+            col("sig").getItem(b * rowsPerBand + r)): _*).as("bucket"))
+      }
+      df.select(col("id"), explode(array(keys: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"),
+          col("bk.bucket").as("bucket"))
+    }
+    // The probe side is the delta's buckets only; the build side is the
+    // full bucket table (old from the persisted sig column — never
+    // recomputed — plus the delta itself, so intra-delta dups are found
+    // in the same pass). The broadcast carries delta IDS only.
+    val allBuckets = bandKeys(
+      existing.select(col("id"), col("sig"))
+        .unionByName(fresh.select(col("id"), col("sig"))))
+    val newIds = fresh.select(col("id").as("b"), lit(true).as("b_is_new"))
+    val cand = bandKeys(fresh)
+      .select(col("band"), col("bucket"), col("id").as("a"))
+      .join(allBuckets.select(col("band"), col("bucket"), col("id").as("b")),
+        Seq("band", "bucket"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+      // canonicalize new-new pairs (both orientations landed above);
+      // new-old pairs pass whatever the id order
+      .join(broadcast(newIds), Seq("b"), "left")
+      .where(coalesce(col("b_is_new"), lit(false)) === lit(false) ||
+        col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val allSh = existing.select(col("id"), col("sh"))
+      .unionByName(fresh.select(col("id"), col("sh")))
+    cand
+      .join(fresh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(allSh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** The shared md5-LSH front-end: staged `(id, sh)` (persisted — read
     * by the bucket self-join and by every caller-side verify join) and
     * the banded candidate pairs (a < b). The signature — md5 per

@@ -493,6 +493,101 @@ object DocQueries {
              |ORDER BY doc_id""".stripMargin),
       bench = false),
 
+    // ---- incremental (delta) near-dedup: the 100 TB OPERATING MODE —
+    //      dedup a new crawl increment against a FROZEN corpus via its
+    //      persisted signature table, never re-reading the old text.
+    //      doc_id % 5 == 0 plays the increment; the rest is the frozen
+    //      corpus whose md5-family signature table is WRITTEN TO PARQUET
+    //      and read back inside the query, so the certified row
+    //      exercises the real round-trip (the operator's existing-side
+    //      input carries no text column — re-shingling the corpus is
+    //      impossible by type). Candidate work = the band buckets the
+    //      delta lands in; cost scales with the delta + the duplicate
+    //      mass it hits, not the corpus (see
+    //      Dedup.incrementalNearDuplicatePairsMd5). Output: per-NEW-doc
+    //      best match over old ∪ new endpoints; matched_existing = the
+    //      best match is a frozen-corpus doc (vs a dup within the
+    //      increment itself). DedupSpec pins the batch-equivalence
+    //      contract: identical to full-corpus pairs restricted to ≥ 1
+    //      new endpoint. ----
+    QueryDef("dedup_incremental_lsh",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val newDocs = docs.where(col("doc_id") % 5 === 0)
+        val oldDocs = docs.where(col("doc_id") % 5 =!= 0)
+        val sigDir = java.nio.file.Files
+          .createTempDirectory("graft_sigtab_").toString
+        Dedup.writeSignatureTableMd5(oldDocs, "doc_id", "text", sigDir)
+        val pairs = Dedup.incrementalNearDuplicatePairsMd5(
+          newDocs, "doc_id", "text", s.read.parquet(sigDir),
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+        val sym = pairs
+          .select(col("a").as("doc_id"), col("b").as("other"), col("jaccard"))
+          .union(pairs.where(col("b") % 5 === 0)
+            .select(col("b").as("doc_id"), col("a").as("other"),
+              col("jaccard")))
+        // best_jaccard is a ratio of two exact ints — pure IEEE division,
+        // bit-identical cross-engine (Det scaladoc)
+        val best = sym.groupBy(col("doc_id"))
+          .agg(max(struct(col("jaccard"), col("other"))).as("m"))
+          .select(col("doc_id"), col("m.jaccard").as("best_jaccard"),
+            col("m.other").as("best_match_id"))
+        newDocs.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+          .withColumn("matched_existing", col("best_match_id") % 5 =!= 0)
+          .withColumn("is_near_duplicate", col("best_jaccard").isNotNull)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        raw"""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(t) - 1),
+             |        i -> array_to_string(t[i:i+2], ' ')))
+             |    ELSE CAST([] AS VARCHAR[]) END AS sh
+             |  FROM toks
+             |), hs AS (
+             |  SELECT doc_id, sh,
+             |    list_transform(sh, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS harr
+             |  FROM sh
+             |), sigs AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 16), i -> list_min(list_transform(harr,
+             |      h -> ((h >> 30) + i * (h & 1073741823)) % 1073741789))) AS sig
+             |  FROM hs WHERE len(sh) > 0
+             |), buckets AS (
+             |  SELECT s.doc_id, b.band,
+             |    array_to_string(s.sig[b.band*4+1 : b.band*4+4], ',') AS bucket
+             |  FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+             |), cand AS (
+             |  SELECT l.doc_id AS a, r.doc_id AS b
+             |  FROM buckets l JOIN buckets r USING (band, bucket)
+             |  WHERE l.doc_id % 5 = 0 AND l.doc_id <> r.doc_id
+             |    AND (r.doc_id % 5 <> 0 OR l.doc_id < r.doc_id)
+             |  GROUP BY 1, 2
+             |), kept AS (
+             |  SELECT c.a AS a, c.b AS b,
+             |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+             |  FROM cand c JOIN hs x ON x.doc_id = c.a JOIN hs y ON y.doc_id = c.b
+             |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5
+             |), sym AS (
+             |  SELECT a AS doc_id, b AS other, jaccard FROM kept
+             |  UNION ALL
+             |  SELECT b AS doc_id, a AS other, jaccard FROM kept WHERE b % 5 = 0
+             |), best AS (
+             |  SELECT doc_id, max(struct_pack(jaccard := jaccard, other := other)) AS m
+             |  FROM sym GROUP BY doc_id
+             |)
+             |SELECT d.doc_id AS doc_id, m.jaccard AS best_jaccard,
+             |  m.other AS best_match_id, m.other % 5 <> 0 AS matched_existing,
+             |  m.jaccard IS NOT NULL AS is_near_duplicate
+             |FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+             |WHERE d.doc_id % 5 = 0
+             |ORDER BY doc_id""".stripMargin),
+      bench = false),
+
     // ---- LSH quality-evaluation harness: recall / precision of the
     //      banded-MinHash candidate set against an exact blocked-Jaccard
     //      ground truth (pairs sharing ≥1 rare shingle, df ≤ 20, exact

@@ -88,6 +88,42 @@ class DedupSpec extends SparkSpec {
     pairs.exists { case (a, b) => Set(a, b).contains(1L) } shouldBe false
   }
 
+  test("incremental md5 dedup ≡ batch pairs restricted to ≥1 new endpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigs-md5").toString + "/sigs"
+    val oldDocs = Seq(
+      (0L, base),
+      (1L, base + " with a couple extra tokens"),        // old-old near pair
+      (2L, "completely different content about spark sql aggregation pipelines and shuffles galore"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, base.replace("quick", "speedy")),            // near dup of OLD doc 0
+      (11L, base.replace("quick", "speedy") + " yes"),   // near dup of 10 (new-vs-new)
+      (12L, "entirely novel text mentioning embeddings vectors cosine and large language models"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureTableMd5(oldDocs, "doc_id", "text", dir)
+    val inc = Dedup.incrementalNearDuplicatePairsMd5(
+        newDocs, "doc_id", "text", spark.read.parquet(dir), threshold = 0.4)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+    // orientation contract: `a` is always new; new-old keeps (new, old)
+    inc.map(p => (p._1, p._2)) should contain((10L, 0L))
+    inc.map(p => (p._1, p._2)) should contain((10L, 11L))
+    all(inc.map(_._1)) should be >= 10L
+    // the old-old near pair (0,1) must NOT be re-found — the delta run
+    // only pays for pairs the increment touches
+    inc.exists(p => Set(p._1, p._2) == Set(0L, 1L)) shouldBe false
+    inc.exists(p => Set(p._1, p._2).contains(12L)) shouldBe false
+
+    // batch equivalence: full-corpus md5 pairs with >= 1 new endpoint,
+    // re-oriented to the incremental contract, match EXACTLY (jaccard too)
+    val batch = Dedup.nearDuplicatePairsMd5(
+        oldDocs.unionByName(newDocs), "doc_id", "text", threshold = 0.4)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .filter(p => p._1 >= 10L || p._2 >= 10L)
+      .map(p => if (p._1 >= 10L) p else (p._2, p._1, p._3)).toSet
+    inc shouldBe batch
+  }
+
   test("wordShingles: doc shorter than k yields empty array, not garbage") {
     val r = Seq((0L, "one two")).toDF("doc_id", "text")
       .select(TextAnalysis.wordShingles(col("text"), 3).as("sh")).head()
