@@ -776,6 +776,12 @@ object DocQueries {
           .join(perStratum(candS, "n_cand"), Seq("source", "dense"), "left")
           .join(perStratum(candTrue, "n_cand_true"), Seq("source", "dense"), "left")
           .na.fill(0L, Seq("n_true", "n_hit", "n_cand", "n_cand_true"))
+          // shared: `tot` below re-aggregates this frame and the final
+          // crossJoin reads it again — without the share the WHOLE eval
+          // DAG (truth + direct-verify branches) plans twice and the
+          // lazily-persisted leaves race to materialize concurrently
+          // (observed as 9-50 s rep variance at sf0.1 on an idle host)
+          .stageShare()
         val w = when(col("dense"), lit(16L)).otherwise(lit(8L))
         val tot = per.agg(
           sum(w * col("n_true")).as("wt"), sum(w * col("n_hit")).as("wh"),
