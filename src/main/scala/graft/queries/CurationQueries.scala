@@ -1897,7 +1897,10 @@ object CurationQueries {
         val orphan = li
           .join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
           .agg(count(lit(1)).as("n_orphan"))
-        val base = m.crossJoin(orphan)
+        // shared: every check() union branch below selects from this
+        // 1-row frame — without the share each branch re-runs the
+        // multi-aggregate scan AND the anti-join (7x the claimed ONE pass)
+        val base = m.crossJoin(orphan).stageShare()
         def check(name: String, metric: Column, passed: Column) =
           base.select(lit(name).as("check_name"),
             metric.cast("double").as("metric"), passed.as("passed"))

@@ -604,11 +604,15 @@ object DocQueries {
     QueryDef("dedup_lsh_eval",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val (_, cand) = Dedup.md5StagedAndCandidates(
+        // both frames feed two consumers (their count agg + the hit
+        // join); without the shares each whole pipeline plans and runs
+        // twice — at the 100x slice that doubled an ~40 s computation
+        val (_, cand0) = Dedup.md5StagedAndCandidates(
           docs, "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
+        val cand = cand0.stageShare()
         val truth = Dedup.exactJaccardPairsBlocked(
           docs, "doc_id", "text", shingleK = 3, threshold = 0.5,
-          maxShingleDf = 20).select(col("a"), col("b"))
+          maxShingleDf = 20).select(col("a"), col("b")).stageShare()
         val nc = cand.agg(count(lit(1)).as("n_cand"))
         val nt = truth.agg(count(lit(1)).as("n_true"))
         val nh = cand.join(truth, Seq("a", "b"))

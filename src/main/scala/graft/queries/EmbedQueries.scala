@@ -691,9 +691,12 @@ object EmbedQueries {
     //      pure IEEE division — bit-identical cross-engine. ----
     QueryDef("ann_recall_eval",
       (s, d) => {
+        // shared: consumed by both the denominator agg and the hit join —
+        // Catalyst plans duplicated subtrees twice, so without the share
+        // the expensive brute-force ranking runs twice per eval
         val exact = Similarity.bruteForceTopK(
           Tables.embeddings(s, d), queryVectors(s, d), k = 5)
-          .select(col("qid"), col("neighbor_id"))
+          .select(col("qid"), col("neighbor_id")).stageShare()
         val ivf = Similarity.ivfTopK(
           Tables.embeddings(s, d), queryVectors(s, d), k = 5)
           .select(col("qid"), col("neighbor_id"))
@@ -783,8 +786,9 @@ object EmbedQueries {
         val q = graft.operators.Curation
           .exactKSample(emb, col("vec_id"), 32, 93L)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        // shared for the same two-consumer reason as ann_recall_eval
         val exact = Similarity.bruteForceTopK(emb, q, k = 5)
-          .select(col("qid"), col("neighbor_id"))
+          .select(col("qid"), col("neighbor_id")).stageShare()
         val ivf = Similarity.ivfTopK(emb, q, k = 5)
           .select(col("qid"), col("neighbor_id"))
         val ne = exact.agg(count(lit(1)).as("n_exact"))
@@ -868,8 +872,9 @@ object EmbedQueries {
     QueryDef("ann_matryoshka_eval",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        // shared for the same two-consumer reason as ann_recall_eval
         val exact = Similarity.bruteForceTopK(emb, queryVectors(s, d), k = 5)
-          .select(col("qid"), col("neighbor_id"))
+          .select(col("qid"), col("neighbor_id")).stageShare()
         val half = emb.select(col("vec_id"),
           slice(col("embedding"), 1, 32).as("embedding"))
         val halfQ = queryVectors(s, d).select(col("qid"),
