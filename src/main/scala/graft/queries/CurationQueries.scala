@@ -175,6 +175,39 @@ object CurationQueries {
       },
       bench = false),
 
+    // ---- deterministic training-order shuffle: the reproducible global
+    //      permutation a training run reads — shard by one hash, order
+    //      within the shard by a second, so any worker regenerates its
+    //      shard's exact sequence from (seed, nShards) alone and a rerun
+    //      is bit-identical (per-partition RNG shuffles are neither).
+    //      The only shuffle is the per-SHARD window (shards are the
+    //      parallel unit, ~corpus/nShards rows each) — never a global
+    //      sort, so the plan survives any corpus size by raising
+    //      nShards. ----
+    QueryDef("curation_training_order",
+      (s, d) => {
+        val w = Window.partitionBy(col("shard_id"))
+          .orderBy(col("u2"), col("doc_id"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("shard_id",
+            floor(Curation.hashU(col("doc_id"), 17L) * 8).cast("int"))
+          .withColumn("u2", Curation.hashU(col("doc_id"), 23L))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("shard_id"), col("pos"))
+          .orderBy(col("shard_id"), col("pos"))
+      },
+      oracle = Some(
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(floor((${uSql("doc_id", 17L)}) * 8) AS INT) AS shard_id,
+           |    ${uSql("doc_id", 23L)} AS u2
+           |  FROM documents
+           |)
+           |SELECT doc_id, shard_id,
+           |  row_number() OVER (PARTITION BY shard_id ORDER BY u2, doc_id) AS pos
+           |FROM t ORDER BY shard_id, pos""".stripMargin),
+      bench = false),
+
     // ---- sequence packing: fixed-token-budget packs per lang shard ----
     QueryDef("pack_sequences",
       (s, d) => Curation.packSequences(

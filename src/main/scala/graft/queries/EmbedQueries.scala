@@ -921,6 +921,98 @@ object EmbedQueries {
            |FROM m""".stripMargin),
       bench = false),
 
+    // ---- int8 quantization eval: recall@5 of brute-force cosine on
+    //      per-dim symmetric-absmax int8 codes vs the float ranking —
+    //      the QUANTIZATION axis of the eval family (ann_recall_eval =
+    //      index axis, ann_matryoshka_eval = dimension axis): "can we
+    //      shrink the vector store 4x and keep the neighbors?" Codes are
+    //      exact small ints — round() of double arithmetic on exact
+    //      float absmax stats — so the code-space cosine is
+    //      IEEE-deterministic and the row is bit-identical cross-engine.
+    //      Code-space (not dequantized) cosine is the estimand on
+    //      purpose: it is what an int8 vector store actually executes.
+    //      Stats = ONE posexplode agg (d rows) broadcast back as a
+    //      sorted array — never a driver collect. ----
+    QueryDef("ann_quantization_eval",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val scales = emb
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("pos")).agg(max(abs(col("x"))).as("m"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            e => e("m").cast("double")).as("scales"))
+        def quantize(df: org.apache.spark.sql.DataFrame, vc: String) =
+          df.crossJoin(broadcast(scales))
+            .withColumn(vc, transform(col(vc), (x, i) => {
+              val sc = element_at(col("scales"), i + lit(1))
+              when(sc > 0d,
+                round(x.cast("double") * lit(127.0) / sc, 0))
+                .otherwise(lit(0.0)).cast("float")
+            }))
+            .drop("scales")
+        // shared for the same two-consumer reason as ann_recall_eval
+        val exact = Similarity.bruteForceTopK(emb, queryVectors(s, d), k = 5)
+          .select(col("qid"), col("neighbor_id")).stageShare()
+        val quant = Similarity.bruteForceTopK(
+          quantize(emb, "embedding"), quantize(queryVectors(s, d), "qvec"),
+          k = 5).select(col("qid"), col("neighbor_id"))
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val nh = quant.join(exact, Seq("qid", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        ne.crossJoin(nh).select(col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall_at_5"))
+      },
+      oracle = Some(
+        s"""WITH st AS (
+           |  SELECT j, CAST(max(abs(v)) AS DOUBLE) AS m
+           |  FROM (
+           |    SELECT unnest(range(0, len(embedding))) AS j,
+           |      unnest(embedding) AS v
+           |    FROM embeddings)
+           |  GROUP BY j
+           |), sc AS (
+           |  SELECT list(m ORDER BY j) AS scales FROM st
+           |), qe AS (
+           |  SELECT vec_id,
+           |    list_transform(list_zip(embedding, range(0, len(embedding))),
+           |      p -> CASE WHEN scales[CAST(p[2] AS INT) + 1] > 0
+           |        THEN round(CAST(p[1] AS DOUBLE) * 127.0
+           |          / scales[CAST(p[2] AS INT) + 1], 0)
+           |        ELSE 0.0 END) AS q
+           |  FROM embeddings CROSS JOIN sc
+           |), bscored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+           |    ${Det.fixedSql(cosSqlOf("q.embedding", "c.embedding"), 6)} AS cos
+           |  FROM embeddings q JOIN embeddings c
+           |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+           |), exact AS (
+           |  SELECT qid, neighbor_id FROM (
+           |    SELECT qid, neighbor_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM bscored
+           |  ) WHERE rank <= 5
+           |), qscored AS (
+           |  SELECT a.vec_id AS qid, c.vec_id AS neighbor_id,
+           |    ${Det.fixedSql(cosSqlOf("a.q", "c.q"), 6)} AS cos
+           |  FROM qe a JOIN qe c ON a.vec_id < 20 AND c.vec_id <> a.vec_id
+           |), quant AS (
+           |  SELECT qid, neighbor_id FROM (
+           |    SELECT qid, neighbor_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM qscored
+           |  ) WHERE rank <= 5
+           |), m AS (
+           |  SELECT
+           |    (SELECT COUNT(*) FROM exact) AS n_exact,
+           |    (SELECT COUNT(*) FROM quant JOIN exact USING (qid, neighbor_id)) AS n_hit
+           |)
+           |SELECT n_exact, n_hit,
+           |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_at_5
+           |FROM m""".stripMargin),
+      bench = false),
+
     // ---- k-NN JOIN (kNN-graph build): every vector's top-3 neighbors,
     // IVF-blocked — query set = corpus, probes from a row-local
     // sorted-literal slice (no cross-join window on the corpus side),

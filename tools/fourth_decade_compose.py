@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Assemble the fourth-decade block for SCALE_R9OPS.json (VERDICT r8 #4):
+the steepest round-8 log-log slopes probed one decade past the 100x
+slice, on single-table-subset ScaleGen slices (documents-only 1000x for
+the dedup family; lineitem+orders 300x for the salted join).
+
+Inputs: the docs1000/li300 BenchReps JSONs, the prior per-query 100x
+medians (SCALE100X.json / SCALE_R8OPS.json for the prefix-containment
+row), and an oracle-status JSON {query: status-string} for the slices
+where the DuckDB dual was tractable.
+
+The implied slope uses the actual decade width: docs1000 is 10x the
+100x slice (slope per log10), li300 is 3x (slope = log(r)/log(3)).
+"""
+import json, math, sys
+
+docs_p, li_p, oracle_p, out_p = sys.argv[1:5]
+docs = json.load(open(docs_p))["queries"]
+li = json.load(open(li_p))["queries"]
+oracle = json.load(open(oracle_p))
+
+s100 = json.load(open("SCALE100X.json"))["queries"]
+r8 = json.load(open("SCALE_R8OPS.json"))["queries"]
+
+PRIOR_X100 = {
+    "dedup_minhash_lsh": s100["dedup_minhash_lsh"]["x100_median_s"],
+    "dedup_span_suffix": s100["dedup_span_suffix"]["x100_median_s"],
+    "join_salted_skew": s100["join_salted_skew"]["x100_median_s"],
+    # the containment row was rewritten to the prefix form in round 8;
+    # its current-code 100x median lives in SCALE_R8OPS
+    "dedup_containment": r8["dedup_containment_prefix"]["x100"]["median"],
+}
+PRIOR_SLOPE = {
+    "dedup_minhash_lsh": s100["dedup_minhash_lsh"]["loglog_slope"],
+    "dedup_span_suffix": s100["dedup_span_suffix"]["loglog_slope"],
+    "join_salted_skew": s100["join_salted_skew"]["loglog_slope"],
+    "dedup_containment": r8["dedup_containment_prefix"]["loglog_slope"],
+}
+SLICE = {
+    "dedup_minhash_lsh": ("docs1000", 10.0),
+    "dedup_containment": ("docs1000", 10.0),
+    "dedup_span_suffix": ("docs1000", 10.0),
+    "join_salted_skew": ("li300", 3.0),
+}
+
+out = {}
+for q, (slice_name, widen) in SLICE.items():
+    reps = (docs if slice_name == "docs1000" else li).get(q)
+    if reps is None:
+        print(f"skip {q}: missing from {slice_name} reps", file=sys.stderr)
+        continue
+    m4, m100 = reps["median"], PRIOR_X100[q]
+    ratio = m4 / m100
+    out[q] = {
+        "slice": slice_name,
+        "x100_median_s": m100,
+        "fourth_median_s": m4,
+        "fourth_reps_s": reps["reps"],
+        "growth_vs_x100": round(ratio, 2),
+        "decade_width_x": widen,
+        "implied_slope": round(math.log(ratio) / math.log(widen), 2),
+        "prior_three_decade_slope": PRIOR_SLOPE[q],
+    }
+    if q in oracle:
+        out[q]["oracle_fourth"] = oracle[q]
+
+json.dump(out, open(out_p, "w"), indent=1)
+print(json.dumps(out, indent=1))
