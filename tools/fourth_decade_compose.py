@@ -47,7 +47,16 @@ out = {}
 for q, (slice_name, widen) in SLICE.items():
     reps = (docs if slice_name == "docs1000" else li).get(q)
     if reps is None:
-        print(f"skip {q}: missing from {slice_name} reps", file=sys.stderr)
+        # no timing yet — keep the row so an aborted width-32 attempt
+        # (its story in the oracle-json width_note) is still recorded
+        entry = {"slice": slice_name, "x100_median_s": PRIOR_X100[q],
+                 "prior_three_decade_slope": PRIOR_SLOPE[q],
+                 "fourth_median_s": None}
+        extra = oracle.get(q)
+        if isinstance(extra, dict):
+            entry.update(extra)
+        out[q] = entry
+        print(f"note {q}: no reps yet in {slice_name}", file=sys.stderr)
         continue
     m4, m100 = reps["median"], PRIOR_X100[q]
     ratio = m4 / m100
@@ -61,8 +70,11 @@ for q, (slice_name, widen) in SLICE.items():
         "implied_slope": round(math.log(ratio) / math.log(widen), 2),
         "prior_three_decade_slope": PRIOR_SLOPE[q],
     }
-    if q in oracle:
-        out[q]["oracle_fourth"] = oracle[q]
+    extra = oracle.get(q)
+    if isinstance(extra, dict):
+        out[q].update(extra)
+    elif extra is not None:
+        out[q]["oracle_fourth"] = extra
 
 json.dump(out, open(out_p, "w"), indent=1)
 print(json.dumps(out, indent=1))

@@ -103,14 +103,28 @@ json.dump({
     "slice": "10x and 100x of sf0.1 (ScaleGen over the Aug-15 13:27 "
              "driver fixtures; documents+embeddings subset; near-dup "
              "groups of 10)",
-    "note": "round-9 operators; 5-rep medians per decade, same host and "
-            "session style per decade; oracles = DuckDB over the slice "
-            "parquet via tools/verify_local.py. caprecall = ScaleProbe "
-            "edge-recall of knnJoinIvf's hot-cell cap under the REAL "
-            "scale config (nCells ~ sqrt(n)), complement of the "
-            "oracle-pinned ann_knn_cap_eval row. fourth_decade = the "
-            "steepest-slope r8 ops probed one decade further on "
-            "single-table ScaleGen slices (VERDICT r8 #4)",
+    "note": "round-9 operators; two pooled 5-rep sessions per decade "
+            "(tools/reps_pool.py, the bimodal-host protocol); oracles = "
+            "DuckDB over the slice parquet via tools/verify_local.py. "
+            "caprecall = ScaleProbe edge-recall of knnJoinIvf's hot-cell "
+            "cap under the REAL scale config (nCells ~ sqrt(n)), "
+            "complement of the oracle-pinned ann_knn_cap_eval row. "
+            "fourth_decade = the steepest-slope r8 ops probed one decade "
+            "further on single-table ScaleGen slices (VERDICT r8 #4). "
+            "x10 DIP CAVEAT: ScaleGen copies at mult <= 10 form ONE "
+            "unsalted dup group, so base-corpus shingle dfs multiply "
+            "~10x and cross the lsh-eval truth's df<=20 blocking cap - "
+            "the full row's truth term SHRINKS at x10 (growth 0.94) and "
+            "re-expands at x100 where the salted groups repopulate rare "
+            "blocks; an artifact of the slice generator, not the "
+            "operator. FOURTH-DECADE PROTOCOL: at 1000x-docs/300x-"
+            "lineitem the three-decade default of 32-wide shuffles gives "
+            "each task ~1.2 GB of the 40 GB local pool and hash-map "
+            "builds OOM (ShuffledHashJoin build side / hash agg) - "
+            "fourth-decade rows run at SPARK_GRAFT_INIT_PARTS=512 "
+            "(AQE pre-coalesce width; measured neutral at 100x, "
+            "NOTES:549), per-query width_note fields carry the "
+            "width-32 evidence",
     "queries": out,
     "caprecall": caprecall,
     "fourth_decade": fourth,
