@@ -180,17 +180,26 @@ object CurationQueries {
     //      within the shard by a second, so any worker regenerates its
     //      shard's exact sequence from (seed, nShards) alone and a rerun
     //      is bit-identical (per-partition RNG shuffles are neither).
-    //      The only shuffle is the per-SHARD window (shards are the
-    //      parallel unit, ~corpus/nShards rows each) — never a global
-    //      sort, so the plan survives any corpus size by raising
-    //      nShards. ----
+    //      The PRODUCING shuffle is the per-SHARD window (shards are
+    //      the parallel unit, ~corpus/nShards rows each) — sized by the
+    //      nShards parameter, which a scale run raises so each shard's
+    //      window fits one task. The trailing orderBy(shard_id, pos) IS
+    //      a global sort, but it is presentation-only for the driver's
+    //      oracle hash (a training run reads shards independently and
+    //      would drop it — the permutation is fully defined by
+    //      (shard_id, pos) without any global order). ----
     QueryDef("curation_training_order",
       (s, d) => {
+        // the scale knob: shards = parallel read units; the catalog row
+        // defaults 8 so the oracle reproduces, a 100 TB run sets the
+        // conf to ~10^5 (same permutation family, different fan-out)
+        val nShards =
+          s.conf.get("spark.graft.trainingOrderShards", "8").toInt
         val w = Window.partitionBy(col("shard_id"))
           .orderBy(col("u2"), col("doc_id"))
         Tables.documents(s, d).select(col("doc_id"))
           .withColumn("shard_id",
-            floor(Curation.hashU(col("doc_id"), 17L) * 8).cast("int"))
+            floor(Curation.hashU(col("doc_id"), 17L) * nShards).cast("int"))
           .withColumn("u2", Curation.hashU(col("doc_id"), 23L))
           .withColumn("pos", row_number().over(w).cast("long"))
           .select(col("doc_id"), col("shard_id"), col("pos"))

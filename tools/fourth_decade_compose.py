@@ -12,15 +12,20 @@ where the DuckDB dual was tractable.
 The implied slope uses the actual decade width: docs1000 is 10x the
 100x slice (slope per log10), li300 is 3x (slope = log(r)/log(3)).
 """
-import json, math, sys
+import json, math, os, sys
 
 docs_p, li_p, oracle_p, out_p = sys.argv[1:5]
 docs = json.load(open(docs_p))["queries"]
 li = json.load(open(li_p))["queries"]
 oracle = json.load(open(oracle_p))
 
-s100 = json.load(open("SCALE100X.json"))["queries"]
-r8 = json.load(open("SCALE_R8OPS.json"))["queries"]
+# prior-medians files live at the repo root; optional argv 5/6 override
+# so the tool works from any CWD
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+s100_p = sys.argv[5] if len(sys.argv) > 5 else os.path.join(repo, "SCALE100X.json")
+r8_p = sys.argv[6] if len(sys.argv) > 6 else os.path.join(repo, "SCALE_R8OPS.json")
+s100 = json.load(open(s100_p))["queries"]
+r8 = json.load(open(r8_p))["queries"]
 
 PRIOR_X100 = {
     "dedup_minhash_lsh": s100["dedup_minhash_lsh"]["x100_median_s"],
@@ -55,6 +60,10 @@ for q, (slice_name, widen) in SLICE.items():
         extra = oracle.get(q)
         if isinstance(extra, dict):
             entry.update(extra)
+        elif extra is not None:
+            # mirror the with-reps branch: a bare status string is still
+            # worth recording (e.g. an abort note with no timing)
+            entry["oracle_fourth"] = extra
         out[q] = entry
         print(f"note {q}: no reps yet in {slice_name}", file=sys.stderr)
         continue
