@@ -82,6 +82,27 @@ object Audio {
       } catch { case scala.util.control.NonFatal(_) => AudioMeta(0, 0, 0, 0L) }
     }
 
+    /** Wrap raw 16-bit LE signed mono PCM bytes into a REAL WAV
+      * container via the JDK's own writer (`AudioSystem.write`) — the
+      * fixture synthesizer for the real-container path: PCM-in-WAV is
+      * lossless, so `samples(wrapPcm16(p))` returns exactly
+      * [[RawPcm16.samples]]`(p)` (spec-pinned roundtrip), and a catalog
+      * row whose payloads go through this writer + the container
+      * decoder still hashes against the raw-PCM SQL oracle. An odd
+      * trailing byte is dropped, mirroring [[RawPcm16]]. */
+    def wrapPcm16(payload: Array[Byte], sampleRate: Float = 8000f): Array[Byte] = {
+      val n = payload.length / 2
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(payload, 0, n * 2), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream(44 + n * 2)
+      try javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      finally ais.close()
+      out.toByteArray
+    }
+
     /** First-channel PCM samples as ints (16-bit LE signed or 8-bit
       * unsigned-centered, the two javax.sound PCM encodings); empty on
       * corrupt or bomb-flagged payloads. */

@@ -575,20 +575,43 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
       roundTo: Int = 6, refineIters: Int = 0,
       maxCellSize: Int = 4096): DataFrame = {
-    require(k >= 1 && nProbe >= 1 && nCells >= 1, "k, nProbe, nCells >= 1")
+    require(nCells >= 1, "nCells >= 1")
+    val centMatrix = sampleCentroids(
+      corpus, idCol, vecCol, nCells, seed, refineIters)
+    knnJoinIvfWithCentroids(
+      corpus, centMatrix, k, idCol, vecCol, nProbe, seed, roundTo, maxCellSize)
+  }
+
+  /** The coarse-quantizer centroids [[knnJoinIvf]] trains: a seeded
+    * Knuth-hash sample of the corpus (or `refineIters` Lloyd rounds over
+    * it). Quantizer-sized model state — the collect is nCells × d. */
+  private[graft] def sampleCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long, refineIters: Int): Array[Array[Float]] =
+    if (refineIters > 0)
+      VecKMeans.fit(corpus, vecCol, nCells, refineIters, seed, idCol)
+        .centroids.map(_.clone())
+    else corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(((col(idCol) * lit(2654435761L) + lit(seed)) % lit(4294967296L)).asc,
+        col(idCol))
+      .limit(nCells)
+      .orderBy(col(idCol))
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+
+  /** [[knnJoinIvf]] at FIXED centroids — the core the incremental index
+    * path shares with the batch build: identical assignment kernel,
+    * hot-cell sub-split, candidate join and ranking, with the quantizer
+    * supplied instead of trained. Batch ≡ incremental proofs run both
+    * sides through here so only the data path differs. */
+  def knnJoinIvfWithCentroids(
+      corpus: DataFrame, centMatrix: Array[Array[Float]], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nProbe: Int = 4, seed: Long = 42L,
+      roundTo: Int = 6, maxCellSize: Int = 4096): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k, nProbe >= 1")
     require(maxCellSize >= 0, s"maxCellSize must be >= 0, got $maxCellSize")
-    val centroids: Array[(Int, Seq[Float])] =
-      if (refineIters > 0)
-        VecKMeans.fit(corpus, vecCol, nCells, refineIters, seed, idCol)
-          .centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      else corpus
-        .select(col(idCol), col(vecCol))
-        .orderBy(((col(idCol) * lit(2654435761L) + lit(seed)) % lit(4294967296L)).asc,
-          col(idCol))
-        .limit(nCells)
-        .orderBy(col(idCol))
-        .collect().zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Float](1)) }
     // corpus side: assignment cell + probe list in ONE codegen kernel
     // pass (TopCellsByCos) — bit-identical to the former per-centroid
     // literal expression trees (array_max(struct(cos,-cell)) /
@@ -597,8 +620,6 @@ object Similarity {
     // fell out of whole-stage codegen at the IVF scale sizing
     // nCells = ⌈√n⌉ (measured >150 s vs ~8 s per build at n=200k).
     // Staged once — it feeds both the candidate table and the probe side.
-    val centMatrix: Array[Array[Float]] =
-      centroids.map { case (_, c) => c.toArray }.toArray
     val topCells = graft.functions.VectorExpressions
       .topCellsByCos(col(vecCol), centMatrix, nProbe)
     val cells0 = corpus
@@ -614,12 +635,15 @@ object Similarity {
     def subHash(id: Column): Column =
       ((id * lit(2654435761L) + lit(seed + 1L)) % lit(4294967296L)
         % col("nsub")).cast("int")
+    // stageShare: the quantizer-sized count agg has TWO consumers (the
+    // candidate side and the probe side) — without the share each plans
+    // its own scan+agg of the staged corpus frame (round-9 lesson)
     val nsubs =
       if (maxCellSize <= 0) null
       else broadcast(cells0.groupBy(col("cell"))
         .agg(greatest(lit(1L),
           ceil(count(lit(1)).cast("double") / lit(maxCellSize.toDouble))
-            .cast("long")).as("nsub")))
+            .cast("long")).as("nsub")).stageShare())
     val cells =
       if (maxCellSize <= 0) cells0.drop("probe_cells").withColumn("subcell", lit(0))
       else cells0.drop("probe_cells").join(nsubs, Seq("cell"))
@@ -647,6 +671,126 @@ object Similarity {
     // 10.67 → 5.38); sf0.1 1.36 → 1.14; 100× flat (7.36 → 7.59 /
     // 13.18 → 12.17 — the 32-wide shuffle was already saturated there).
     // Decades are now monotone with log-log slopes 0.41 / 0.29.
+    val scored = cells.repartition(col("cell"), col("subcell"))
+      .join(probes.repartition(col("cell"), col("subcell")),
+        Seq("cell", "subcell"))
+      .where(col("qid") =!= col(idCol))
+      .withColumn("cos", Det.fixed(cosineSim(col("qvec"), col(vecCol)), roundTo))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+
+  /** Persist an IVF INDEX of a frozen corpus — the ingest-pipeline
+    * sibling of [[graft.operators.Dedup.writeSignatureTableMd5]]: a
+    * continuously-fed training corpus maintains its ANN structure by
+    * folding each crawl increment into this index instead of rebuilding
+    * from the raw vectors. Layout:
+    *  - `<dir>/centroids`: the trained coarse quantizer (cell → vector),
+    *    quantizer-sized;
+    *  - `<dir>/cells`: the assignment table (id, vector, cell), parquet
+    *    PARTITIONED BY cell — so a delta's candidate join prunes its
+    *    read to the probed cells' files instead of scanning the corpus.
+    * Assignment uses the same TopCellsByCos kernel as [[knnJoinIvf]]'s
+    * cells0, so an index written here is bit-compatible with a batch
+    * build at the same centroids. */
+  def writeIvfIndex(
+      corpus: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = 16, seed: Long = 42L, refineIters: Int = 0): Unit = {
+    val cm = sampleCentroids(corpus, idCol, vecCol, nCells, seed, refineIters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cm.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val cellOf = graft.functions.VectorExpressions
+      .topCellsByCos(col(vecCol), cm, 1).getItem(0)
+    corpus.select(col(idCol), col(vecCol), cellOf.as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** The persisted quantizer, ordered by cell — nCells × d model state. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Float]] =
+    spark.read.parquet(s"$dir/centroids").orderBy(col("cell"))
+      .collect().map(_.getSeq[Float](1).toArray)
+
+  /** INCREMENTAL kNN-graph maintenance: fold a `delta` of new vectors
+    * into a persisted [[writeIvfIndex]] index — assign ONLY the delta
+    * (frozen centroids), then build the delta × (corpus ∪ delta) kNN
+    * edges through the same cell join as the batch build. Cost ∝ delta:
+    *  - assignment runs the kernel over |delta| rows;
+    *  - the distinct probed-cell list is quantizer-bounded (≤ nCells
+    *    ints — model-state collect), and the index read is filtered to
+    *    those cells with partition-literal pruning, so the corpus-side
+    *    scan touches only the probed cells' parquet files (≤ |delta| ·
+    *    nProbe cells of ~|corpus|/nCells rows each), never the corpus;
+    *  - per-cell sub-split counts are computed on that pruned read, and
+    *    restriction by cell preserves each probed cell's FULL population,
+    *    so nsub (and the sub-cell hash) match the batch build exactly.
+    * Result contract (spec-proven, and the ann_incremental_knn oracle
+    * row certifies it end-to-end): hash-identical to
+    * [[knnJoinIvfWithCentroids]] over corpus ∪ delta at the frozen
+    * centroids, restricted to qid ∈ delta. Existing vectors' neighbor
+    * lists are NOT revisited — the standard IVF-ingest contract (stale
+    * back-edges heal on the next periodic rebuild; the forward edges a
+    * curation pass reads for the increment are exact-as-of-now). */
+  def incrementalKnnJoin(
+      delta: DataFrame, indexDir: String, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nProbe: Int = 4, seed: Long = 42L,
+      roundTo: Int = 6, maxCellSize: Int = 4096): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k, nProbe >= 1")
+    require(maxCellSize >= 0, s"maxCellSize must be >= 0, got $maxCellSize")
+    val spark = delta.sparkSession
+    import graft.util.Stage.StageOps
+    val cm = readIvfCentroids(spark, indexDir)
+    val topCells = graft.functions.VectorExpressions
+      .topCellsByCos(col(vecCol), cm, nProbe)
+    val deltaCells = delta
+      .select(col(idCol), col(vecCol), topCells.as("_tc"))
+      .select(col(idCol), col(vecCol), col("_tc").getItem(0).as("cell"),
+        col("_tc").as("probe_cells"))
+      .stageCheckpoint()
+    // ≤ nCells distinct ints (quantizer-sized model state): the literal
+    // IN-list is what lets the parquet source prune to the probed
+    // partitions — a join-based filter would scan every cell file
+    val probed: Array[Int] = deltaCells
+      .select(explode(col("probe_cells")).as("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val existing = spark.read.parquet(s"$indexDir/cells")
+      .where(col("cell").isin(probed.toIndexedSeq.map(Int.box): _*))
+      .select(col(idCol), col(vecCol), col("cell"))
+    // every delta row's own cell is in its probe list, so the cell
+    // restriction keeps ALL delta rows; per probed cell the union holds
+    // the cell's full (old ∪ delta) population — nsub matches batch
+    val cand0 = existing.unionByName(
+      deltaCells.select(col(idCol), col(vecCol), col("cell")))
+    def subHash(id: Column): Column =
+      ((id * lit(2654435761L) + lit(seed + 1L)) % lit(4294967296L)
+        % col("nsub")).cast("int")
+    // same two-consumer share as the batch build: the count agg feeds
+    // both the candidate and probe sides
+    val nsubs =
+      if (maxCellSize <= 0) null
+      else broadcast(cand0.groupBy(col("cell"))
+        .agg(greatest(lit(1L),
+          ceil(count(lit(1)).cast("double") / lit(maxCellSize.toDouble))
+            .cast("long")).as("nsub")).stageShare())
+    val cells =
+      if (maxCellSize <= 0) cand0.withColumn("subcell", lit(0))
+      else cand0.join(nsubs, Seq("cell"))
+        .withColumn("subcell", subHash(col(idCol))).drop("nsub")
+    val probes0 = deltaCells
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        explode(col("probe_cells")).as("cell"))
+    val probes =
+      if (maxCellSize <= 0) probes0.withColumn("subcell", lit(0))
+      else probes0.join(nsubs, Seq("cell"))
+        .withColumn("subcell", subHash(col("qid"))).drop("nsub")
     val scored = cells.repartition(col("cell"), col("subcell"))
       .join(probes.repartition(col("cell"), col("subcell")),
         Seq("cell", "subcell"))

@@ -44,11 +44,12 @@ object EmbedQueries {
     * the corpus row and the probing query, mirroring the Spark kernel
     * (seed 42 ⇒ sub-split seed 43). */
   private def knnJoinCtes(k: Int, nProbe: Int, maxCellSize: Int,
-      p: String = ""): String =
+      p: String = "", centSrc: String = "embeddings",
+      querySrc: String = "embeddings"): String =
     s"""${p}cent AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
        |  FROM (
-       |    SELECT vec_id, embedding FROM embeddings
+       |    SELECT vec_id, embedding FROM $centSrc
        |    ORDER BY (vec_id * 2654435761 + 42) % 4294967296, vec_id
        |    LIMIT 16
        |  )
@@ -79,7 +80,7 @@ object EmbedQueries {
        |      SELECT q.vec_id AS qid, q.embedding AS qvec, c.cell,
        |        row_number() OVER (PARTITION BY q.vec_id
        |          ORDER BY ${cosSqlOf("q.embedding", "c.embedding")} DESC, c.cell) AS r
-       |      FROM embeddings q CROSS JOIN ${p}cent c
+       |      FROM $querySrc q CROSS JOIN ${p}cent c
        |    ) WHERE r <= $nProbe
        |  ) p JOIN ${p}nsubs n ON n.cell = p.cell
        |),
@@ -936,12 +937,16 @@ object EmbedQueries {
     QueryDef("ann_quantization_eval",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        // stageShare: the stats agg crosses a shuffle and has TWO
+        // consumers (quantize(emb) and quantize(queryVectors)) — without
+        // the share Catalyst plans the full-corpus posexplode agg twice
         val scales = emb
           .select(posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy(col("pos")).agg(max(abs(col("x"))).as("m"))
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
             e => e("m").cast("double")).as("scales"))
+          .stageShare()
         def quantize(df: org.apache.spark.sql.DataFrame, vc: String) =
           df.crossJoin(broadcast(scales))
             .withColumn(vc, transform(col(vc), (x, i) => {
@@ -1029,6 +1034,44 @@ object EmbedQueries {
         s"""WITH ${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 64)}
            |SELECT qid, rank, neighbor_id, cos FROM ranked
            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+      bench = false),
+
+    // ---- INCREMENTAL kNN maintenance: the ingest sibling of
+    //      dedup_incremental_lsh — fold a crawl increment (vec_id % 5
+    //      == 0 plays the delta) into a PERSISTED IVF index of the
+    //      frozen corpus: centroids trained on the OLD corpus only and
+    //      written to parquet, the assignment table written PARTITIONED
+    //      BY cell, both read back inside the query so the certified
+    //      row exercises the real round-trip. Only the delta is
+    //      assigned; the index read prunes to the delta's probed cells
+    //      (a quantizer-bounded literal IN-list → parquet partition
+    //      pruning), so cost tracks the delta, not the corpus. Output =
+    //      the delta's top-3 edges over old ∪ new; matched_existing
+    //      flags edges into the frozen corpus. SimilaritySpec pins the
+    //      batch-equivalence contract (≡ knnJoinIvfWithCentroids over
+    //      the union at the frozen centroids, restricted to delta
+    //      qids); the oracle certifies the same equivalence end-to-end
+    //      (its CTEs ARE the batch build at old-corpus centroids). ----
+    QueryDef("ann_incremental_knn",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val delta = emb.where(col("vec_id") % 5 === 0)
+        val old = emb.where(col("vec_id") % 5 =!= 0)
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_ivfidx_").toString
+        Similarity.writeIvfIndex(old, idxDir, nCells = 16, seed = 42L)
+        Similarity.incrementalKnnJoin(
+            delta, idxDir, k = 3, nProbe = 4, maxCellSize = 64)
+          .withColumn("matched_existing", col("neighbor_id") % 5 =!= 0)
+          .orderBy(col("qid"), col("rank"))
+      },
+      oracle = Some(
+        s"""WITH ${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 64,
+             centSrc = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0)",
+             querySrc = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)")}
+           |SELECT qid, rank, neighbor_id, cos,
+           |  neighbor_id % 5 <> 0 AS matched_existing
+           |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
       bench = false),
 
     // ---- hot-cell cap QUALITY eval: the one scale knob of knnJoinIvf

@@ -46,6 +46,36 @@ class AudioCodecSpec extends SparkSpec {
     got.toSeq shouldBe src.map(_.toInt).toSeq
   }
 
+  test("wrapPcm16: the codec's own writer emits a real container that " +
+      "round-trips to RawPcm16 exactly (incl. odd trailing byte)") {
+    // arbitrary bytes (not a crafted tone): text-derived payloads are
+    // what the audio_wav_energy catalog row wraps
+    val payload = "The quick brown fox, éèê! 0123456789"
+      .getBytes("UTF-8")
+    val wavBytes = Audio.WavCodec.wrapPcm16(payload)
+    // it IS a container: the real header parse sees 16-bit mono PCM
+    val m = Audio.WavCodec.meta(wavBytes)
+    m.bits shouldBe 16
+    m.channels shouldBe 1
+    m.n_samples shouldBe payload.length / 2
+    // lossless roundtrip: container decode == raw-PCM view of the bytes
+    Audio.WavCodec.samples(wavBytes).toSeq shouldBe
+      Audio.RawPcm16.samples(payload).toSeq
+    // odd length drops the trailing byte on both paths
+    val odd = payload.take(7)
+    Audio.WavCodec.samples(Audio.WavCodec.wrapPcm16(odd)).toSeq shouldBe
+      Audio.RawPcm16.samples(odd).toSeq
+    // zero-sample payload degrades to an empty (but valid) container
+    Audio.WavCodec.samples(Audio.WavCodec.wrapPcm16(Array[Byte](1))).length shouldBe 0
+  }
+
+  test("audio_wav_energy == audio_frame_energy (the container roundtrip " +
+      "is value-transparent at catalog scale)") {
+    val raw = SparkEntry.queries("audio_frame_energy")(spark, sf).collect()
+    val viaWav = SparkEntry.queries("audio_wav_energy")(spark, sf).collect()
+    viaWav.map(_.toString).toSeq shouldBe raw.map(_.toString).toSeq
+  }
+
   test("bomb guard: a header declaring more than MaxSamples frames is never decoded") {
     // hand-build a header claiming 2^25 frames (64 MB of data) over a
     // 4-byte body — javax.sound would trust the header; the guard must not

@@ -434,4 +434,46 @@ class SimilaritySpec extends SparkSpec {
       .collect().head.getSeq[Int](0)
     got shouldBe Seq(0, 1) // all ties at 0.0 -> ascending cell ids
   }
+
+  test("incrementalKnnJoin == batch rebuild at frozen centroids, " +
+      "restricted to delta queries; index read prunes to probed cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+    val old = emb.where(col("vec_id") % 5 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx_spec_").toString
+    // maxCellSize = 16 so the hot-cell sub-split BITES (cells hold ~60
+    // vectors at sf0.001/nCells=8) — the equivalence must cover the
+    // sub-cell hash path, not just the trivial nsub = 1 case
+    Similarity.writeIvfIndex(old, dir, nCells = 8, seed = 42L)
+    val cm = Similarity.readIvfCentroids(spark, dir)
+    cm.length shouldBe 8
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val inc = Similarity.incrementalKnnJoin(
+      delta, dir, k = 3, nProbe = 3, maxCellSize = 16)
+    val batch = Similarity.knnJoinIvfWithCentroids(
+        emb, cm, k = 3, nProbe = 3, maxCellSize = 16)
+      .where(col("qid") % 5 === 0)
+    inc.collect().map(key).sorted shouldBe batch.collect().map(key).sorted
+    // cost ∝ delta: the literal IN-list on the partition column must
+    // prune the index scan to the probed cells' files only
+    val probed = delta
+      .select(graft.functions.VectorExpressions.topCellsByCos(
+        col("embedding"), cm, 3).as("tc"))
+      .select(explode(col("tc")).as("c")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val allCells = spark.read.parquet(s"$dir/cells")
+    val pruned = allCells
+      .where(col("cell").isin(probed.toSeq.map(Int.box): _*))
+    val cellsOnDisk = allCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (probed.size < cellsOnDisk.size)
+      pruned.inputFiles.length should be < allCells.inputFiles.length
+    pruned.inputFiles.foreach { f =>
+      val m = "cell=(\\d+)".r.findFirstMatchIn(f)
+      m.isDefined shouldBe true
+      probed should contain(m.get.group(1).toInt)
+    }
+  }
 }
