@@ -609,7 +609,8 @@ object Similarity {
       corpus: DataFrame, centMatrix: Array[Array[Float]], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nProbe: Int = 4, seed: Long = 42L,
-      roundTo: Int = 6, maxCellSize: Int = 4096): DataFrame = {
+      roundTo: Int = 6, maxCellSize: Int = 4096,
+      probeIds: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && nProbe >= 1, "k, nProbe >= 1")
     require(maxCellSize >= 0, s"maxCellSize must be >= 0, got $maxCellSize")
     // corpus side: assignment cell + probe list in ONE codegen kernel
@@ -650,8 +651,19 @@ object Similarity {
         .withColumn("subcell", subHash(col(idCol))).drop("nsub")
     // probe side: the SAME kernel output — top-nProbe cells by
     // (cos DESC, cell ASC), already carried on the staged frame, so the
-    // probe pass costs an explode, not a second nCells-cosine sweep
-    val probes0 = cells0
+    // probe pass costs an explode, not a second nCells-cosine sweep.
+    // probeIds (a 1-column id frame, expected small) restricts the
+    // QUERY side only — the candidate side stays the full corpus — so
+    // a sampled eval pays |sample|·nProbe·cellSize candidate work
+    // instead of the full graph's |corpus|·nProbe·cellSize (the trick
+    // that makes the uncapped exact-in-cell baseline affordable at any
+    // decade: quadratic in cellSize only over the sample).
+    val probeSrc = probeIds match {
+      case Some(ids) => cells0.join(
+        broadcast(ids.select(col(ids.columns.head).as(idCol))), Seq(idCol))
+      case None => cells0
+    }
+    val probes0 = probeSrc
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         explode(col("probe_cells")).as("cell"))
     val probes =

@@ -1143,6 +1143,74 @@ object EmbedQueries {
            |FROM m ORDER BY max_cell_size""".stripMargin),
       bench = false),
 
+    // ---- SAMPLED cap eval (round 10, VERDICT r9 #8): the same cap
+    //      sweep, but the probe side is restricted to 32 hash-sampled
+    //      query vectors (seed 93, same sampler as
+    //      ann_recall_eval_sampled) while the CANDIDATE side stays the
+    //      full corpus — so the uncapped exact-in-cell baseline costs
+    //      |sample|·nProbe·cellSize instead of the full row's
+    //      |corpus|·nProbe·cellSize. That kills the quadratic term
+    //      that made ann_knn_cap_eval 100×-infeasible by design: THIS
+    //      row certifies the cap axis at every decade (the full row
+    //      stays as the exhaustive CI-scale gate, the caprecall probe
+    //      as the √n-config JSON evidence). Estimand note: recall over
+    //      a query sample is an unbiased estimate of per-query edge
+    //      recall; the sample is hash-uniform over the id space. ----
+    QueryDef("ann_knn_cap_eval_sampled",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qids = graft.operators.Curation
+          .exactKSample(emb, col("vec_id"), 32, 93L).select(col("vec_id"))
+        val cm = Similarity.sampleCentroids(
+          emb, "vec_id", "embedding", nCells = 16, seed = 42L, refineIters = 0)
+        def graph(cap: Int) = Similarity.knnJoinIvfWithCentroids(
+            emb, cm, k = 3, maxCellSize = cap, probeIds = Some(qids))
+          .select(col("qid"), col("neighbor_id"))
+        val uncapped = graph(0).stageShare()
+        val nu = uncapped.agg(count(lit(1)).as("n_uncapped"))
+        val perCap = Seq(8, 64).map { cap =>
+          val capped = graph(cap).stageShare()
+          val nc = capped.agg(count(lit(1)).as("n_capped"))
+          val nh = capped.join(uncapped, Seq("qid", "neighbor_id"))
+            .agg(count(lit(1)).as("n_hit"))
+          nu.crossJoin(nc).crossJoin(nh)
+            .select(lit(cap.toLong).as("max_cell_size"),
+              col("n_uncapped"), col("n_capped"), col("n_hit"),
+              (col("n_hit").cast("double") / col("n_uncapped").cast("double"))
+                .as("edge_recall"))
+        }
+        perCap.reduce(_ unionByName _).orderBy(col("max_cell_size"))
+      },
+      oracle = Some {
+        val qs = """(SELECT vec_id, embedding FROM embeddings
+                    |    ORDER BY (vec_id * 2654435761 + 93) % 4294967296, vec_id
+                    |    LIMIT 32)""".stripMargin
+        s"""WITH ${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 1000000,
+             p = "u_", querySrc = qs)},
+           |${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 8,
+             p = "c8_", querySrc = qs)},
+           |${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 64,
+             p = "c64_", querySrc = qs)},
+           |ug AS (SELECT qid, neighbor_id FROM u_ranked WHERE rank <= 3),
+           |c8g AS (SELECT qid, neighbor_id FROM c8_ranked WHERE rank <= 3),
+           |c64g AS (SELECT qid, neighbor_id FROM c64_ranked WHERE rank <= 3),
+           |m AS (
+           |  SELECT CAST(8 AS BIGINT) AS max_cell_size,
+           |    (SELECT COUNT(*) FROM ug) AS n_uncapped,
+           |    (SELECT COUNT(*) FROM c8g) AS n_capped,
+           |    (SELECT COUNT(*) FROM c8g JOIN ug USING (qid, neighbor_id)) AS n_hit
+           |  UNION ALL
+           |  SELECT CAST(64 AS BIGINT) AS max_cell_size,
+           |    (SELECT COUNT(*) FROM ug) AS n_uncapped,
+           |    (SELECT COUNT(*) FROM c64g) AS n_capped,
+           |    (SELECT COUNT(*) FROM c64g JOIN ug USING (qid, neighbor_id)) AS n_hit
+           |)
+           |SELECT max_cell_size, n_uncapped, n_capped, n_hit,
+           |  CAST(n_hit AS DOUBLE) / CAST(n_uncapped AS DOUBLE) AS edge_recall
+           |FROM m ORDER BY max_cell_size""".stripMargin
+      },
+      bench = false),
+
     // ---- mutual-kNN clustering (the corpus-map recipe): kNN graph →
     // keep only MUTUAL edges (a ∈ knn(b) ∧ b ∈ knn(a) — the standard
     // symmetrization that kills hub-induced chains) → connected

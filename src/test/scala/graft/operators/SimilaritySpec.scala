@@ -435,6 +435,27 @@ class SimilaritySpec extends SparkSpec {
     got shouldBe Seq(0, 1) // all ties at 0.0 -> ascending cell ids
   }
 
+  test("probeIds restriction == full kNN graph filtered to the sample " +
+      "(both capped and uncapped)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val cm = Similarity.sampleCentroids(
+      emb, "vec_id", "embedding", nCells = 8, seed = 42L, refineIters = 0)
+    val qids = graft.operators.Curation
+      .exactKSample(emb, col("vec_id"), 16, 93L).select(col("vec_id"))
+    val sample = qids.as[Long].collect().toSet
+    for (cap <- Seq(0, 16)) {
+      val restricted = Similarity.knnJoinIvfWithCentroids(
+          emb, cm, k = 3, maxCellSize = cap, probeIds = Some(qids))
+        .collect().map(_.toString).sorted
+      val filtered = Similarity.knnJoinIvfWithCentroids(
+          emb, cm, k = 3, maxCellSize = cap)
+        .where(col("qid").isInCollection(sample))
+        .collect().map(_.toString).sorted
+      withClue(s"cap=$cap") { restricted.toSeq shouldBe filtered.toSeq }
+    }
+  }
+
   test("incrementalKnnJoin == batch rebuild at frozen centroids, " +
       "restricted to delta queries; index read prunes to probed cells") {
     val emb = Tables.embeddings(spark, sf)
