@@ -101,6 +101,56 @@ object ScaleProbe {
     val n = emb.count()
     val k = 3
     val nCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    if (op == "incknn") {
+      // cost ∝ delta evidence for ann_incremental_knn at the REAL scale
+      // config (nCells = ⌈√n⌉, default 4096 cap): fold a 5% increment
+      // into a persisted index of the other 95% and time it against the
+      // full batch rebuild a pipeline owner would otherwise pay. The
+      // equality term (incremental ≡ batch restricted to delta qids) is
+      // checked as an exact edge-set match, not just counts.
+      import graft.operators.Similarity
+      val delta = emb.where(col("vec_id") % 20 === 0)
+      val old = emb.where(col("vec_id") % 20 =!= 0)
+      val nDelta = delta.count()
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivfidx_probe_").toString
+      val tIdx0 = System.nanoTime()
+      Similarity.writeIvfIndex(old, dir, nCells = nCells)
+      val tIdx = (System.nanoTime() - tIdx0) / 1e9
+      val cm = Similarity.readIvfCentroids(spark, dir)
+      def timedCount(df: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val c = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (sec, c)
+      }
+      val incReps = (1 to reps).map(_ => timedCount(
+        Similarity.incrementalKnnJoin(delta, dir, k = k, nProbe = 4)))
+      val batchReps = (1 to reps).map(_ => timedCount(
+        Similarity.knnJoinIvfWithCentroids(emb, cm, k = k, nProbe = 4)))
+      require(incReps.map(_._2).distinct.size == 1 &&
+        batchReps.map(_._2).distinct.size == 1,
+        s"non-deterministic rows: ${incReps.map(_._2)} / ${batchReps.map(_._2)}")
+      // exact edge-set equality, both directions
+      val incDf = Similarity.incrementalKnnJoin(delta, dir, k = k, nProbe = 4)
+      val batchDf = Similarity
+        .knnJoinIvfWithCentroids(emb, cm, k = k, nProbe = 4)
+        .where(col("qid") % 20 === 0)
+      val diff = incDf.exceptAll(batchDf).count() + batchDf.exceptAll(incDf).count()
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      println(s"""{"op":"incknn","sf":"${sfDir.split('/').last}","n":$n,""" +
+        s""""n_delta":$nDelta,"nCells":$nCells,"index_build_s":${fmt(tIdx)},""" +
+        s""""inc_reps":[${incReps.map(r => fmt(r._1)).mkString(",")}],""" +
+        s""""inc_median_s":${fmt(med(incReps.map(_._1)))},""" +
+        s""""inc_rows":${incReps.head._2},""" +
+        s""""batch_reps":[${batchReps.map(r => fmt(r._1)).mkString(",")}],""" +
+        s""""batch_median_s":${fmt(med(batchReps.map(_._1)))},""" +
+        s""""batch_rows":${batchReps.head._2},""" +
+        s""""edge_set_diff":$diff,"equal":${diff == 0L}}""")
+      spark.stop()
+      return
+    }
     if (op == "caprecall") {
       // the REAL scale config's cap cost: nCells ∝ √n (so cellSize ≈ √n)
       // with maxCellSize = args(3) (default the library's 4096) — the
