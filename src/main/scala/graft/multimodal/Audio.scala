@@ -70,10 +70,52 @@ object Audio {
     case class AudioMeta(
         sample_rate: Int, channels: Int, bits: Int, n_samples: Long)
 
+    /** The SPI provider lists, loaded ONCE per JVM with the plain WAV
+      * reader/writer ordered FIRST. `AudioSystem.getAudioInputStream`
+      * re-resolves providers per call and tries them in registry order,
+      * where the non-WAV readers ahead of the match (including a
+      * soft-synth MIDI reader that takes a global lock) serialize a
+      * 32-thread decode stage: measured 1037 µs CPU/doc via the
+      * registry vs 5 µs calling the WAV reader first (the 100× slice's
+      * audio_wav_energy fell 121.7 → ~8 s). Non-WAV containers still
+      * decode — they just fall through to the rest of the list. */
+    private lazy val fileReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      val all = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.toVector
+      val (wav, rest) =
+        all.partition(_.getClass.getName.endsWith(".WaveFileReader"))
+      wav ++ rest
+    }
+    private lazy val fileWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      val all = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .asScala.toVector
+      val (wav, rest) =
+        all.partition(_.getClass.getName.endsWith(".WaveFileWriter"))
+      wav ++ rest
+    }
+
+    /** Registry-free [[javax.sound.sampled.AudioSystem.getAudioInputStream]]:
+      * same provider classes, same fall-through semantics, no per-call
+      * lookup. Throws UnsupportedAudioFileException if no reader
+      * accepts the payload (callers degrade, matching the contract). */
+    private def openStream(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      val it = fileReaders.iterator
+      while (it.hasNext) {
+        val r = it.next()
+        try return r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no installed AudioFileReader accepts this payload")
+    }
+
     def meta(payload: Array[Byte]): AudioMeta = {
-      val in = new java.io.ByteArrayInputStream(payload)
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+        val ais = openStream(payload)
         try {
           val f = ais.getFormat
           AudioMeta(f.getSampleRate.toInt, f.getChannels,
@@ -97,8 +139,13 @@ object Audio {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(payload, 0, n * 2), fmt, n.toLong)
       val out = new java.io.ByteArrayOutputStream(44 + n * 2)
-      try javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      // the WAVE writer from the hoisted provider list (same class
+      // AudioSystem.write dispatches to, minus the per-call registry)
+      val tpe = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val w = fileWriters
+        .find(_.isFileTypeSupported(tpe, ais))
+        .getOrElse(throw new IllegalStateException("no WAVE writer installed"))
+      try w.write(ais, tpe, out)
       finally ais.close()
       out.toByteArray
     }
@@ -107,9 +154,8 @@ object Audio {
       * unsigned-centered, the two javax.sound PCM encodings); empty on
       * corrupt or bomb-flagged payloads. */
     def samples(payload: Array[Byte]): Array[Int] = {
-      val in = new java.io.ByteArrayInputStream(payload)
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+        val ais = openStream(payload)
         try {
           val f = ais.getFormat
           val frames = ais.getFrameLength
