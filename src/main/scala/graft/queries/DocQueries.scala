@@ -1373,7 +1373,9 @@ object DocQueries {
              |FROM scored
              |WHERE doc_id = keeper_id AND pred_lang = 'en' AND q >= 0.5
              |GROUP BY source ORDER BY source""".stripMargin
-      }),
+      },
+      // bench-rotated OUT round 10 (flat 0.5-0.8 s since r7)
+      bench = false),
 
     // ---- unigram-LM surprisal: the perplexity-filter shape without an
     //      external model — token logprob = ln(corpus_freq), per-doc mean.

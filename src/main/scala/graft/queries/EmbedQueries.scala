@@ -570,7 +570,9 @@ object EmbedQueries {
            |  FROM scored
            |)
            |SELECT qid, rank, neighbor_id, cos FROM ranked
-           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+      // bench-rotated OUT round 10 (flat 0.5 s since r7)
+      bench = false),
 
     // ---- LSH-bucketed approximate top-k (the 100 TB path). The seeded
     // hyperplane constants are embedded into the oracle SQL as a planes
@@ -1072,7 +1074,8 @@ object EmbedQueries {
            |SELECT qid, rank, neighbor_id, cos,
            |  neighbor_id % 5 <> 0 AS matched_existing
            |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
-      bench = false),
+      // bench-rotated IN round 10 (new heavy row: index write + fold)
+      bench = true),
 
     // ---- hot-cell cap QUALITY eval: the one scale knob of knnJoinIvf
     //      with no measured quality number until now. The sub-split cap
@@ -1209,7 +1212,8 @@ object EmbedQueries {
            |  CAST(n_hit AS DOUBLE) / CAST(n_uncapped AS DOUBLE) AS edge_recall
            |FROM m ORDER BY max_cell_size""".stripMargin
       },
-      bench = false),
+      // bench-rotated IN round 10 (three graph builds per run)
+      bench = true),
 
     // ---- mutual-kNN clustering (the corpus-map recipe): kNN graph →
     // keep only MUTUAL edges (a ∈ knn(b) ∧ b ∈ knn(a) — the standard

@@ -217,7 +217,8 @@ object MultimodalQueries {
           |  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy_fx
           |FROM v GROUP BY doc_id, k // 64
           |ORDER BY doc_id, frame_idx""".stripMargin),
-      bench = false),
+      // bench-rotated IN round 10 (real-container codec path)
+      bench = true),
 
     // ---- silence segmentation (the VAD front-end shape): adaptive
     //      threshold — a frame is silent iff its per-sample energy is

@@ -989,7 +989,9 @@ object TpchQueries {
         s"""SELECT o_orderpriority, count(*) AS n_items,
            |  ${Det.fixedSumSql("l_extendedprice", 2)} AS sum_price
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+      // bench-rotated OUT round 10 (flat 0.5 s since r7)
+      bench = false),
 
     // ---- exact percentiles (Spark `percentile` == DuckDB quantile_cont,
     // both linearly interpolated) ----
