@@ -730,6 +730,24 @@ object Similarity {
     spark.read.parquet(s"$dir/centroids").orderBy(col("cell"))
       .collect().map(_.getSeq[Float](1).toArray)
 
+  /** Fold a delta's ASSIGNMENTS into the persisted index — the step
+    * that completes the ingest loop ([[incrementalKnnJoin]] reads the
+    * index; this grows it, so the NEXT increment sees old ∪ delta).
+    * Assignment runs the same kernel at the frozen centroids and the
+    * rows APPEND into the cell-partitioned parquet: only the delta's
+    * cells gain files, nothing is rewritten, and the index stays
+    * bit-compatible with a fresh [[writeIvfIndex]] of the union at the
+    * same centroids (spec-pinned: a second increment folded after an
+    * append equals the batch build over all three parts). */
+  def appendIvfDelta(delta: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cm = readIvfCentroids(delta.sparkSession, dir)
+    val cellOf = graft.functions.VectorExpressions
+      .topCellsByCos(col(vecCol), cm, 1).getItem(0)
+    delta.select(col(idCol), col(vecCol), cellOf.as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** INCREMENTAL kNN-graph maintenance: fold a `delta` of new vectors
     * into a persisted [[writeIvfIndex]] index — assign ONLY the delta
     * (frozen centroids), then build the delta × (corpus ∪ delta) kNN

@@ -456,6 +456,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("appendIvfDelta completes the ingest loop: fold, append, fold " +
+      "again == batch at frozen centroids each time") {
+    val emb = Tables.embeddings(spark, sf)
+    val part1 = emb.where(col("vec_id") % 5 === 0) // first increment
+    val part2 = emb.where(col("vec_id") % 5 === 1) // second increment
+    val base = emb.where(col("vec_id") % 5 >= 2)   // frozen corpus
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx_append_").toString
+    Similarity.writeIvfIndex(base, dir, nCells = 8, seed = 42L)
+    val cm = Similarity.readIvfCentroids(spark, dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    // increment 1 folds against base, then joins the index
+    Similarity.appendIvfDelta(part1, dir)
+    // increment 2 must see base ∪ part1 through the grown index
+    val inc2 = Similarity.incrementalKnnJoin(
+      part2, dir, k = 3, nProbe = 3, maxCellSize = 16)
+    // incremental candidates = grown index (base ∪ part1) ∪ part2 = ALL
+    val batch2 = Similarity.knnJoinIvfWithCentroids(
+        emb, cm, k = 3, nProbe = 3, maxCellSize = 16)
+      .where(col("qid") % 5 === 1)
+    inc2.collect().map(key).sorted shouldBe batch2.collect().map(key).sorted
+    // the grown index itself matches a fresh batch write of the union
+    // at the same centroids (same rows, same cells)
+    Similarity.appendIvfDelta(part2, dir)
+    val grown = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx_fresh_").toString
+    // fresh index over the union, forced to the SAME centroids: write
+    // base first (trains the identical quantizer sample), then append
+    Similarity.writeIvfIndex(base, freshDir, nCells = 8, seed = 42L)
+    Similarity.appendIvfDelta(part1.unionByName(part2), freshDir)
+    val fresh = spark.read.parquet(s"$freshDir/cells")
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    grown.toSeq shouldBe fresh.toSeq
+  }
+
   test("incrementalKnnJoin == batch rebuild at frozen centroids, " +
       "restricted to delta queries; index read prunes to probed cells") {
     val emb = Tables.embeddings(spark, sf)
