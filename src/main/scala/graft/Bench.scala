@@ -24,14 +24,14 @@ object Bench {
       // transients). 1000 entries fits the whole catalog.
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE's pre-coalesce shuffle width. Unset = the session's 32-wide
-      // gate default; the 10x/100x slice runs set it wider (e.g. 256) so
-      // per-partition sort buffers stay in memory and AQE coalesces the
-      // small stages back down — the knob a cluster job sizes to its
-      // input, exposed so partition-sizing at scale is measured, not
-      // assumed (SCALING.md).
+      // AQE's pre-coalesce shuffle width, DERIVED from the input size
+      // (see Parts.scala): sf0.1 derives to the 32-wide gate default,
+      // slice runs derive wider so per-partition builds stay in memory
+      // and AQE coalesces the small stages back down — the sizing a
+      // cluster engine does itself; SPARK_GRAFT_INIT_PARTS remains as
+      // an explicit override only (SCALING.md).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
+        Parts.derive(sfDir, cpus.toInt).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

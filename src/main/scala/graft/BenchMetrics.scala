@@ -80,7 +80,7 @@ object BenchMetrics {
       .config("spark.sql.adaptive.enabled", "true")
       // see Bench.scala: scale-run pre-coalesce shuffle width
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
+        Parts.derive(sfDir, cpus.toInt).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

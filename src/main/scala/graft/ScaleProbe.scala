@@ -32,7 +32,7 @@ object ScaleProbe {
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
+        Parts.derive(sfDir, cpus.toInt).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -112,8 +112,7 @@ object ScaleProbe {
       val delta = emb.where(col("vec_id") % 20 === 0)
       val old = emb.where(col("vec_id") % 20 =!= 0)
       val nDelta = delta.count()
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ivfidx_probe_").toString
+      val dir = graft.util.Scratch.dir("graft_ivfidx_probe_")
       val tIdx0 = System.nanoTime()
       Similarity.writeIvfIndex(old, dir, nCells = nCells)
       val tIdx = (System.nanoTime() - tIdx0) / 1e9

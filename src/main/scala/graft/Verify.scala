@@ -20,12 +20,12 @@ object Verify {
       // 10 iterations recompile (observed as random 10-18 s em_gmm
       // transients). 1000 entries fits the whole catalog.
       .config("spark.sql.codegen.cache.maxEntries", "1000")
-      // same scale-run pre-coalesce width knob as Bench/BenchReps: the
-      // fourth-decade slices OOM hash-map builds at the 32-wide default
-      // (~1.2 GB/task of the 40 GB pool); AQE coalesces small stages
-      // back, so sf0.01 driver runs are unaffected (knob defaults to cpus)
+      // AQE pre-coalesce width DERIVED from the input size (Parts):
+      // the fourth-decade slices OOM hash-map builds at the 32-wide
+      // default (~1.2 GB/task of the 40 GB pool); AQE coalesces small
+      // stages back, so sf0.01/sf0.1 driver runs still derive to cpus
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
+        Parts.derive(sfDir, cpus.toInt).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

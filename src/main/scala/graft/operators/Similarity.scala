@@ -576,6 +576,10 @@ object Similarity {
       roundTo: Int = 6, refineIters: Int = 0,
       maxCellSize: Int = 4096): DataFrame = {
     require(nCells >= 1, "nCells >= 1")
+    // validate BEFORE sampleCentroids — an invalid k/nProbe must fail
+    // fast, not after paying the quantizer's corpus scan (ADVICE r10)
+    require(k >= 1 && nProbe >= 1, "k, nProbe >= 1")
+    require(maxCellSize >= 0, s"maxCellSize must be >= 0, got $maxCellSize")
     val centMatrix = sampleCentroids(
       corpus, idCol, vecCol, nCells, seed, refineIters)
     knnJoinIvfWithCentroids(

@@ -45,13 +45,13 @@ object EmbedQueries {
     * (seed 42 ⇒ sub-split seed 43). */
   private def knnJoinCtes(k: Int, nProbe: Int, maxCellSize: Int,
       p: String = "", centSrc: String = "embeddings",
-      querySrc: String = "embeddings"): String =
+      querySrc: String = "embeddings", nCells: Int = 16): String =
     s"""${p}cent AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
        |  FROM (
        |    SELECT vec_id, embedding FROM $centSrc
        |    ORDER BY (vec_id * 2654435761 + 42) % 4294967296, vec_id
-       |    LIMIT 16
+       |    LIMIT $nCells
        |  )
        |),
        |${p}cells0 AS MATERIALIZED (
@@ -1059,8 +1059,7 @@ object EmbedQueries {
         val emb = Tables.embeddings(s, d)
         val delta = emb.where(col("vec_id") % 5 === 0)
         val old = emb.where(col("vec_id") % 5 =!= 0)
-        val idxDir = java.nio.file.Files
-          .createTempDirectory("graft_ivfidx_").toString
+        val idxDir = graft.util.Scratch.dir("graft_ivfidx_")
         Similarity.writeIvfIndex(old, idxDir, nCells = 16, seed = 42L)
         Similarity.incrementalKnnJoin(
             delta, idxDir, k = 3, nProbe = 4, maxCellSize = 64)

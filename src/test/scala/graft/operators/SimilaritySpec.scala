@@ -462,8 +462,7 @@ class SimilaritySpec extends SparkSpec {
     val part1 = emb.where(col("vec_id") % 5 === 0) // first increment
     val part2 = emb.where(col("vec_id") % 5 === 1) // second increment
     val base = emb.where(col("vec_id") % 5 >= 2)   // frozen corpus
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ivfidx_append_").toString
+    val dir = graft.util.Scratch.dir("graft_ivfidx_append_")
     Similarity.writeIvfIndex(base, dir, nCells = 8, seed = 42L)
     val cm = Similarity.readIvfCentroids(spark, dir)
     def key(r: org.apache.spark.sql.Row) =
@@ -484,8 +483,7 @@ class SimilaritySpec extends SparkSpec {
     val grown = spark.read.parquet(s"$dir/cells")
       .select(col("vec_id"), col("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
-    val freshDir = java.nio.file.Files
-      .createTempDirectory("graft_ivfidx_fresh_").toString
+    val freshDir = graft.util.Scratch.dir("graft_ivfidx_fresh_")
     // fresh index over the union, forced to the SAME centroids: write
     // base first (trains the identical quantizer sample), then append
     Similarity.writeIvfIndex(base, freshDir, nCells = 8, seed = 42L)
@@ -501,8 +499,7 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf)
     val delta = emb.where(col("vec_id") % 5 === 0)
     val old = emb.where(col("vec_id") % 5 =!= 0)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ivfidx_spec_").toString
+    val dir = graft.util.Scratch.dir("graft_ivfidx_spec_")
     // maxCellSize = 16 so the hot-cell sub-split BITES (cells hold ~60
     // vectors at sf0.001/nCells=8) — the equivalence must cover the
     // sub-cell hash path, not just the trivial nsub = 1 case

@@ -20,11 +20,21 @@ for q in sys.argv[3:]:
     def agg(files):
         cols = [d[0] for d in
                 con.sql(f"SELECT * FROM read_parquet({files!r}) LIMIT 0").description]
-        collist = ", ".join(f'"{c}"' for c in sorted(cols))
+        # COALESCE each column: concat_ws silently SKIPS NULLs, so two
+        # dumps differing only in which column is NULL (or NULL vs '')
+        # would hash equal without the sentinel (ADVICE round 10)
+        collist = ", ".join(
+            f"COALESCE(CAST(\"{c}\" AS VARCHAR), '<null>')" for c in sorted(cols))
         return con.sql(
             f"SELECT COUNT(*), md5(string_agg(r, '|' ORDER BY r)) FROM ("
             f"SELECT concat_ws(',', {collist}) AS r "
             f"FROM read_parquet({files!r}))").fetchone()
     (n1, h1), (n2, h2) = agg(f1), agg(f2)
-    out[q] = {"rows": n1, "rows_match": n1 == n2, "hash_match": h1 == h2}
+    # an empty-vs-empty pair matches via NULL == NULL — surface it: rows=0
+    # plus an explicit flag so a silent no-output run cannot read as green
+    out[q] = {"rows": n1, "rows_match": n1 == n2,
+              "hash_match": (h1 == h2) if n1 or n2 else True,
+              "empty_both": (n1 == 0 and n2 == 0) or None}
+    if out[q]["empty_both"] is None:
+        del out[q]["empty_both"]
 print(json.dumps(out, indent=1))

@@ -16,14 +16,22 @@ export SPARK_GRAFT_INIT_PARTS=512
 set -x
 SPARK_GRAFT_SF_DIR=target/li300 $R graft.BenchReps target/fd_salted_reps.json 3 \
   join_salted_skew 2>&1 | tail -3
-$R graft.Verify target/li300 target/fd_li300_v1 join_salted_skew 2>&1 | grep -i 'failed' || true
-$R graft.Verify target/li300 target/fd_li300_v2 join_salted_skew 2>&1 | grep -i 'failed' || true
+vrun() {  # Verify wrapper: propagate the JVM's exit status — a crashed
+  # (e.g. OOM) Verify prints nothing through the 'failed' grep, and the
+  # campaign must not read that as clean-pass (ADVICE round 10)
+  "$R" graft.Verify "$@" 2>&1 | grep -i 'failed'
+  st=${PIPESTATUS[0]}
+  [ "$st" -ne 0 ] && echo "VERIFY_ABORTED rc=$st: $*"
+  return 0
+}
+vrun target/li300 target/fd_li300_v1 join_salted_skew
+vrun target/li300 target/fd_li300_v2 join_salted_skew
 for q in dedup_minhash_lsh dedup_containment dedup_span_suffix; do
   SPARK_GRAFT_SF_DIR=target/docs1000 $R graft.BenchReps target/fd_${q}_reps.json 3 \
     $q 2>&1 | tail -3
 done
-$R graft.Verify target/docs1000 target/fd_docs1000_v1 \
-  dedup_minhash_lsh dedup_containment dedup_span_suffix 2>&1 | grep -i 'failed' || true
-$R graft.Verify target/docs1000 target/fd_docs1000_v2 \
-  dedup_minhash_lsh dedup_containment dedup_span_suffix 2>&1 | grep -i 'failed' || true
+vrun target/docs1000 target/fd_docs1000_v1 \
+  dedup_minhash_lsh dedup_containment dedup_span_suffix
+vrun target/docs1000 target/fd_docs1000_v2 \
+  dedup_minhash_lsh dedup_containment dedup_span_suffix
 echo FOURTH_DECADE_DONE
