@@ -114,6 +114,25 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  case class TopCosByCentroids(child: Expression,
+      centroids: Array[Array[Float]])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      expect(prettyName, "array<float>", isFloatArray(child.dataType),
+        child.dataType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "top_cos_by_centroids"
+    override protected def nullSafeEval(a: Any): Any =
+      VectorOps.topCosByCentroids(a.asInstanceOf[ArrayData], centroids)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VectorOps.topCosByCentroids($a, $cents);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -445,6 +464,8 @@ object VectorExpressions {
   def topCellsByCos(vec: Column, centroids: Array[Array[Float]],
       nProbe: Int): Column =
     GraftBridge.column(TopCellsByCos(GraftBridge.expression(vec), centroids, nProbe))
+  def topCosByCentroids(vec: Column, centroids: Array[Array[Float]]): Column =
+    GraftBridge.column(TopCosByCentroids(GraftBridge.expression(vec), centroids))
   def cosineSimFD(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimFD(GraftBridge.expression(a), GraftBridge.expression(b)))
   def dotProduct(a: Column, b: Column): Column =

@@ -123,6 +123,31 @@ object VectorOps {
       java.util.Arrays.copyOf(topCell, filled))
   }
 
+  /** The maximum cosine over the centroid matrix — [[topCellsByCos]]'s
+    * arithmetic at nProbe = 1, returning the COSINE instead of the cell:
+    * how well a vector FITS its argmax cell under a frozen quantizer,
+    * the per-row term of the index-health drift gauge. */
+  def topCosByCentroids(vec: ArrayData, cents: Array[Array[Float]]): Double = {
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(vec.numElements(), cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = vec.getFloat(i).toDouble; val y = cent(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val cos = if (denom == 0.0) 0.0 else dot / denom
+      if (cos > best) best = cos
+      c += 1
+    }
+    if (cents.length == 0) 0.0 else best
+  }
+
   def cosineFloat(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -1076,6 +1076,86 @@ object EmbedQueries {
       // bench-rotated IN round 10 (new heavy row: index write + fold)
       bench = true),
 
+    // ---- IVF INDEX HEALTH / rebuild trigger: the operational gauge
+    //      that completes the ingest lifecycle (VERDICT r10 #1) —
+    //      appendIvfDelta folds increments at FROZEN centroids forever,
+    //      so this row measures when that stops being safe: cell
+    //      balance (max_cell, cell_skew, cells past the sub-split
+    //      threshold) plus assignment-residual drift (mean top-1 cosine
+    //      of the delta at the frozen quantizer vs the indexed corpus's
+    //      own fit — the vector sibling of stats_psi_drift), and the
+    //      rebuild verdict booleans. Same persisted-index round-trip as
+    //      ann_incremental_knn (centroids trained on the 80% "old"
+    //      corpus, written, read back); delta = vec_id % 5 == 0 is an
+    //      IN-DISTRIBUTION increment, so the certified row shows the
+    //      no-rebuild steady state; IndexHealthSpec drives the shifted
+    //      delta that trips it and the post-rebuild recall recovery.
+    //      Exact integer sums of per-row integerized cosines → IEEE
+    //      ratios: bit-identical to the DuckDB dual. ----
+    QueryDef("ann_index_health",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val delta = emb.where(col("vec_id") % 5 === 0)
+        val old = emb.where(col("vec_id") % 5 =!= 0)
+        val idxDir = graft.util.Scratch.dir("graft_ivfhealth_")
+        Similarity.writeIvfIndex(old, idxDir, nCells = 16, seed = 42L)
+        Similarity.ivfIndexHealth(delta, idxDir, maxCellSize = 64)
+      },
+      oracle = Some(
+        s"""WITH cent AS MATERIALIZED (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+           |  FROM (
+           |    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+           |    ORDER BY (vec_id * 2654435761 + 42) % 4294967296, vec_id
+           |    LIMIT 16
+           |  )
+           |), fits AS MATERIALIZED (
+           |  SELECT e.vec_id, e.vec_id % 5 = 0 AS is_delta,
+           |    CAST(ROUND(MAX(${cosSqlOf("e.embedding", "c.embedding")})
+           |      * 1000000, 0) AS BIGINT) AS fit_i
+           |  FROM embeddings e CROSS JOIN cent c GROUP BY e.vec_id
+           |), assign AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSqlOf("e.embedding", "c.embedding")} DESC,
+           |          c.cell) AS r
+           |    FROM (SELECT * FROM embeddings WHERE vec_id % 5 <> 0) e
+           |    CROSS JOIN cent c
+           |  ) WHERE r = 1
+           |), percell AS (
+           |  SELECT cell, count(*) AS n FROM assign GROUP BY cell
+           |), idx AS (
+           |  SELECT CAST(SUM(n) AS BIGINT) AS n_indexed,
+           |    MAX(n) AS max_cell, COUNT(*) AS n_occupied,
+           |    CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_oversized
+           |  FROM percell
+           |), sfit AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN NOT is_delta THEN fit_i END) AS BIGINT)
+           |      AS s_indexed,
+           |    COUNT(CASE WHEN is_delta THEN 1 END) AS n_delta,
+           |    CAST(SUM(CASE WHEN is_delta THEN fit_i END) AS BIGINT)
+           |      AS s_delta
+           |  FROM fits
+           |), metrics AS (
+           |  SELECT CAST(16 AS INTEGER) AS n_cells, n_occupied, n_indexed,
+           |    n_delta, max_cell, n_oversized,
+           |    CAST(max_cell AS DOUBLE) * 16.0 / n_indexed AS cell_skew,
+           |    CAST(s_indexed AS DOUBLE) / (n_indexed * 1000000.0) AS base_fit,
+           |    CAST(s_delta AS DOUBLE) / (n_delta * 1000000.0) AS delta_fit
+           |  FROM idx, sfit
+           |)
+           |SELECT *, base_fit - delta_fit AS fit_drift,
+           |  CAST(max_cell AS DOUBLE) * 16.0 / n_indexed > 4.0
+           |    AS rebuild_due_balance,
+           |  base_fit - delta_fit > 0.02 AS rebuild_due_drift,
+           |  (CAST(max_cell AS DOUBLE) * 16.0 / n_indexed > 4.0)
+           |    OR (base_fit - delta_fit > 0.02) AS rebuild
+           |FROM metrics""".stripMargin),
+      bench = false),
+
     // ---- hot-cell cap QUALITY eval: the one scale knob of knnJoinIvf
     //      with no measured quality number until now. The sub-split cap
     //      trades recall for linear candidate work ("recall, not shape");
