@@ -707,8 +707,14 @@ object Similarity {
     *  - `<dir>/centroids`: the trained coarse quantizer (cell → vector),
     *    quantizer-sized;
     *  - `<dir>/cells`: the assignment table (id, vector, cell), parquet
-    *    PARTITIONED BY cell — so a delta's candidate join prunes its
-    *    read to the probed cells' files instead of scanning the corpus.
+    *    PARTITIONED BY (cell, _batch_id) — cell first, so a delta's
+    *    candidate join prunes its read to the probed cells' files
+    *    instead of scanning the corpus; `_batch_id` (−1 for the base
+    *    build and batch-path appends) is the EXACTLY-ONCE key of the
+    *    streaming ingest: [[appendIvfDelta]] at a concrete batch id is
+    *    a dynamic-partition overwrite of that batch's own partitions,
+    *    so a replayed micro-batch replaces itself instead of
+    *    double-appending.
     * Assignment uses the same TopCellsByCos kernel as [[knnJoinIvf]]'s
     * cells0, so an index written here is bit-compatible with a batch
     * build at the same centroids. */
@@ -724,8 +730,10 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     val cellOf = graft.functions.VectorExpressions
       .topCellsByCos(col(vecCol), cm, 1).getItem(0)
-    corpus.select(col(idCol), col(vecCol), cellOf.as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    corpus.select(col(idCol), col(vecCol), cellOf.as("cell"),
+        lit(-1L).as("_batch_id"))
+      .write.mode("overwrite").partitionBy("cell", "_batch_id")
+      .parquet(s"$dir/cells")
   }
 
   /** The persisted quantizer, ordered by cell — nCells × d model state. */
@@ -744,12 +752,24 @@ object Similarity {
     * same centroids (spec-pinned: a second increment folded after an
     * append equals the batch build over all three parts). */
   def appendIvfDelta(delta: DataFrame, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchId: Option[Long] = None): Unit = {
     val cm = readIvfCentroids(delta.sparkSession, dir)
     val cellOf = graft.functions.VectorExpressions
       .topCellsByCos(col(vecCol), cm, 1).getItem(0)
-    delta.select(col(idCol), col(vecCol), cellOf.as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    val assigned = delta.select(col(idCol), col(vecCol), cellOf.as("cell"),
+      lit(batchId.getOrElse(-1L)).as("_batch_id"))
+    batchId match {
+      // streaming ingest: EXACTLY-ONCE per micro-batch — a dynamic
+      // overwrite keyed by the batch's own partitions, so replaying a
+      // crashed batch replaces its rows instead of duplicating them
+      // (the foreachBatchParquetSink recipe applied to the index)
+      case Some(_) => assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "_batch_id").parquet(s"$dir/cells")
+      case None => assigned.write.mode("append")
+        .partitionBy("cell", "_batch_id").parquet(s"$dir/cells")
+    }
   }
 
   /** INDEX-HEALTH gauge for the persisted IVF index — the rebuild
@@ -873,9 +893,16 @@ object Similarity {
     val probed: Array[Int] = deltaCells
       .select(explode(col("probe_cells")).as("cell")).distinct()
       .collect().map(_.getInt(0))
+    // anti-join the pruned read against the delta's OWN ids: a no-op
+    // under the disjoint-delta contract, but it makes re-folding
+    // idempotent — a streaming replay whose crashed attempt already
+    // appended this batch must not count the delta rows twice (once
+    // from the index read, once from the deltaCells union). Broadcast:
+    // the delta is increment-sized by definition.
     val existing = spark.read.parquet(s"$indexDir/cells")
       .where(col("cell").isin(probed.toIndexedSeq.map(Int.box): _*))
       .select(col(idCol), col(vecCol), col("cell"))
+      .join(broadcast(deltaCells.select(col(idCol))), Seq(idCol), "left_anti")
     // every delta row's own cell is in its probe list, so the cell
     // restriction keeps ALL delta rows; per probed cell the union holds
     // the cell's full (old ∪ delta) population — nsub matches batch

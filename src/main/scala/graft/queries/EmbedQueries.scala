@@ -23,7 +23,7 @@ object EmbedQueries {
   /** DuckDB cosine between two list expressions — same accumulation order
     * as the native CosineSim kernel (bit-identical, proven by
     * ann_cosine_topk's exact hash match). */
-  private def cosSqlOf(a: String, b: String): String =
+  private[queries] def cosSqlOf(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
        |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -43,9 +43,10 @@ object EmbedQueries {
     * linear: sub-cell hash = (id·2654435761 + 43) % 2^32 % nsub on both
     * the corpus row and the probing query, mirroring the Spark kernel
     * (seed 42 ⇒ sub-split seed 43). */
-  private def knnJoinCtes(k: Int, nProbe: Int, maxCellSize: Int,
+  private[queries] def knnJoinCtes(k: Int, nProbe: Int, maxCellSize: Int,
       p: String = "", centSrc: String = "embeddings",
-      querySrc: String = "embeddings", nCells: Int = 16): String =
+      querySrc: String = "embeddings", nCells: Int = 16,
+      corpusSrc: String = "embeddings"): String =
     s"""${p}cent AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
        |  FROM (
@@ -59,7 +60,7 @@ object EmbedQueries {
        |    SELECT e.vec_id, e.embedding, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSqlOf("e.embedding", "c.embedding")} DESC, c.cell) AS r
-       |    FROM embeddings e CROSS JOIN ${p}cent c
+       |    FROM $corpusSrc e CROSS JOIN ${p}cent c
        |  ) WHERE r = 1
        |),
        |${p}nsubs AS MATERIALIZED (
