@@ -518,9 +518,32 @@ object Dedup {
     * downstream, small shuffle bytes). */
   def containmentPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Long = 100): DataFrame = {
+      maxShingleDf: Long = 100): DataFrame =
+    containmentPairsPrefixBand(docs, idCol, textCol, k, threshold,
+      maxShingleDf, band = 0, passes = 1)
+
+  /** One BAND-PASS of [[containmentPairsPrefix]]: the candidate join is
+    * restricted to prefix-shingle keys with pmod(sk, passes) == band —
+    * the scratch-bounding decomposition for corpora whose single-pass
+    * candidate shuffle exceeds the cluster's (or box's) shuffle scratch
+    * (the dedup_containment fourth-decade ENOSPC wall, VERDICT r10 #3).
+    * Completeness is per-KEY: a qualifying pair is found through every
+    * one of its shared prefix shingles, each of which lives in exactly
+    * one band, so the union over bands finds every pair the single pass
+    * finds (a pair sharing prefix keys in several bands is emitted by
+    * several passes — verification is deterministic per pair, so a
+    * final `.distinct()` restores exact single-pass semantics;
+    * spec-pinned in DedupSpec). Per-pass candidate shuffle is ~1/passes
+    * of the single pass; the staging aggregates (shingle explode, df
+    * count, per-doc arrays) are recomputed per pass — the recompute-vs-
+    * scratch trade this decomposition deliberately makes. */
+  def containmentPairsPrefixBand(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Long = 100, band: Int = 0, passes: Int = 1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(passes >= 1 && band >= 0 && band < passes,
+      s"need 0 <= band < passes, got band=$band passes=$passes")
     val shk = docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.wordShingles(col(textCol), k)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sk"))
@@ -552,8 +575,15 @@ object Dedup {
       .where(col("r") <=
         floor((lit(1.0) - lit(threshold)) * col("n_sh")).cast("long") + 2L)
       .select(col("sk"), col("doc_id").as("a"))
-    val cand = prefix.repartition(col("sk"))
-      .join(sh.select(col("sk"), col("doc_id").as("b")).repartition(col("sk")),
+    // band restriction on the JOIN KEY only — both sides, before the
+    // shuffle, so the pass's candidate exchange carries ~1/passes of
+    // the keys (passes = 1 ≡ the unrestricted single pass)
+    def inBand(df: DataFrame): DataFrame =
+      if (passes <= 1) df
+      else df.where(pmod(col("sk"), lit(passes.toLong)) === band.toLong)
+    val cand = inBand(prefix).repartition(col("sk"))
+      .join(inBand(sh.select(col("sk"), col("doc_id").as("b")))
+          .repartition(col("sk")),
         Seq("sk"))
       .where(col("a") =!= col("b"))
       .select(col("a"), col("b")).distinct()
@@ -568,6 +598,33 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select(col("a"), col("b"), col("shared"), col("n_a"), col("n_b"),
         col("containment"))
+  }
+
+  /** [[containmentPairsPrefix]] executed as `passes` SEQUENTIAL
+    * band-passes, each materialized before the next starts — peak
+    * shuffle scratch is ~1/passes of the single pass, which is what
+    * lets the operator clear a corpus whose one-shot candidate shuffle
+    * exceeds the available spill volume (a 100 TB cluster sizes passes
+    * = ceil(projected shuffle / scratch budget); the fourth-decade
+    * campaign runs one JVM per pass for the same reason). Result is
+    * row-identical to the single pass: the union's per-pair duplicates
+    * (a pair can share prefix keys in several bands) collapse under
+    * `.distinct()` because verification is deterministic per pair. */
+  def containmentPairsPrefixStaged(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Long = 100, passes: Int = 4,
+      scratchDir: Option[String] = None): DataFrame = {
+    require(passes >= 1, s"passes must be >= 1, got $passes")
+    val dir = scratchDir.getOrElse(
+      graft.util.Scratch.dir("graft_containment_staged_"))
+    (0 until passes).foreach { b =>
+      containmentPairsPrefixBand(docs, idCol, textCol, k, threshold,
+        maxShingleDf, band = b, passes = passes)
+        .write.mode("overwrite").parquet(s"$dir/pass_$b")
+    }
+    docs.sparkSession.read
+      .parquet((0 until passes).map(b => s"$dir/pass_$b"): _*)
+      .distinct()
   }
 
   /** Per-document SimHash fingerprints plus the nearest candidate within
