@@ -1155,7 +1155,8 @@ object EmbedQueries {
            |  (CAST(max_cell AS DOUBLE) * 16.0 / n_indexed > 4.0)
            |    OR (base_fit - delta_fit > 0.02) AS rebuild
            |FROM metrics""".stripMargin),
-      bench = false),
+      // bench-rotated IN round 11 (new row: index write + health scans)
+      bench = true),
 
     // ---- hot-cell cap QUALITY eval: the one scale knob of knnJoinIvf
     //      with no measured quality number until now. The sub-split cap

@@ -13,9 +13,12 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GRAFT_CLASSES overrides the classes dir (campaigns run from a frozen
+# snapshot so a concurrent compile can't mix class versions mid-JVM).
+CLASSES="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}"
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"$MEM" \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$CLASSES:/opt/spark/jars/*" \
   "$@"
