@@ -4,25 +4,32 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Fourth-decade campaign runner for the STAGED containment dedup
-  * (VERDICT r10 #3): the single-pass dedup_containment cleared its
-  * width-32 OOM at derived width but hit the box's ~68 GB shuffle-
-  * scratch wall (ENOSPC mid-spill) — an aggregate-scratch limit, not a
-  * plan defect. The staged operator bounds peak scratch at ~1/passes by
-  * running the candidate join in sequential band-passes; this main runs
-  * ONE PASS (or the merge) PER JVM so each pass's shuffle scratch is
-  * reclaimed at process exit — the same isolation the fourth-decade
-  * protocol uses per query.
+  * (VERDICT r10 #3). The single-pass dedup_containment hits the box's
+  * shuffle-scratch wall (ENOSPC mid-spill at ~68 GB) — and the round-11
+  * post-mortem showed the scratch is NOT dominated by the candidate
+  * join alone: the corpus-wide staging aggregates (hot-df count,
+  * per-doc sorted arrays, prefix ranking) and the two array-payload
+  * verify joins each shuffle corpus-sized data. So the decomposition
+  * stages ONCE, bands the candidate join, and verifies ONCE:
   *
-  * Usage: ContainmentStaged <sfDir> <outRoot> <passes> <band|merge>
-  *  - band b: writes the band's verified pairs to <outRoot>/pass_<b>
-  *    and prints one JSON line with the pass wall time and row count;
-  *  - merge: distinct-union of all passes to <outRoot>/merged (the
-  *    row set is spec-proven ≡ single-pass containmentPairsPrefix).
+  *  - `stage`:  compute sh/arr/prefix once, write as parquet — one JVM
+  *              paying the staging shuffles, reclaimed at exit;
+  *  - `<b>`:    band b's DISTINCT candidate id pairs from the staged
+  *              tables (8-byte key join, no array payloads) — ~1/B of
+  *              the candidate exchange per JVM;
+  *  - `verify`: distinct union of all bands' candidates, ONE
+  *              array-verify against arr, threshold, write `merged`
+  *              (spec-proven ≡ single-pass containmentPairsPrefix).
+  *
+  * Every step runs with zstd shuffle compression (~2× lz4 on these
+  * hashed-key payloads) — scratch headroom, not a results change.
+  *
+  * Usage: ContainmentStaged <sfDir> <outRoot> <passes> <stage|b|verify>
   */
 object ContainmentStaged {
   def main(args: Array[String]): Unit = {
     require(args.length == 4,
-      "usage: ContainmentStaged <sfDir> <outRoot> <passes> <band|merge>")
+      "usage: ContainmentStaged <sfDir> <outRoot> <passes> <stage|band|verify>")
     val Array(sfDir, outRoot, passesS, step) = args
     val passes = passesS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,26 +39,37 @@ object ContainmentStaged {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         Parts.derive(sfDir, cpus.toInt).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
     val t0 = System.nanoTime()
     val n = step match {
-      case "merge" =>
-        val merged = spark.read
-          .parquet((0 until passes).map(b => s"$outRoot/pass_$b"): _*)
+      case "stage" =>
+        val (sh, arr, prefix) = Dedup.containmentPrefixStaging(
+          Tables.documents(spark, sfDir), "doc_id", "text",
+          k = 3, threshold = 0.5, maxShingleDf = 100)
+        sh.write.mode("overwrite").parquet(s"$outRoot/staging/sh")
+        arr.write.mode("overwrite").parquet(s"$outRoot/staging/arr")
+        prefix.write.mode("overwrite").parquet(s"$outRoot/staging/prefix")
+        spark.read.parquet(s"$outRoot/staging/sh").count()
+      case "verify" =>
+        val cand = spark.read
+          .parquet((0 until passes).map(b => s"$outRoot/cand_$b"): _*)
           .distinct()
-        merged.write.mode("overwrite").parquet(s"$outRoot/merged")
+        val arr = spark.read.parquet(s"$outRoot/staging/arr")
+        Dedup.containmentVerify(cand, arr, threshold = 0.5)
+          .write.mode("overwrite").parquet(s"$outRoot/merged")
         spark.read.parquet(s"$outRoot/merged").count()
       case b =>
-        val pairs = graft.operators.Dedup.containmentPairsPrefixBand(
-          Tables.documents(spark, sfDir), "doc_id", "text",
-          k = 3, threshold = 0.5, maxShingleDf = 100,
-          band = b.toInt, passes = passes)
-        pairs.write.mode("overwrite").parquet(s"$outRoot/pass_$b")
-        spark.read.parquet(s"$outRoot/pass_$b").count()
+        val prefix = spark.read.parquet(s"$outRoot/staging/prefix")
+        val sh = spark.read.parquet(s"$outRoot/staging/sh")
+        Dedup.containmentCandidatesBand(prefix, sh, b.toInt, passes)
+          .write.mode("overwrite").parquet(s"$outRoot/cand_$b")
+        spark.read.parquet(s"$outRoot/cand_$b").count()
     }
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"step":"$step","passes":$passes,"rows":$n,"sec":$sec%.1f}""")

@@ -533,10 +533,12 @@ object Dedup {
     * finds (a pair sharing prefix keys in several bands is emitted by
     * several passes — verification is deterministic per pair, so a
     * final `.distinct()` restores exact single-pass semantics;
-    * spec-pinned in DedupSpec). Per-pass candidate shuffle is ~1/passes
-    * of the single pass; the staging aggregates (shingle explode, df
-    * count, per-doc arrays) are recomputed per pass — the recompute-vs-
-    * scratch trade this decomposition deliberately makes. */
+    * spec-pinned in StagedContainmentSpec). Per-pass candidate shuffle
+    * is ~1/passes of the single pass. This convenience form recomputes
+    * the staging aggregates per call; the scale path
+    * ([[containmentPairsPrefixStaged]] in-JVM, graft.ContainmentStaged
+    * across JVMs) stages them once and verifies once over the distinct
+    * union of all bands' candidates. */
   def containmentPairsPrefixBand(docs: DataFrame, idCol: String,
       textCol: String, k: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Long = 100, band: Int = 0, passes: Int = 1): DataFrame = {
@@ -544,6 +546,23 @@ object Dedup {
       s"threshold must be in (0, 1], got $threshold")
     require(passes >= 1 && band >= 0 && band < passes,
       s"need 0 <= band < passes, got band=$band passes=$passes")
+    val (sh, arr, prefix) = containmentPrefixStaging(
+      docs, idCol, textCol, k, threshold, maxShingleDf)
+    val cand = containmentCandidatesBand(prefix, sh, band, passes)
+    containmentVerify(cand, arr, threshold)
+  }
+
+  /** The staging frames every prefix-containment path shares:
+    * `sh` (doc_id, sk) hot-filtered hashed shingles, `arr` (doc_id,
+    * ska, n_sh) per-doc sorted key arrays, `prefix` (sk, a) the PPJoin
+    * prefix index. Exposed package-private so the fourth-decade
+    * campaign (graft.ContainmentStaged) can materialize them ONCE as
+    * parquet and run each band pass in its own JVM against the staged
+    * tables instead of recomputing the corpus-wide aggregates per pass. */
+  private[graft] def containmentPrefixStaging(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, maxShingleDf: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     val shk = docs.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.wordShingles(col(textCol), k)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sk"))
@@ -575,18 +594,36 @@ object Dedup {
       .where(col("r") <=
         floor((lit(1.0) - lit(threshold)) * col("n_sh")).cast("long") + 2L)
       .select(col("sk"), col("doc_id").as("a"))
-    // band restriction on the JOIN KEY only — both sides, before the
-    // shuffle, so the pass's candidate exchange carries ~1/passes of
-    // the keys (passes = 1 ≡ the unrestricted single pass)
+    (sh.select(col("sk"), col("doc_id")), arr, prefix)
+  }
+
+  /** Band `band` of `passes`' CANDIDATE pairs: the prefix⋈shingle join
+    * restricted on the JOIN KEY to pmod(sk, passes) == band — both
+    * sides filtered BEFORE the shuffle, so the pass's candidate
+    * exchange carries ~1/passes of the keys (passes = 1 ≡ the
+    * unrestricted single pass). Emits DISTINCT (a, b) id pairs only —
+    * no array payloads — so a band pass's scratch is the banded 8-byte
+    * key join plus an id-pair distinct, nothing corpus-sized. */
+  private[graft] def containmentCandidatesBand(prefix: DataFrame,
+      sh: DataFrame, band: Int, passes: Int): DataFrame = {
     def inBand(df: DataFrame): DataFrame =
       if (passes <= 1) df
       else df.where(pmod(col("sk"), lit(passes.toLong)) === band.toLong)
-    val cand = inBand(prefix).repartition(col("sk"))
+    inBand(prefix).repartition(col("sk"))
       .join(inBand(sh.select(col("sk"), col("doc_id").as("b")))
           .repartition(col("sk")),
         Seq("sk"))
       .where(col("a") =!= col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact verification of candidate (a, b) pairs against the per-doc
+    * sorted key arrays — ONE array_intersect per DISTINCT pair. Runs
+    * once over the distinct union of all band passes (not per band), so
+    * the corpus-sized `arr` table is shuffled into exactly two joins
+    * total regardless of the pass count. */
+  private[graft] def containmentVerify(cand: DataFrame, arr: DataFrame,
+      threshold: Double): DataFrame =
     cand
       .join(arr.select(col("doc_id").as("a"), col("ska").as("ska_a"),
         col("n_sh").as("n_a")), Seq("a"))
@@ -598,7 +635,6 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select(col("a"), col("b"), col("shared"), col("n_a"), col("n_b"),
         col("containment"))
-  }
 
   /** [[containmentPairsPrefix]] executed as `passes` SEQUENTIAL
     * band-passes, each materialized before the next starts — peak
@@ -617,14 +653,22 @@ object Dedup {
     require(passes >= 1, s"passes must be >= 1, got $passes")
     val dir = scratchDir.getOrElse(
       graft.util.Scratch.dir("graft_containment_staged_"))
+    val (sh, arr, prefix) = containmentPrefixStaging(
+      docs, idCol, textCol, k, threshold, maxShingleDf)
+    // per band: CANDIDATE id pairs only, materialized — the banded key
+    // join is the scratch hog the decomposition bounds; array payloads
+    // never enter a band pass
     (0 until passes).foreach { b =>
-      containmentPairsPrefixBand(docs, idCol, textCol, k, threshold,
-        maxShingleDf, band = b, passes = passes)
-        .write.mode("overwrite").parquet(s"$dir/pass_$b")
+      containmentCandidatesBand(prefix, sh, b, passes)
+        .write.mode("overwrite").parquet(s"$dir/cand_$b")
     }
-    docs.sparkSession.read
-      .parquet((0 until passes).map(b => s"$dir/pass_$b"): _*)
+    // verify ONCE over the distinct union: a pair can share prefix keys
+    // in several bands, so dedup BEFORE the (expensive, deterministic)
+    // array verification instead of re-verifying per band
+    val cand = docs.sparkSession.read
+      .parquet((0 until passes).map(b => s"$dir/cand_$b"): _*)
       .distinct()
+    containmentVerify(cand, arr, threshold)
   }
 
   /** Per-document SimHash fingerprints plus the nearest candidate within
