@@ -40,6 +40,11 @@ object ContainmentStaged {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.io.compression.codec", "zstd")
+      // the broadcast-verify build collects the doc->array table
+      // (~2.5 GB at 5M docs) through the driver; the 1g default abort
+      // is a local-mode artifact — on a cluster the same broadcast is
+      // torrent-distributed from the executors
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         Parts.derive(sfDir, cpus.toInt).toString)
       .config("spark.ui.enabled", "false")
@@ -61,7 +66,8 @@ object ContainmentStaged {
           .parquet((0 until passes).map(b => s"$outRoot/cand_$b"): _*)
           .distinct()
         val arr = spark.read.parquet(s"$outRoot/staging/arr")
-        Dedup.containmentVerify(cand, arr, threshold = 0.5)
+        Dedup.containmentVerify(cand, arr, threshold = 0.5,
+            broadcastArr = true)
           .write.mode("overwrite").parquet(s"$outRoot/merged")
         spark.read.parquet(s"$outRoot/merged").count()
       case b =>

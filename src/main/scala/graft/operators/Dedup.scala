@@ -619,22 +619,33 @@ object Dedup {
 
   /** Exact verification of candidate (a, b) pairs against the per-doc
     * sorted key arrays — ONE array_intersect per DISTINCT pair. Runs
-    * once over the distinct union of all band passes (not per band), so
-    * the corpus-sized `arr` table is shuffled into exactly two joins
-    * total regardless of the pass count. */
+    * once over the distinct union of all band passes (not per band).
+    * `broadcastArr` (the staged/campaign setting) builds BOTH lookups
+    * as broadcast-hash joins: the candidate set can be ~1e9 id pairs at
+    * the fourth decade, and a sort-merge chain would re-shuffle those
+    * rows CARRYING the first join's array payload (~400 B/row — a
+    * ~700 GB exchange); broadcasting the doc→array table (n_docs ×
+    * ~0.5 KB — 2.5 GB at 5M docs, box-feasible) streams the pairs
+    * through both probes with ZERO pair shuffle. At cluster scale the
+    * same shape is a bucketed co-partitioned join on doc id — the
+    * pairs still never carry arrays across an exchange. */
   private[graft] def containmentVerify(cand: DataFrame, arr: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double, broadcastArr: Boolean = false): DataFrame = {
+    def side(n: String) = {
+      val t = arr.select(col("doc_id").as(n), col("ska").as(s"ska_$n"),
+        col("n_sh").as(s"n_$n"))
+      if (broadcastArr) broadcast(t) else t
+    }
     cand
-      .join(arr.select(col("doc_id").as("a"), col("ska").as("ska_a"),
-        col("n_sh").as("n_a")), Seq("a"))
-      .join(arr.select(col("doc_id").as("b"), col("ska").as("ska_b"),
-        col("n_sh").as("n_b")), Seq("b"))
+      .join(side("a"), Seq("a"))
+      .join(side("b"), Seq("b"))
       .withColumn("shared",
         size(array_intersect(col("ska_a"), col("ska_b"))).cast("long"))
       .withColumn("containment", col("shared") / col("n_a"))
       .where(col("containment") >= threshold)
       .select(col("a"), col("b"), col("shared"), col("n_a"), col("n_b"),
         col("containment"))
+  }
 
   /** [[containmentPairsPrefix]] executed as `passes` SEQUENTIAL
     * band-passes, each materialized before the next starts — peak
@@ -668,7 +679,7 @@ object Dedup {
     val cand = docs.sparkSession.read
       .parquet((0 until passes).map(b => s"$dir/cand_$b"): _*)
       .distinct()
-    containmentVerify(cand, arr, threshold)
+    containmentVerify(cand, arr, threshold, broadcastArr = true)
   }
 
   /** Per-document SimHash fingerprints plus the nearest candidate within
