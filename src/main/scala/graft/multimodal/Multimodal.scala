@@ -211,6 +211,21 @@ object Multimodal {
     * smallest matched id (NULL if none). */
   def phashNearDups(hashes: DataFrame, idCol: String = "doc_id",
       hammingMax: Int = 3, maxBucketSize: Int = 100): DataFrame = {
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val h = hashes.select(col(idCol) +: bandCols.map(col): _*)
+    val dups = phashPairs(hashes, idCol, hammingMax, maxBucketSize)
+      .groupBy(col("b")).agg(min(col("a")).as("dup_of"))
+    h.join(dups, col(idCol) === col("b"), "left")
+      .select(col(idCol), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("dup_of"), col("dup_of").isNull.as("kept"))
+  }
+
+  /** The PAIR-level form of [[phashNearDups]]: every (a < b) pair within
+    * `hammingMax` bits of banded Hamming distance, multi-index blocked
+    * (pigeonhole-exact for radius ≤ 3 at 4 bands). The edge input of the
+    * cross-modal dedup ensemble. */
+  def phashPairs(hashes: DataFrame, idCol: String = "doc_id",
+      hammingMax: Int = 3, maxBucketSize: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(hammingMax >= 0, "hammingMax must be >= 0")
     require(maxBucketSize >= 1, "maxBucketSize must be >= 1")
@@ -238,12 +253,9 @@ object Multimodal {
       bit_count(col("a1").bitwiseXOR(col("c1"))) +
       bit_count(col("a2").bitwiseXOR(col("c2"))) +
       bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int")
-    val dups = cand.withColumn("hamming", hamming)
+    cand.withColumn("hamming", hamming)
       .where(col("hamming") <= hammingMax)
-      .groupBy(col("b")).agg(min(col("a")).as("dup_of"))
-    h.join(dups, col(idCol) === col("b"), "left")
-      .select(col(idCol), col("b0"), col("b1"), col("b2"), col("b3"),
-        col("dup_of"), col("dup_of").isNull.as("kept"))
+      .select(col("a"), col("b"), col("hamming"))
   }
 
   /** Decode a binary media column partition-batch-wise. The partition

@@ -282,6 +282,143 @@ object MultimodalQueries {
           |  ON ns.doc_id = t.doc_id
           |LEFT JOIN seg ON seg.doc_id = t.doc_id
           |ORDER BY t.doc_id""".stripMargin),
+      bench = false),
+
+    // ---- CROSS-MODAL dedup ensemble (VERDICT r10 #8): the multimodal
+    //      sibling of dedup_multi_signal — TEXT near-dup edges
+    //      (md5-MinHash-LSH candidates verified at Jaccard ≥ 0.5) ∪
+    //      IMAGE near-dup edges (banded average-hash, Hamming ≤ 12 —
+    //      the near-dup band for byte-payload avg-hash, a coarser
+    //      signal than real image grids; beyond radius 3 the 4-band
+    //      multi-index blocking is best-effort recall, and the oracle
+    //      mirrors the identical blocking) over paired
+    //      (doc, media payload) rows → ONE star-CC → keep-best
+    //      (longest) survivor per cluster. Each signal catches pairs
+    //      the other misses (byte-distribution vs shingle-set
+    //      similarity), and the ensemble pays ONE connectivity pass —
+    //      the cross-modal curation shape of a corpus where every
+    //      document carries its media. Both candidate generators are
+    //      band/bucket bounded; never all-pairs. ----
+    QueryDef("dedup_cross_modal",
+      (s, d) => {
+        import graft.operators.{Curation, Dedup}
+        val docs = Tables.documents(s, d)
+        val jac = Dedup.nearDuplicatePairsMd5(docs, "doc_id", "text",
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+          .select(col("a"), col("b"))
+        val img = Multimodal.phashPairs(
+            Multimodal.perceptualHashBands(
+              docs.select(col("doc_id"),
+                col("text").cast("binary").as("payload")),
+              "payload"),
+            hammingMax = 12)
+          .select(col("a"), col("b"))
+        val edges = jac.unionByName(img).distinct()
+        val nodes = docs.select(col("doc_id").as("node"))
+        val cc = Curation.connectedComponentsStar(edges, nodes)
+        val labeled = cc.join(
+          docs.select(col("doc_id").as("node"), col("n_chars")), Seq("node"))
+        Curation.bestInCluster(labeled, "n_chars")
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster_id"))))
+          .select(col("node").as("doc_id"), col("cluster_id"),
+            col("cluster_size"), col("n_chars"), col("keep_id"), col("kept"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        raw"""WITH RECURSIVE toks AS MATERIALIZED (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+             |), sh AS MATERIALIZED (
+             |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(t) - 1),
+             |        i -> array_to_string(t[i:i+2], ' ')))
+             |    ELSE CAST([] AS VARCHAR[]) END AS sh
+             |  FROM toks
+             |), hs AS MATERIALIZED (
+             |  SELECT doc_id, sh,
+             |    list_transform(sh, x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS harr
+             |  FROM sh
+             |), sigs AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_transform(range(0, 16), i -> list_min(list_transform(harr,
+             |      h -> ((h >> 30) + i * (h & 1073741823)) % 1073741789))) AS sig
+             |  FROM hs WHERE len(sh) > 0
+             |), buckets AS MATERIALIZED (
+             |  SELECT s.doc_id, b.band,
+             |    array_to_string(s.sig[b.band*4+1 : b.band*4+4], ',') AS bucket
+             |  FROM sigs s CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+             |), cand AS MATERIALIZED (
+             |  SELECT l.doc_id AS a, r.doc_id AS b
+             |  FROM buckets l JOIN buckets r USING (band, bucket)
+             |  WHERE l.doc_id < r.doc_id
+             |  GROUP BY 1, 2
+             |), ver AS MATERIALIZED (
+             |  SELECT c.a AS a, c.b AS b,
+             |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+             |  FROM cand c JOIN hs x ON x.doc_id = c.a JOIN hs y ON y.doc_id = c.b
+             |), jac_edges AS MATERIALIZED (
+             |  SELECT a, b FROM ver WHERE jaccard >= 0.5
+             |), pbytes AS MATERIALIZED (
+             |  SELECT d.doc_id, t.j, v,
+             |    SUM(v) OVER (PARTITION BY d.doc_id) AS bsum
+             |  FROM documents d, range(64) t(j),
+             |    LATERAL (SELECT CAST('0x' || substr(hex(encode(d.text)),
+             |      CAST(2 * ((t.j * octet_length(encode(d.text))) // 64) + 1 AS BIGINT),
+             |      2) AS INT) AS v)
+             |  WHERE octet_length(encode(d.text)) > 0
+             |), ph AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    CAST(SUM(CASE WHEN 64*v > bsum AND j // 16 = 0 THEN (1 << (j % 16)) ELSE 0 END) AS INT) AS b0,
+             |    CAST(SUM(CASE WHEN 64*v > bsum AND j // 16 = 1 THEN (1 << (j % 16)) ELSE 0 END) AS INT) AS b1,
+             |    CAST(SUM(CASE WHEN 64*v > bsum AND j // 16 = 2 THEN (1 << (j % 16)) ELSE 0 END) AS INT) AS b2,
+             |    CAST(SUM(CASE WHEN 64*v > bsum AND j // 16 = 3 THEN (1 << (j % 16)) ELSE 0 END) AS INT) AS b3
+             |  FROM pbytes GROUP BY doc_id
+             |  UNION ALL
+             |  SELECT doc_id, 0, 0, 0, 0 FROM documents
+             |  WHERE octet_length(encode(text)) = 0
+             |), pbands AS MATERIALIZED (
+             |  SELECT doc_id, b0, b1, b2, b3, t.band_idx,
+             |    CASE t.band_idx WHEN 0 THEN b0 WHEN 1 THEN b1
+             |                    WHEN 2 THEN b2 ELSE b3 END AS v
+             |  FROM ph, range(4) t(band_idx)
+             |), pcapped AS MATERIALIZED (
+             |  SELECT * FROM (
+             |    SELECT *, count(*) OVER (PARTITION BY band_idx, v) AS bn
+             |    FROM pbands) WHERE bn <= 100
+             |), pcand AS MATERIALIZED (
+             |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             |    l.b0 AS a0, l.b1 AS a1, l.b2 AS a2, l.b3 AS a3,
+             |    r.b0 AS c0, r.b1 AS c1, r.b2 AS c2, r.b3 AS c3
+             |  FROM pcapped l JOIN pcapped r
+             |    ON l.band_idx = r.band_idx AND l.v = r.v AND l.doc_id < r.doc_id
+             |), img_edges AS MATERIALIZED (
+             |  SELECT a, b FROM pcand
+             |  WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+             |      + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 12
+             |), all_edges AS MATERIALIZED (
+             |  SELECT a, b FROM jac_edges UNION SELECT a, b FROM img_edges
+             |), sym2 AS MATERIALIZED (
+             |  SELECT a AS x, b AS y FROM all_edges
+             |  UNION ALL SELECT b AS x, a AS y FROM all_edges
+             |), reach AS (
+             |  SELECT doc_id AS node, doc_id AS lab FROM documents
+             |  UNION
+             |  SELECT s.y AS node, r.lab FROM reach r JOIN sym2 s ON s.x = r.node
+             |), lab AS MATERIALIZED (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+             |j AS MATERIALIZED (
+             |  SELECT lab.node, lab.cluster_id, d.n_chars
+             |  FROM lab JOIN documents d ON d.doc_id = lab.node
+             |), rk AS MATERIALIZED (
+             |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+             |    ORDER BY n_chars DESC, node) AS rn FROM j
+             |), reps AS MATERIALIZED (SELECT cluster_id, node AS keep_id FROM rk WHERE rn = 1)
+             |SELECT j.node AS doc_id, j.cluster_id,
+             |  count(*) OVER (PARTITION BY j.cluster_id) AS cluster_size,
+             |  j.n_chars, reps.keep_id, j.node = reps.keep_id AS kept
+             |FROM j JOIN reps ON j.cluster_id = reps.cluster_id
+             |ORDER BY doc_id""".stripMargin),
       bench = false)
   )
 }
