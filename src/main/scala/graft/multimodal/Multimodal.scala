@@ -223,7 +223,13 @@ object Multimodal {
   /** The PAIR-level form of [[phashNearDups]]: every (a < b) pair within
     * `hammingMax` bits of banded Hamming distance, multi-index blocked
     * (pigeonhole-exact for radius ≤ 3 at 4 bands). The edge input of the
-    * cross-modal dedup ensemble. */
+    * cross-modal dedup ensemble. For `hammingMax` > 3 candidate
+    * generation is BEST-EFFORT recall (blocking-bounded, the LSH trade):
+    * a pair whose differing bits spread ≥ 4 per band shares no intact
+    * band and never reaches verification — callers past the pigeonhole
+    * radius (e.g. dedup_cross_modal at 12) accept that bound, and their
+    * oracles mirror the blocking so certification measures the same
+    * candidate set (ADVICE r11). */
   def phashPairs(hashes: DataFrame, idCol: String = "doc_id",
       hammingMax: Int = 3, maxBucketSize: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window

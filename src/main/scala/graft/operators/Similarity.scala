@@ -843,7 +843,14 @@ object Similarity {
           .as("base_fit"),
         (col("s_delta").cast("double") / (col("n_delta") * lit(f)))
           .as("delta_fit"))
-      .withColumn("fit_drift", col("base_fit") - col("delta_fit"))
+      // empty-delta guard (ADVICE r11): n_delta = 0 makes s_delta (and
+      // so delta_fit) NULL, and a bare base_fit − delta_fit would
+      // null-propagate through the drift verdict into `rebuild` — an
+      // empty ingest tick must read as a DEFINED no-drift row, not an
+      // ambiguous one. Balance signals are delta-independent and stay.
+      .withColumn("fit_drift",
+        when(col("n_delta") === 0L, lit(0.0))
+          .otherwise(col("base_fit") - col("delta_fit")))
       .withColumn("rebuild_due_balance", col("cell_skew") > skewThreshold)
       .withColumn("rebuild_due_drift", col("fit_drift") > driftThreshold)
       .withColumn("rebuild",

@@ -377,8 +377,9 @@ object StreamQueries {
         val chunk = (m: Int) => emb.where(col("vec_id") % 10 === m)
           .select(col("vec_id"), col("embedding"))
         chunk(0).coalesce(1).write.mode("overwrite").parquet(in)
-        Thread.sleep(3)
+        StreamHarness.stampChunk(in, 0)
         chunk(5).coalesce(1).write.mode("append").parquet(in)
+        StreamHarness.stampChunk(in, 1)
         val stream = s.readStream.schema(chunk(0).schema)
           .option("maxFilesPerTrigger", "1").parquet(in)
         val q = AnnIngest.writer(

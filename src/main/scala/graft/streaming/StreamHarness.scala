@@ -29,6 +29,29 @@ import org.apache.spark.sql.DataFrame
 object StreamHarness {
   private val seq = new AtomicInteger(0)
 
+  /** Deterministic micro-batch ORDER for a file-source chunk dir: stamp
+    * the data files the latest write added with a fixed past epoch +
+    * `chunkIdx`·2 s. The former `Thread.sleep(3)` tie-break relied on
+    * the filesystem exposing millisecond mtimes — on a coarse (e.g. 1 s)
+    * granularity store two chunk files can tie and the batch order (and
+    * so `_batch_id` assignment) can flip (ADVICE r11). Fresh files are
+    * recognized by carrying a real current mtime (far above the fixed
+    * epoch); `_`/`.`-prefixed bookkeeping files are ignored, matching
+    * the source's own path filter. All stamps land within seconds of
+    * each other, so FileStreamSource's maxFileAge retention (7 d behind
+    * the newest file) never drops one. */
+  private val ChunkEpochMs = 1600000000000L
+  def stampChunk(dir: String, chunkIdx: Int): Unit = {
+    val t = java.nio.file.attribute.FileTime
+      .fromMillis(ChunkEpochMs + chunkIdx * 2000L)
+    val files = new java.io.File(dir).listFiles()
+    if (files != null) files
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") &&
+        f.lastModified > ChunkEpochMs + 86400000L)
+      .foreach(f => Files.setLastModifiedTime(f.toPath, t))
+  }
+
   /** `recentProgress` of the most recent run, captured BEFORE the query
     * stops (stop clears it). Read by [[graft.StreamScaleProbe]] for the
     * per-micro-batch state-store evidence; Nil outside a probe. */
@@ -99,7 +122,7 @@ object StreamHarness {
             .between(lo, hi - 1))
           .coalesce(1)
           .write.mode(if (i == 0) "overwrite" else "append").parquet(in)
-        Thread.sleep(3) // distinct mtimes => deterministic batch order
+        stampChunk(in, i) // distinct mtimes => deterministic batch order
       }
       staged.unpersist()
     } else {

@@ -32,8 +32,20 @@ object Scratch {
     p.toString
   }
 
-  def deleteOnExit(p: Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+  // ONE shutdown hook draining a shared list (ADVICE r11): a hook per
+  // dir made a long multi-query Verify/BenchReps session accumulate
+  // unbounded Thread objects that all ran concurrently at exit.
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val hookInstalled: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      var p = pending.poll()
+      while (p != null) { deleteRecursively(p); p = pending.poll() }
+    }))
+
+  def deleteOnExit(p: Path): Unit = {
+    hookInstalled
+    pending.add(p): Unit
+  }
 
   def deleteRecursively(p: Path): Unit = {
     val f = p.toFile

@@ -92,8 +92,9 @@ class AnnIngestSpec extends SparkSpec {
     val root = graft.util.Scratch.dir("graft_anningest_stream_")
     val in = s"$root/in"
     batch0.coalesce(1).write.mode("overwrite").parquet(in)
-    Thread.sleep(3)
+    StreamHarness.stampChunk(in, 0)
     batch1.coalesce(1).write.mode("append").parquet(in)
+    StreamHarness.stampChunk(in, 1)
     val stream = spark.readStream.schema(batch0.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val q = AnnIngest.writer(stream, idx, edges,

@@ -1,4 +1,12 @@
 #!/bin/bash
+# *** SUPERSEDED — DO NOT RUN (ADVICE r11). Leg 2 is broken: it drives
+# band steps without a preceding 'stage' step (the bands would read
+# nonexistent staging parquet) and passes a non-step 'merge' token that
+# throws in ContainmentStaged; the run() wrapper masks both. The working
+# sequels are r11_campaign2.sh / r11_campaign3.sh / r11_campaign4.sh
+# (correct step order: stage → 0 1 2 3 → verify). Kept for the resume-
+# pattern documentation only. ***
+#
 # Round-11 campaign, strictly sequential (one heavy JVM at a time — the
 # round-9 disk-collision and timing-contention lessons):
 #  leg 1: fourth-decade minhash at the DERIVED width, NO env var —
