@@ -736,11 +736,117 @@ object Similarity {
       .parquet(s"$dir/cells")
   }
 
+  /** GENERATION resolution for a persisted IVF index (round 12 — the
+    * atomic-rebuild substrate): an index dir carrying a `_CURRENT`
+    * pointer file serves generation `gen_<n>/` under it; the original
+    * flat [[writeIvfIndex]] layout (no pointer) serves the dir itself.
+    * Every reader and the delta fold route through this, so a
+    * [[rebuildIvfIndex]] becomes visible to ALL consumers at the single
+    * atomic pointer move and a crash mid-rebuild leaves the old
+    * generation untouched and live (the version-hint pattern of table
+    * formats, applied to the index). */
+  private[graft] def indexRoot(dir: String): String = {
+    val g = currentGen(dir)
+    if (g < 0) dir else s"$dir/gen_$g"
+  }
+
+  /** The live generation number (−1 = flat pre-rebuild layout). */
+  private[graft] def currentGen(dir: String): Long = {
+    val ptr = java.nio.file.Paths.get(dir, "_CURRENT")
+    if (java.nio.file.Files.exists(ptr))
+      new String(java.nio.file.Files.readAllBytes(ptr),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else -1L
+  }
+
   /** The persisted quantizer, ordered by cell — nCells × d model state. */
   def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
       dir: String): Array[Array[Float]] =
-    spark.read.parquet(s"$dir/centroids").orderBy(col("cell"))
+    spark.read.parquet(s"${indexRoot(dir)}/centroids").orderBy(col("cell"))
       .collect().map(_.getSeq[Float](1).toArray)
+
+  /** ACT on the [[ivfIndexHealth]] rebuild verdict (VERDICT r11 #1):
+    * re-train the coarse quantizer over everything the index currently
+    * holds (base build ∪ every folded delta — the grown corpus),
+    * re-assign all rows, and swap the new generation live ATOMICALLY.
+    *
+    * Swap protocol (crash-safe by construction, spec-pinned): the new
+    * generation `gen_<g+1>/{centroids,cells}` is written COMPLETELY
+    * beside the live one, then a `_CURRENT.tmp` pointer file is moved
+    * onto `_CURRENT` with `ATOMIC_MOVE` — the only mutation readers can
+    * observe. A crash at ANY earlier point (mid-write, between writes,
+    * before the move) leaves `_CURRENT` — and so every reader — on the
+    * old generation; a retry simply rewrites the partial generation
+    * (mode overwrite) and swaps. Only after the pointer lands is the
+    * superseded generation reclaimed (best-effort — a leaked dir is
+    * garbage, never wrong data).
+    *
+    * `_batch_id` is PRESERVED through re-assignment, so the streaming
+    * exactly-once contract survives a mid-stream rebuild: a replayed
+    * micro-batch still dynamic-overwrites its own partitions in the new
+    * generation. Determinism: the quantizer trains on the index's own
+    * (id, vector) rows with the seeded Knuth-hash sample (or seeded
+    * Lloyd refinement), so rebuilding twice from the same contents
+    * yields bit-identical generations — what makes a replayed
+    * rebuild-then-crash batch converge ([[graft.streaming.AnnIngest]]).
+    *
+    * `nCells = 0` keeps the current quantizer size (the steady-state
+    * rebuild); a grown corpus can pass the re-derived ⌈√n⌉.
+    * `extraTraining` adds not-yet-folded rows (the streaming ingest's
+    * triggering batch) to the quantizer TRAINING corpus only — the new
+    * generation's cells still hold exactly the index's own rows, so the
+    * later `_batch_id`-keyed fold of those rows stays exactly-once; the
+    * payoff is that the batch that tripped the drift gauge gets a
+    * quantizer that already knows its content.
+    * `beforeSwap` is a test-only failpoint between the full generation
+    * write and the pointer move. */
+  def rebuildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      nCells: Int = 0, seed: Long = 42L, refineIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      extraTraining: Option[DataFrame] = None,
+      beforeSwap: () => Unit = () => ()): Unit = {
+    require(nCells >= 0, s"nCells must be >= 0 (0 = keep), got $nCells")
+    val root = indexRoot(dir)
+    val corpus = spark.read.parquet(s"$root/cells")
+      .select(col(idCol), col(vecCol), col("_batch_id"))
+    val n = if (nCells > 0) nCells
+      else readIvfCentroids(spark, dir).length
+    val trainSet = extraTraining match {
+      case Some(x) => corpus.select(col(idCol), col(vecCol))
+        .unionByName(x.select(col(idCol), col(vecCol)))
+      case None => corpus
+    }
+    val cm = sampleCentroids(trainSet, idCol, vecCol, n, seed, refineIters)
+    val gen = currentGen(dir) + 1L
+    val next = s"$dir/gen_$gen"
+    import spark.implicits._
+    cm.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$next/centroids")
+    val cellOf = graft.functions.VectorExpressions
+      .topCellsByCos(col(vecCol), cm, 1).getItem(0)
+    corpus.select(col(idCol), col(vecCol), cellOf.as("cell"), col("_batch_id"))
+      .write.mode("overwrite").partitionBy("cell", "_batch_id")
+      .parquet(s"$next/cells")
+    beforeSwap()
+    val tmp = java.nio.file.Paths.get(dir, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp,
+      gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // reclaim the superseded generation — AFTER the swap, best-effort
+    try {
+      if (root == dir) {
+        graft.util.Scratch.deleteRecursively(
+          java.nio.file.Paths.get(dir, "centroids"))
+        graft.util.Scratch.deleteRecursively(
+          java.nio.file.Paths.get(dir, "cells"))
+      } else graft.util.Scratch.deleteRecursively(
+        java.nio.file.Paths.get(root))
+    } catch { case scala.util.control.NonFatal(_) => }
+  }
 
   /** Fold a delta's ASSIGNMENTS into the persisted index — the step
     * that completes the ingest loop ([[incrementalKnnJoin]] reads the
@@ -755,6 +861,9 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       batchId: Option[Long] = None): Unit = {
     val cm = readIvfCentroids(delta.sparkSession, dir)
+    // resolve the live generation ONCE — assignment and write must hit
+    // the same generation the centroids came from
+    val root = indexRoot(dir)
     val cellOf = graft.functions.VectorExpressions
       .topCellsByCos(col(vecCol), cm, 1).getItem(0)
     val assigned = delta.select(col(idCol), col(vecCol), cellOf.as("cell"),
@@ -766,9 +875,9 @@ object Similarity {
       // (the foreachBatchParquetSink recipe applied to the index)
       case Some(_) => assigned.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell", "_batch_id").parquet(s"$dir/cells")
+        .partitionBy("cell", "_batch_id").parquet(s"$root/cells")
       case None => assigned.write.mode("append")
-        .partitionBy("cell", "_batch_id").parquet(s"$dir/cells")
+        .partitionBy("cell", "_batch_id").parquet(s"$root/cells")
     }
   }
 
@@ -819,7 +928,7 @@ object Similarity {
     val f = math.pow(10.0, roundTo.toDouble)
     def fitI(vec: Column): Column = Det.toFixed(
       graft.functions.VectorExpressions.topCosByCentroids(vec, cm), roundTo)
-    val perCell = spark.read.parquet(s"$indexDir/cells")
+    val perCell = spark.read.parquet(s"${indexRoot(indexDir)}/cells")
       .select(col("cell"), fitI(col(vecCol)).as("fit_i"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), sum(col("fit_i")).as("s"))
@@ -906,7 +1015,7 @@ object Similarity {
     // appended this batch must not count the delta rows twice (once
     // from the index read, once from the deltaCells union). Broadcast:
     // the delta is increment-sized by definition.
-    val existing = spark.read.parquet(s"$indexDir/cells")
+    val existing = spark.read.parquet(s"${indexRoot(indexDir)}/cells")
       .where(col("cell").isin(probed.toIndexedSeq.map(Int.box): _*))
       .select(col(idCol), col(vecCol), col("cell"))
       .join(broadcast(deltaCells.select(col(idCol))), Seq(idCol), "left_anti")

@@ -1158,6 +1158,58 @@ object EmbedQueries {
       // bench-rotated IN round 11 (new row: index write + health scans)
       bench = true),
 
+    // ---- INDEX REBUILD (VERDICT r11 #1 — act on the gauge): the full
+    //      lifecycle in one certified row. Base index on the 80% "old"
+    //      corpus; a DRIFTED increment (the 20% with every vector
+    //      NEGATED — worst-case new content, its fit at the frozen
+    //      quantizer is the corpus fit mirrored) is folded in; the
+    //      health gauge must fire rebuild_due_drift (an in-row require —
+    //      a silent non-trip would certify the wrong scenario); then
+    //      rebuildIvfIndex re-trains the quantizer over everything the
+    //      index holds and ATOMICALLY swaps the generation live. Output
+    //      = post-rebuild top-3 edges for a query sample served through
+    //      the REBUILT index (the pruned-read incremental path). The
+    //      oracle is a FRESH batch build at centroids trained on the
+    //      grown corpus — so the hash match IS the contract: a rebuilt
+    //      index is indistinguishable from a from-scratch build at the
+    //      re-trained quantizer (the IndexHealthSpec recall-recovery
+    //      assertion promoted to an operator, certified end-to-end).
+    //      Crash-during-swap atomicity is spec-pinned (IndexRebuildSpec).
+    QueryDef("ann_index_rebuild",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val old = emb.where(col("vec_id") % 5 =!= 0)
+        val delta = emb.where(col("vec_id") % 5 === 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"))
+        val dir = graft.util.Scratch.dir("graft_ivfrebuild_")
+        Similarity.writeIvfIndex(old, dir, nCells = 16, seed = 42L)
+        Similarity.appendIvfDelta(delta, dir)
+        val verdict = Similarity.ivfIndexHealth(delta, dir,
+          maxCellSize = 64).head()
+        require(verdict.getAs[Boolean]("rebuild_due_drift"),
+          "drifted delta must trip the rebuild gauge")
+        Similarity.rebuildIvfIndex(s, dir, seed = 42L)
+        val sample = old.select(col("vec_id"), col("embedding"))
+          .unionByName(delta).where(col("vec_id") % 7 === 0)
+        Similarity.incrementalKnnJoin(
+            sample, dir, k = 3, nProbe = 4, maxCellSize = 64)
+          .orderBy(col("qid"), col("rank"))
+      },
+      oracle = Some(
+        s"""WITH u AS MATERIALIZED (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+           |  UNION ALL
+           |  SELECT vec_id, list_transform(embedding, x -> -x) AS embedding
+           |  FROM embeddings WHERE vec_id % 5 = 0
+           |),
+           |${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 64,
+             centSrc = "u", corpusSrc = "u",
+             querySrc = "(SELECT vec_id, embedding FROM u WHERE vec_id % 7 = 0)")}
+           |SELECT qid, rank, neighbor_id, cos
+           |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+      bench = false),
+
     // ---- hot-cell cap QUALITY eval: the one scale knob of knnJoinIvf
     //      with no measured quality number until now. The sub-split cap
     //      trades recall for linear candidate work ("recall, not shape");

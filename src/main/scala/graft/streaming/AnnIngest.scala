@@ -26,16 +26,63 @@ import graft.operators.Similarity
   *  Consequently processing a batch is idempotent from ANY crash point
   *  — between the edge write and the fold, after the fold but before
   *  the checkpoint commit, or clean — pinned by AnnIngestSpec.
+  *
+  * REBUILD WIRING (round 12, VERDICT r11 #1): with `healthEvery` > 0,
+  * every Nth batch first consults [[Similarity.ivfIndexHealth]] with
+  * the incoming batch as the probe delta, and when the verdict fires,
+  * runs [[Similarity.rebuildIvfIndex]] — re-trained quantizer,
+  * atomically swapped generation — BEFORE computing the batch's edges.
+  * Placement keeps replay deterministic from every crash point:
+  *  - the check runs only while the batch is NOT yet folded (a replay
+  *    that already folded skips it, so its edges recompute against
+  *    exactly the generation the crashed attempt used — same overwrite);
+  *  - a replay that crashed after the rebuild but before the fold
+  *    re-checks against the rebuilt index; if the verdict fires again
+  *    the re-trained quantizer is bit-identical (seeded training over
+  *    the same index contents ∪ the same batch), so the edges are
+  *    unchanged either way;
+  *  - a crash DURING the rebuild leaves `_CURRENT` — and so every
+  *    reader — on the old generation (the atomic-swap contract), and
+  *    the retry rebuilds from scratch.
   */
 object AnnIngest {
 
+  /** Has this batch already been folded into the index? Partition-
+    * pruned existence probe on the `_batch_id` key — the replay
+    * detector that keeps the health check out of the already-folded
+    * replay path. */
+  private def alreadyFolded(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batchId: Long): Boolean = {
+    !spark.read.parquet(s"${Similarity.indexRoot(indexDir)}/cells")
+      .where(col("_batch_id") === batchId).limit(1).isEmpty
+  }
+
   /** One micro-batch of the ingest loop; `afterEdges` is a test-only
-    * failpoint hook between the two writes. */
+    * failpoint hook between the two writes. `healthEvery` = 0 disables
+    * the gauge (the pre-round-12 behavior); > 0 consults it on batches
+    * with batchId % healthEvery == 0 and rebuilds on a fired verdict. */
   def processBatch(
       batch: DataFrame, batchId: Long, indexDir: String, edgesDir: String,
       k: Int, nProbe: Int = 4, maxCellSize: Int = 4096,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      afterEdges: () => Unit = () => ()): Unit = {
+      afterEdges: () => Unit = () => (),
+      healthEvery: Int = 0, skewThreshold: Double = 4.0,
+      driftThreshold: Double = 0.02, rebuildRefineIters: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    if (healthEvery > 0 && batchId % healthEvery == 0 &&
+        !alreadyFolded(spark, indexDir, batchId)) {
+      val verdict: Row = Similarity.ivfIndexHealth(
+        batch, indexDir, idCol = idCol, vecCol = vecCol,
+        maxCellSize = maxCellSize, skewThreshold = skewThreshold,
+        driftThreshold = driftThreshold).head()
+      if (verdict.getAs[Boolean]("rebuild"))
+        // the triggering batch joins the TRAINING corpus (so the new
+        // quantizer knows the content that tripped the gauge) but not
+        // the generation's cells — it folds below under its _batch_id
+        Similarity.rebuildIvfIndex(spark, indexDir,
+          seed = 42L, refineIters = rebuildRefineIters,
+          idCol = idCol, vecCol = vecCol, extraTraining = Some(batch))
+    }
     val edges = Similarity.incrementalKnnJoin(
       batch, indexDir, k = k, idCol = idCol, vecCol = vecCol,
       nProbe = nProbe, maxCellSize = maxCellSize)
@@ -56,7 +103,9 @@ object AnnIngest {
   def writer(
       stream: DataFrame, indexDir: String, edgesDir: String,
       k: Int, nProbe: Int = 4, maxCellSize: Int = 4096,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      healthEvery: Int = 0, skewThreshold: Double = 4.0,
+      driftThreshold: Double = 0.02, rebuildRefineIters: Int = 2)
       : DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -64,6 +113,9 @@ object AnnIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexDir, edgesDir,
           k = k, nProbe = nProbe, maxCellSize = maxCellSize,
-          idCol = idCol, vecCol = vecCol)
+          idCol = idCol, vecCol = vecCol,
+          healthEvery = healthEvery, skewThreshold = skewThreshold,
+          driftThreshold = driftThreshold,
+          rebuildRefineIters = rebuildRefineIters)
       }
 }

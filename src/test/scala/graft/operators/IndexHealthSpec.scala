@@ -32,44 +32,10 @@ class IndexHealthSpec extends SparkSpec {
     dir
   }
 
-  /** A unit vector orthogonal to every centroid of the index. */
-  private def orthoDirection(dir: String): Array[Float] = {
-    val cents = Similarity.readIvfCentroids(spark, dir)
-      .map(_.map(_.toDouble))
-    val d = cents.head.length
-    // Gram–Schmidt: orthonormalize the centroids, then project them out
-    // of a probe direction (all-ones; nCells ≪ d, so never degenerate)
-    val basis = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    def dot(a: Array[Double], b: Array[Double]) =
-      a.indices.map(i => a(i) * b(i)).sum
-    cents.foreach { c0 =>
-      val c = c0.clone()
-      basis.foreach { b =>
-        val p = dot(c, b); c.indices.foreach(i => c(i) -= p * b(i))
-      }
-      val n = math.sqrt(dot(c, c))
-      if (n > 1e-9) basis += c.map(_ / n)
-    }
-    val u = Array.fill(d)(1.0)
-    basis.foreach { b =>
-      val p = dot(u, b); u.indices.foreach(i => u(i) -= p * b(i))
-    }
-    val n = math.sqrt(dot(u, u))
-    u.map(x => (x / n).toFloat)
-  }
-
-  /** The drifted ingest batch: u + 0.1·(corpus vector) — a tight cluster
-    * (pairwise cos ≈ 0.99) whose fit to the frozen quantizer is ≤ ~0.1
-    * by orthogonality. Ids offset past the corpus. */
-  private def driftedDelta(dir: String): DataFrame = {
-    val u = orthoDirection(dir)
-    val uCol = typedLit(u.toSeq)
-    inDelta.select(
-      (col("vec_id") + lit(10000000L)).as("vec_id"),
-      zip_with(uCol, col("embedding"), (a, b) => a + lit(0.1f) * b)
-        .as("embedding"),
-      col("label"))
-  }
+  /** The drifted ingest batch — shared synthesis in
+    * [[IndexDriftFixture]] (Gram–Schmidt orthogonal tight cluster). */
+  private def driftedDelta(dir: String): DataFrame =
+    IndexDriftFixture.driftedDelta(spark, dir, inDelta)
 
   private def healthRow(delta: DataFrame, dir: String): Row =
     Similarity.ivfIndexHealth(delta, dir, maxCellSize = 64).head()

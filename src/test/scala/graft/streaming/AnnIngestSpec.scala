@@ -44,7 +44,7 @@ class AnnIngestSpec extends SparkSpec {
       .sorted.toSeq
 
   private def indexState(idx: String): Seq[(Long, Int, Long)] =
-    spark.read.parquet(s"$idx/cells")
+    spark.read.parquet(s"${Similarity.indexRoot(idx)}/cells")
       .select(col("vec_id"), col("cell"), col("_batch_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .sorted.toSeq
@@ -104,5 +104,103 @@ class AnnIngestSpec extends SparkSpec {
     q.awaitTermination()
     edgeState(edges) shouldBe cleanState._1
     indexState(idx) shouldBe cleanState._2
+  }
+
+  // ---- round 12 (VERDICT r11 #1): the gauge wired into the loop ----
+
+  /** Drifted second batch (orthogonal tight cluster) for the mid-stream
+    * rebuild scenarios; built against the fresh index's quantizer. */
+  private def driftedBatch(idx: String) =
+    graft.operators.IndexDriftFixture
+      .driftedDelta(spark, idx, batch1)
+      .select(col("vec_id"), col("embedding"))
+
+  private def genOf(idx: String): Long =
+    graft.operators.Similarity.currentGen(idx)
+
+  test("healthEvery wiring: a drifted batch trips the gauge mid-stream, " +
+      "the index rebuilds (generation swap), ingest continues, and the " +
+      "final edge set is deterministic") {
+    def runIngest(): (String, Seq[(Int, Long, Int, Long, Double)],
+        Seq[(Long, Int, Long)]) = {
+      val (idx, edges) = freshIndex()
+      val sh = driftedBatch(idx)
+      // in-distribution batch: gauge consulted (healthEvery = 1), must
+      // NOT fire — no generation swap
+      AnnIngest.processBatch(batch0, 0L, idx, edges,
+        k = 3, nProbe = 3, maxCellSize = 16, healthEvery = 1)
+      genOf(idx) shouldBe -1L
+      AnnIngest.processBatch(sh, 1L, idx, edges,
+        k = 3, nProbe = 3, maxCellSize = 16, healthEvery = 1)
+      // the drifted batch fired the verdict: a new generation is live
+      genOf(idx) shouldBe 0L
+      // ingest continues against the rebuilt index
+      val batch2 = emb.where(col("vec_id") % 10 === 1)
+        .select(col("vec_id"), col("embedding"))
+      AnnIngest.processBatch(batch2, 2L, idx, edges,
+        k = 3, nProbe = 3, maxCellSize = 16, healthEvery = 1)
+      (idx, edgeState(edges), indexState(idx))
+    }
+    val (idxA, edgesA, cellsA) = runIngest()
+    val (_, edgesB, cellsB) = runIngest()
+    edgesA shouldBe edgesB
+    cellsA shouldBe cellsB
+    // batch 0 (healthEvery = 1, in-distribution) did not rebuild; only
+    // the drifted batch did — exactly one generation exists
+    new java.io.File(idxA).listFiles().map(_.getName)
+      .count(_.startsWith("gen_")) shouldBe 1
+  }
+
+  test("replay of the rebuild batch from any crash point converges: " +
+      "crash before fold (post-rebuild) and already-folded replay both " +
+      "reach the clean state") {
+    def clean(): (Seq[(Int, Long, Int, Long, Double)], Seq[(Long, Int, Long)],
+        String, String, org.apache.spark.sql.DataFrame) = {
+      val (idx, edges) = freshIndex()
+      val sh = driftedBatch(idx).persist()
+      proc(batch0, 0L, idx, edges)
+      AnnIngest.processBatch(sh, 1L, idx, edges,
+        k = 3, nProbe = 3, maxCellSize = 16, healthEvery = 1)
+      (edgeState(edges), indexState(idx), idx, edges, sh)
+    }
+    val (cleanEdges, cleanCells, _, _, _) = clean()
+
+    // crash between edge write and fold: the rebuild already swapped;
+    // the replay re-checks the gauge against the REBUILT index and
+    // converges regardless of whether it fires again
+    {
+      val (idx, edges) = freshIndex()
+      val sh = driftedBatch(idx).persist()
+      proc(batch0, 0L, idx, edges)
+      intercept[RuntimeException] {
+        AnnIngest.processBatch(sh, 1L, idx, edges,
+          k = 3, nProbe = 3, maxCellSize = 16, healthEvery = 1,
+          afterEdges = () => throw new RuntimeException("boom-before-fold"))
+      }.getMessage shouldBe "boom-before-fold"
+      genOf(idx) should be >= 0L // the rebuild had already swapped
+      AnnIngest.processBatch(sh, 1L, idx, edges,
+        k = 3, nProbe = 3, maxCellSize = 16, healthEvery = 1)
+      edgeState(edges) shouldBe cleanEdges
+      indexState(idx) shouldBe cleanCells
+      sh.unpersist()
+    }
+
+    // already-folded replay (crash after fold, before checkpoint
+    // commit): the health check is SKIPPED, the edges recompute against
+    // the generation the crashed attempt used — a fixed point
+    {
+      val (idx, edges) = freshIndex()
+      val sh = driftedBatch(idx).persist()
+      proc(batch0, 0L, idx, edges)
+      AnnIngest.processBatch(sh, 1L, idx, edges,
+        k = 3, nProbe = 3, maxCellSize = 16, healthEvery = 1)
+      val genAfter = genOf(idx)
+      AnnIngest.processBatch(sh, 1L, idx, edges, // the replay
+        k = 3, nProbe = 3, maxCellSize = 16, healthEvery = 1)
+      genOf(idx) shouldBe genAfter // skipped check: no second rebuild
+      edgeState(edges) shouldBe cleanEdges
+      indexState(idx) shouldBe cleanCells
+      sh.unpersist()
+    }
   }
 }
