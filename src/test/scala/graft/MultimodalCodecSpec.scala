@@ -174,4 +174,33 @@ class MultimodalCodecSpec extends SparkSpec {
     rows.count(_.brightness >= 0.0) shouldBe 2 // neither hits the cap
     rows.count(_.width == 0) shouldBe 1        // corrupt row degraded
   }
+
+  test("grayPng8x8 write→decode roundtrip is exact per payload: the " +
+      "decoded luminance grid equals Rec.601 of the source bytes " +
+      "(the image_png_phash contract)") {
+    def expectedLuma(payload: Array[Byte]): Array[Byte] = {
+      val n = payload.length
+      (0 until 64).map { j =>
+        val v = if (n == 0) 0 else payload(j % n) & 0xff
+        // the codec's own arithmetic order: Rec.601 sum then truncate
+        (0.299 * v + 0.587 * v + 0.114 * v).toInt.toByte
+      }.toArray
+    }
+    val payloads = Seq(
+      "the quick brown fox".getBytes("UTF-8"),
+      Array.tabulate(200)(i => ((i * 37 + 5) % 256).toByte),
+      Array[Byte](0, -1, 127, -128), // full signed-byte range
+      Array.emptyByteArray)
+    payloads.foreach { p =>
+      val png = ImageIoCodec.grayPng8x8(p)
+      // a genuine PNG container: magic bytes + decodable header
+      png.take(4) shouldBe Array(0x89.toByte, 'P'.toByte, 'N'.toByte,
+        'G'.toByte)
+      val dec = ImageIoCodec.decode(MediaRecord(9L, png))
+      dec.width shouldBe 8
+      dec.height shouldBe 8
+      ImageIoCodec.lumaGrid64(MediaRecord(9L, png)).toSeq shouldBe
+        expectedLuma(p).toSeq
+    }
+  }
 }

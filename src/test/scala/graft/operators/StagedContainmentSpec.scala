@@ -32,6 +32,30 @@ class StagedContainmentSpec extends SparkSpec {
     }
   }
 
+  test("derived pass count (passes = 0): B from the candidate mass and " +
+      "scratch budget; derived-B results == hand-B == single-pass") {
+    val (sh, _, prefix) = Dedup.containmentPrefixStaging(
+      docs, "doc_id", "text", k = 3, threshold = 0.5, maxShingleDf = 100)
+    // exact mass: B scales as ceil(mass·bytes/budget) and floors at 1
+    val mass = prefix.groupBy(col("sk")).agg(count(lit(1)).as("np"))
+      .join(sh.groupBy(col("sk")).agg(count(lit(1)).as("ns")), Seq("sk"))
+      .agg(sum(col("np") * col("ns"))).head().getLong(0)
+    mass should be > 0L
+    // a roomy budget collapses to the single-pass plan
+    Dedup.deriveContainmentPasses(prefix, sh, 1L << 40) shouldBe 1
+    // a budget sized to a third of the mass's bytes forces a 3-way split
+    val third = math.max(1L, (mass * 48.0 / 3).toLong)
+    val b3 = Dedup.deriveContainmentPasses(prefix, sh, third)
+    b3 should (be >= 3 and be <= 4) // ceil rounding
+    // and the DERIVED plan is row-identical to hand-set and single-pass
+    val single = rows(Dedup.containmentPairsPrefix(
+      docs, "doc_id", "text", k = 3, threshold = 0.5, maxShingleDf = 100))
+    val derived = rows(Dedup.containmentPairsPrefixStaged(
+      docs, "doc_id", "text", k = 3, threshold = 0.5,
+      maxShingleDf = 100, passes = 0, scratchBudgetBytes = third))
+    derived shouldBe single
+  }
+
   test("each band emits a subset; every single-pass pair appears in " +
       "some band; bands genuinely split the candidate work") {
     val passes = 4
