@@ -1348,6 +1348,71 @@ object EmbedQueries {
       // bench-rotated IN round 10 (three graph builds per run)
       bench = true),
 
+    // ---- nPROBE axis of the ANN eval family (round 12, VERDICT r11
+    //      #8): index / dimension / quantization / cap axes are
+    //      certified; this row closes the remaining tuning knob a
+    //      100 TB IVF deployment sweeps — recall@3 vs nProbe ∈
+    //      {1,2,4,8} at the pinned quantizer, sampled queries (the
+    //      cap_eval_sampled recipe: probe restriction makes the truth
+    //      side cost ∝ sample, not corpus). Truth = nProbe = nCells
+    //      uncapped — probing EVERY cell is the exact in-cell
+    //      baseline, so recall is against the true top-3, not another
+    //      approximation. All five graphs share one staged corpus
+    //      assignment and one centroid sample; exact-int hit counts,
+    //      IEEE recall ratio. ----
+    QueryDef("ann_nprobe_eval_sampled",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qids = graft.operators.Curation
+          .exactKSample(emb, col("vec_id"), 32, 94L).select(col("vec_id"))
+        val cm = Similarity.sampleCentroids(
+          emb, "vec_id", "embedding", nCells = 16, seed = 42L, refineIters = 0)
+        def graph(nProbe: Int) = Similarity.knnJoinIvfWithCentroids(
+            emb, cm, k = 3, nProbe = nProbe, maxCellSize = 0,
+            probeIds = Some(qids))
+          .select(col("qid"), col("neighbor_id"))
+        val exact = graph(16).stageShare()
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val perProbe = Seq(1, 2, 4, 8).map { np =>
+          val probed = graph(np).stageShare()
+          val nc = probed.agg(count(lit(1)).as("n_probed"))
+          val nh = probed.join(exact, Seq("qid", "neighbor_id"))
+            .agg(count(lit(1)).as("n_hit"))
+          ne.crossJoin(nc).crossJoin(nh)
+            .select(lit(np.toLong).as("n_probe"),
+              col("n_exact"), col("n_probed"), col("n_hit"),
+              (col("n_hit").cast("double") / col("n_exact").cast("double"))
+                .as("recall_at_3"))
+        }
+        perProbe.reduce(_ unionByName _).orderBy(col("n_probe"))
+      },
+      oracle = Some {
+        val qs = """(SELECT vec_id, embedding FROM embeddings
+                    |    ORDER BY (vec_id * 2654435761 + 94) % 4294967296, vec_id
+                    |    LIMIT 32)""".stripMargin
+        val probeCtes = Seq(1, 2, 4, 8, 16).map(np =>
+          knnJoinCtes(k = 3, nProbe = np, maxCellSize = 1000000,
+            p = s"p${np}_", querySrc = qs)).mkString(",\n")
+        val graphs = Seq(1, 2, 4, 8, 16).map(np =>
+          s"g$np AS (SELECT qid, neighbor_id FROM p${np}_ranked WHERE rank <= 3)")
+          .mkString(",\n")
+        val rows = Seq(1, 2, 4, 8).map(np =>
+          s"""  SELECT CAST($np AS BIGINT) AS n_probe,
+             |    (SELECT COUNT(*) FROM g16) AS n_exact,
+             |    (SELECT COUNT(*) FROM g$np) AS n_probed,
+             |    (SELECT COUNT(*) FROM g$np JOIN g16 USING (qid, neighbor_id)) AS n_hit""".stripMargin)
+          .mkString("\n  UNION ALL\n")
+        s"""WITH $probeCtes,
+           |$graphs,
+           |m AS (
+           |$rows
+           |)
+           |SELECT n_probe, n_exact, n_probed, n_hit,
+           |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_at_3
+           |FROM m ORDER BY n_probe""".stripMargin
+      },
+      bench = false),
+
     // ---- mutual-kNN clustering (the corpus-map recipe): kNN graph →
     // keep only MUTUAL edges (a ∈ knn(b) ∧ b ∈ knn(a) — the standard
     // symmetrization that kills hub-induced chains) → connected
