@@ -64,7 +64,12 @@ object SparkEntry {
     // second r8 trim: the sf0.1 line measured 1805 chars with the two
     // new heavy ops in — three flat joins (r5–r7 history, 0.3–0.5 s
     // steady) restore ~100 chars of margin
-    "join_sort_merge_large", "join_anti_not_exists", "join_semi_exists")
+    "join_sort_merge_large", "join_anti_not_exists", "join_semi_exists",
+    // round-12 out-rotation (VERDICT r11 #5): four flat 0.3–0.4 s rows
+    // with identical r9–r11 history make room for the r11/r12 rows
+    // that need recorded sf0.1 gates
+    "dedup_embedding_exact", "em_suffstats_udaf", "embed_quantize",
+    "multimodal_frame_sample")
   private val benchRotatedIn: Set[String] = Set(
     "dedup_clusters_star", "dedup_pipeline", "dedup_semantic",
     "dedup_span_suffix", "graph_pagerank", "embed_kmeans", "embed_pca_power",
@@ -82,7 +87,11 @@ object SparkEntry {
     "ann_knn_join", "embed_mutual_knn_clusters",
     // round-9 in-rotation (VERDICT r8 #3): the r8 heavy dedup rows with
     // no recorded sf0.1 sweep number yet
-    "dedup_multi_signal", "dedup_lsh_eval", "dedup_containment")
+    "dedup_multi_signal", "dedup_lsh_eval", "dedup_containment",
+    // round-12 in-rotation (VERDICT r11 #5): the r11 catalog rows with
+    // oracle rows but no bench history (cross-modal is a heavy ensemble
+    // — it needs a gate) plus the r12 index-rebuild lifecycle row
+    "dedup_cross_modal", "stream_ann_ingest", "ann_index_rebuild")
 
   /** Headline benchmark subset (graft.Bench). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
