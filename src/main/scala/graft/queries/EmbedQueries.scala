@@ -1160,11 +1160,17 @@ object EmbedQueries {
 
     // ---- INDEX REBUILD (VERDICT r11 #1 — act on the gauge): the full
     //      lifecycle in one certified row. Base index on the 80% "old"
-    //      corpus; a DRIFTED increment (the 20% with every vector
-    //      NEGATED — worst-case new content, its fit at the frozen
-    //      quantizer is the corpus fit mirrored) is folded in; the
-    //      health gauge must fire rebuild_due_drift (an in-row require —
-    //      a silent non-trip would certify the wrong scenario); then
+    //      corpus; the increment is a HOT-CONTENT BURST — every delta
+    //      row carries the SAME vector (the corpus row vec_id = 1), the
+    //      crawl-burst-of-identical-content scenario. Folded at frozen
+    //      centroids the burst piles into ONE cell, driving cell_skew
+    //      toward 16f + (1−f) = 4.0 at f = 0.2 REGARDLESS of corpus
+    //      size (the scale-robust trigger; a distribution-shift trip
+    //      needs centroid-orthogonal synthesis — Gram–Schmidt, not
+    //      SQL-expressible — so the specs own that scenario:
+    //      IndexRebuildSpec/AnnIngestSpec). The gauge must fire
+    //      rebuild_due_balance at skewThreshold 3.0 (an in-row require
+    //      — a silent non-trip would certify the wrong scenario); then
     //      rebuildIvfIndex re-trains the quantizer over everything the
     //      index holds and ATOMICALLY swaps the generation live. Output
     //      = post-rebuild top-3 edges for a query sample served through
@@ -1174,21 +1180,24 @@ object EmbedQueries {
     //      index is indistinguishable from a from-scratch build at the
     //      re-trained quantizer (the IndexHealthSpec recall-recovery
     //      assertion promoted to an operator, certified end-to-end).
+    //      Identical-vector ties (cos = 1.0) resolve by the pinned
+    //      (cos DESC, neighbor_id ASC) order in BOTH engines.
     //      Crash-during-swap atomicity is spec-pinned (IndexRebuildSpec).
     QueryDef("ann_index_rebuild",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val old = emb.where(col("vec_id") % 5 =!= 0)
-        val delta = emb.where(col("vec_id") % 5 === 0)
-          .select(col("vec_id"),
-            transform(col("embedding"), x => -x).as("embedding"))
+        val hot = broadcast(emb.where(col("vec_id") === 1)
+          .select(col("embedding").as("hot_vec")))
+        val delta = emb.where(col("vec_id") % 5 === 0).crossJoin(hot)
+          .select(col("vec_id"), col("hot_vec").as("embedding"))
         val dir = graft.util.Scratch.dir("graft_ivfrebuild_")
         Similarity.writeIvfIndex(old, dir, nCells = 16, seed = 42L)
         Similarity.appendIvfDelta(delta, dir)
         val verdict = Similarity.ivfIndexHealth(delta, dir,
-          maxCellSize = 64).head()
-        require(verdict.getAs[Boolean]("rebuild_due_drift"),
-          "drifted delta must trip the rebuild gauge")
+          maxCellSize = 64, skewThreshold = 3.0).head()
+        require(verdict.getAs[Boolean]("rebuild_due_balance"),
+          "hot-content burst must trip the balance gauge")
         Similarity.rebuildIvfIndex(s, dir, seed = 42L)
         val sample = old.select(col("vec_id"), col("embedding"))
           .unionByName(delta).where(col("vec_id") % 7 === 0)
@@ -1200,8 +1209,10 @@ object EmbedQueries {
         s"""WITH u AS MATERIALIZED (
            |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
            |  UNION ALL
-           |  SELECT vec_id, list_transform(embedding, x -> -x) AS embedding
-           |  FROM embeddings WHERE vec_id % 5 = 0
+           |  SELECT e.vec_id, h.embedding
+           |  FROM embeddings e
+           |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 1) h
+           |  WHERE e.vec_id % 5 = 0
            |),
            |${knnJoinCtes(k = 3, nProbe = 4, maxCellSize = 64,
              centSrc = "u", corpusSrc = "u",
