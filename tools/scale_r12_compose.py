@@ -63,6 +63,17 @@ for slice_name, label in [("sf0.1", "sf0.1"), ("scale10x", "x10"),
                 "median": reps["queries"][q]["median"]}
 if decades:
     out["r12_rows_decades"] = decades
+    out["r12_rows_decades_note"] = (
+        "sf0.1 medians from the pooled REPS_r12 sessions where present; "
+        "x10/x100 medians are 3-rep (rep 1 = JVM warm-up, excluded by "
+        "the median). ann_index_rebuild and ann_nprobe_eval_sampled are "
+        "sublinear (stage-dominated); image_png_phash is LINEAR in docs "
+        "(~15.7 ms-core/doc: javax.imageio encode+decode per row - the "
+        "honest real-codec cost; one fused mapPartitions boundary, no "
+        "shuffle, so at cluster scale it is embarrassingly parallel). "
+        "All three rows are DuckDB-oracle OK-exact at the x10 slice "
+        "(verify_local, SF_DIR=target/scale10x) and twin hash-exact at "
+        "x100.")
 
 json.dump(out, open("SCALE_R12OPS.json", "w"), indent=1)
 print(json.dumps(out, indent=1)[:1500])
