@@ -381,9 +381,12 @@ object Dedup {
   def exactJaccardPairsBlockedStaged(
       staged: DataFrame, threshold: Double,
       maxShingleDf: Int): DataFrame = {
+    // the exploded hashed-key table feeds THREE consumers (df count,
+    // block self-join, per-doc verify arrays) — share its one explode
     val ex = staged
       .select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
+      .stageShare()
     val rare = ex.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDf)
@@ -393,13 +396,42 @@ object Dedup {
       .join(blocked.select(col("h"), col("id").as("b")), Seq("h"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val sh = staged.select(col("id"), col("sh"))
+    verifyJaccardPairs(pairs, ex, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (a, b) pairs from the
+    * exploded hashed-shingle table `ex` (id, h): per-doc SORTED
+    * 8-byte-key arrays instead of the raw shingle strings (round 12 —
+    * the containmentVerify representation applied to the Jaccard
+    * verifiers). |A∩B| via array_intersect on the key arrays equals the
+    * string-array intersect under the same accepted 64-bit-collision
+    * odds as the block join itself, |A∪B| = n_a + n_b − |A∩B| without
+    * materializing a union array, and the verify joins carry ~8·|sh|
+    * bytes per doc instead of the strings. A LENGTH prefilter
+    * (min/max ≥ t, with 1e-9 slack for the IEEE division) drops pairs
+    * that cannot reach the threshold before any intersection runs —
+    * J ≤ min(n_a,n_b)/max(n_a,n_b), so nothing qualifying is pruned.
+    * The doc-keyed array table is BROADCAST both sides (the
+    * containmentVerify rule: pair rows stream through map-side probes
+    * and never carry arrays across an exchange; beyond broadcastable
+    * corpora the same shape is a bucketed co-partitioned join). */
+  private def verifyJaccardPairs(pairs: DataFrame, ex: DataFrame,
+      threshold: Double): DataFrame = {
+    val arr = ex.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("ska"),
+        count(lit(1)).as("n"))
+    def side(nm: String) = broadcast(arr.select(col("id").as(nm),
+      col("ska").as(s"ska_$nm"), col("n").as(s"n_$nm")))
     pairs
-      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .join(side("a"), Seq("a"))
+      .join(side("b"), Seq("b"))
+      .where(least(col("n_a"), col("n_b")).cast("double") /
+        greatest(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) - lit(1e-9))
+      .withColumn("shared",
+        size(array_intersect(col("ska_a"), col("ska_b"))).cast("long"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -439,6 +471,7 @@ object Dedup {
     val ex = staged
       .select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
+      .stageShare()
     val rare = ex.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDf)
@@ -450,15 +483,7 @@ object Dedup {
       .join(blocked.select(col("h"), col("id").as("b")), Seq("h"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val sh = staged.select(col("id"), col("sh"))
-    pairs
-      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    verifyJaccardPairs(pairs, ex, threshold)
   }
 
   /** Asymmetric shingle CONTAINMENT pairs: C(A→B) = |sh(A)∩sh(B)| /
@@ -518,9 +543,9 @@ object Dedup {
     * downstream, small shuffle bytes). */
   def containmentPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Long = 100): DataFrame =
+      maxShingleDf: Long = 100, broadcastArr: Boolean = false): DataFrame =
     containmentPairsPrefixBand(docs, idCol, textCol, k, threshold,
-      maxShingleDf, band = 0, passes = 1)
+      maxShingleDf, band = 0, passes = 1, broadcastArr = broadcastArr)
 
   /** One BAND-PASS of [[containmentPairsPrefix]]: the candidate join is
     * restricted to prefix-shingle keys with pmod(sk, passes) == band —
@@ -541,7 +566,8 @@ object Dedup {
     * union of all bands' candidates. */
   def containmentPairsPrefixBand(docs: DataFrame, idCol: String,
       textCol: String, k: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Long = 100, band: Int = 0, passes: Int = 1): DataFrame = {
+      maxShingleDf: Long = 100, band: Int = 0, passes: Int = 1,
+      broadcastArr: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(passes >= 1 && band >= 0 && band < passes,
@@ -549,7 +575,7 @@ object Dedup {
     val (sh, arr, prefix) = containmentPrefixStaging(
       docs, idCol, textCol, k, threshold, maxShingleDf)
     val cand = containmentCandidatesBand(prefix, sh, band, passes)
-    containmentVerify(cand, arr, threshold)
+    containmentVerify(cand, arr, threshold, broadcastArr = broadcastArr)
   }
 
   /** The staging frames every prefix-containment path shares:
@@ -639,6 +665,12 @@ object Dedup {
     cand
       .join(side("a"), Seq("a"))
       .join(side("b"), Seq("b"))
+      // LENGTH prefilter (round 12): C(A→B) = shared/n_a ≥ t forces
+      // n_b ≥ shared ≥ t·n_a, so pairs with n_b/n_a below the threshold
+      // (1e-9 slack for the IEEE division) cannot qualify and skip the
+      // array intersection entirely — a pure prune, result-identical
+      .where(col("n_b").cast("double") / col("n_a").cast("double") >=
+        lit(threshold) - lit(1e-9))
       .withColumn("shared",
         size(array_intersect(col("ska_a"), col("ska_b"))).cast("long"))
       .withColumn("containment", col("shared") / col("n_a"))

@@ -598,21 +598,26 @@ object DocQueries {
     //      buckets / rare-shingle blocks — never corpus-quadratic);
     //      the metric joins run on pair keys, counts are exact ints,
     //      ratios pure IEEE division — bit-identical cross-engine.
-    //      Truth re-stages shingles rather than sharing the LSH stage:
-    //      an eval runs once per config sweep, and the two stages'
-    //      lifetimes differ (the LSH stage persists into production). ----
+    //      Truth SHARES the LSH stage's (id, sh) frame (round 12; the
+    //      sampled row always did): shingling the corpus twice bought
+    //      no isolation — the shingle arrays are identical by
+    //      construction — and cost a full extra tokenize pass. ----
     QueryDef("dedup_lsh_eval",
       (s, d) => {
         val docs = Tables.documents(s, d)
         // both frames feed two consumers (their count agg + the hit
         // join); without the shares each whole pipeline plans and runs
         // twice — at the 100x slice that doubled an ~40 s computation
-        val (_, cand0) = Dedup.md5StagedAndCandidates(
+        val (staged, cand0) = Dedup.md5StagedAndCandidates(
           docs, "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
         val cand = cand0.stageShare()
-        val truth = Dedup.exactJaccardPairsBlocked(
-          docs, "doc_id", "text", shingleK = 3, threshold = 0.5,
-          maxShingleDf = 20).select(col("a"), col("b")).stageShare()
+        // truth shares the candidate side's staged (id, sh) frame (round
+        // 12): the corpus is tokenized+shingled ONCE — at 100 TB the
+        // standalone form's second tokenize pass is a full extra corpus
+        // scan, and the oracle shares its sh CTE the same way
+        val truth = Dedup.exactJaccardPairsBlockedStaged(
+          staged, threshold = 0.5, maxShingleDf = 20)
+          .select(col("a"), col("b")).stageShare()
         val nc = cand.agg(count(lit(1)).as("n_cand"))
         val nt = truth.agg(count(lit(1)).as("n_true"))
         val nh = cand.join(truth, Seq("a", "b"))
@@ -1033,7 +1038,7 @@ object DocQueries {
         // Σdf² term was the whole super-linear cost of the ensemble at
         // the 10× slice (103 s → see NOTES)
         val cont = Dedup.containmentPairsPrefix(docs, "doc_id", "text",
-            k = 3, threshold = 0.9, maxShingleDf = 100)
+            k = 3, threshold = 0.9, maxShingleDf = 100, broadcastArr = true)
           .select(least(col("a"), col("b")).as("a"),
             greatest(col("a"), col("b")).as("b"))
         val edges = jac.unionByName(cont).distinct()
@@ -2012,8 +2017,13 @@ object DocQueries {
         // containmentPairs ≥ 0.5; the Σdf² pair explosion collapses to
         // Σ(df_prefix·df) + one array-verify per candidate (multi-signal
         // measured −84% at the 10× slice from this switch)
+        // broadcastArr: the campaign/staged setting (pair rows stream
+        // through map-side array probes, no pair exchange) — right for
+        // every corpus whose doc→array table fits a broadcast; beyond
+        // that the staged path's bucketed form applies (see
+        // containmentVerify)
         Dedup.containmentPairsPrefix(Tables.documents(s, d), "doc_id", "text",
-            k = 3, threshold = 0.5, maxShingleDf = 100)
+            k = 3, threshold = 0.5, maxShingleDf = 100, broadcastArr = true)
           .orderBy(col("containment").desc, col("a"), col("b"))
           .limit(50)
           .select(col("a"), col("b"), col("shared"), col("n_a"), col("n_b"),
