@@ -337,15 +337,22 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val (staged, cand) =
       md5StagedAndCandidates(docs, idCol, textCol, shingleK, numHashes, bands)
-    val sh = staged.select(col("id"), col("sh"))
-    cand
-      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    verifyNearDupCandidates(staged, cand, threshold)
+  }
+
+  /** Exact-Jaccard verification of LSH candidate pairs against a
+    * [[md5StagedAndCandidates]] staged `(id, sh)` frame — the md5
+    * family's verify step, exposed so ensemble queries that already
+    * hold the staged frame (multi-signal, cross-modal) can share ONE
+    * corpus shingling across their signals. Runs on per-doc sorted
+    * hashed-key arrays (see [[verifyJaccardPairs]]); value-identical
+    * to the string-array intersect under the accepted 64-bit-collision
+    * odds. */
+  def verifyNearDupCandidates(staged: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val ex = staged.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    verifyJaccardPairs(cand, ex, threshold)
   }
 
   /** EXACT Jaccard near-dup pairs via inverted-index blocking: every
@@ -547,6 +554,26 @@ object Dedup {
     containmentPairsPrefixBand(docs, idCol, textCol, k, threshold,
       maxShingleDf, band = 0, passes = 1, broadcastArr = broadcastArr)
 
+  /** [[containmentPairsPrefix]] over a PRE-STAGED `(id, sh)` shingle
+    * frame (a [[md5StagedAndCandidates]] staged output) — the ensemble
+    * form: multi-signal dedup runs a Jaccard signal and a containment
+    * signal over the SAME word shingles, so the corpus is tokenized and
+    * shingled once and both signals derive from the shared stage (at
+    * 100 TB the standalone form's second tokenize pass is a full extra
+    * corpus scan — the dedup_lsh_eval rule applied to the ensemble). */
+  def containmentPairsPrefixShared(staged: DataFrame,
+      threshold: Double, maxShingleDf: Long,
+      broadcastArr: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val (sh, arr, prefix) = containmentPrefixStagingFromKeys(
+      staged.select(col("id").as("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("sk")),
+      threshold, maxShingleDf)
+    val cand = containmentCandidatesBand(prefix, sh, band = 0, passes = 1)
+    containmentVerify(cand, arr, threshold, broadcastArr = broadcastArr)
+  }
+
   /** One BAND-PASS of [[containmentPairsPrefix]]: the candidate join is
     * restricted to prefix-shingle keys with pmod(sk, passes) == band —
     * the scratch-bounding decomposition for corpora whose single-pass
@@ -588,11 +615,21 @@ object Dedup {
   private[graft] def containmentPrefixStaging(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double, maxShingleDf: Long)
+      : (DataFrame, DataFrame, DataFrame) =
+    containmentPrefixStagingFromKeys(
+      docs.select(col(idCol).as("doc_id"),
+          explode(TextAnalysis.wordShingles(col(textCol), k)).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("sk")),
+      threshold, maxShingleDf)
+
+  /** [[containmentPrefixStaging]] from an exploded hashed-shingle table
+    * `(doc_id, sk)` — the entry point for callers that already hold a
+    * staged `(id, sh)` frame (an ensemble sharing one corpus shingling
+    * across its signals, see [[containmentPairsPrefixShared]]). */
+  private[graft] def containmentPrefixStagingFromKeys(
+      shk0: DataFrame, threshold: Double, maxShingleDf: Long)
       : (DataFrame, DataFrame, DataFrame) = {
-    val shk = docs.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.wordShingles(col(textCol), k)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("sk"))
-      .stageShare()
+    val shk = shk0.stageShare()
     val hot = shk.groupBy(col("sk"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") > maxShingleDf).select(col("sk"))

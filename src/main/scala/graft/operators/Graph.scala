@@ -48,12 +48,25 @@ object Graph {
     * `(node, rank)` at full double precision — present through
     * [[Det.fixed]] when feeding an oracle hash.
     */
+  /** @param broadcastNodesMax broadcast the per-iteration rank table
+    *        into the edge join when the graph has at most this many
+    *        nodes (the deliberate join-strategy pick of guide §3.1: a
+    *        rank row is 16 bytes, so the default caps the broadcast at
+    *        ~64 MB payload). Under the cap each iteration's edges⋈ranks
+    *        is a map-side probe of the staged edge table — no shuffle
+    *        or sort of either side — leaving the dst aggregation as the
+    *        iteration's one exchange. Past the cap the join falls back
+    *        to the shuffle path unchanged (ranks — the small side —
+    *        moves; the staged edge partitioning reuses). Ranks are
+    *        integerized before the exact BIGINT sum, so the result is
+    *        bit-identical under either strategy. */
   def pageRank(
       edges: DataFrame,
       iters: Int,
       damping: Double = 0.85,
       jump: Double = 0.15,
-      contribScale: Int = 12): DataFrame = {
+      contribScale: Int = 12,
+      broadcastNodesMax: Long = 4000000L): DataFrame = {
     val unit = math.pow(10.0, contribScale.toDouble) // exactly 10^k for k<=15
     // Stage the INPUT edge derivation once: deg, outE and nodes all read
     // the staged frame, so an upstream scan+distinct pipeline (e.g. the
@@ -73,8 +86,10 @@ object Graph {
     var ranks = nodes
       .select(col("node"), (lit(1.0) / lit(n.toDouble)).as("rank"))
     for (i <- 1 to iters) {
+      val ranksSrc = ranks.withColumnRenamed("node", "src")
       val contrib = outE
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(if (n <= broadcastNodesMax) broadcast(ranksSrc) else ranksSrc,
+          Seq("src"))
         .select(col("dst").as("node"),
           Det.toFixed(col("rank") / col("outdeg"), contribScale).as("c"))
         // a zero contribution per node rides the SAME groupBy shuffle —

@@ -1030,15 +1030,20 @@ object DocQueries {
     QueryDef("dedup_multi_signal",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val jac = Dedup.nearDuplicatePairsMd5(docs, "doc_id", "text",
-          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+        // ONE corpus shingling feeds BOTH signals (round 12): the
+        // Jaccard and containment passes run over identical word
+        // shingles, so the LSH front-end's staged (id, sh) frame is
+        // shared instead of re-tokenizing the corpus per signal
+        val (staged, cand) = Dedup.md5StagedAndCandidates(
+          docs, "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
+        val jac = Dedup.verifyNearDupCandidates(staged, cand, threshold = 0.5)
           .select(col("a"), col("b"))
         // prefix-filtered containment: EXACTLY containmentPairs ≥ 0.9
         // (spec-proven equal) at a fraction of the pair-join work — the
         // Σdf² term was the whole super-linear cost of the ensemble at
         // the 10× slice (103 s → see NOTES)
-        val cont = Dedup.containmentPairsPrefix(docs, "doc_id", "text",
-            k = 3, threshold = 0.9, maxShingleDf = 100, broadcastArr = true)
+        val cont = Dedup.containmentPairsPrefixShared(staged,
+            threshold = 0.9, maxShingleDf = 100, broadcastArr = true)
           .select(least(col("a"), col("b")).as("a"),
             greatest(col("a"), col("b")).as("b"))
         val edges = jac.unionByName(cont).distinct()

@@ -32,6 +32,19 @@ class StagedContainmentSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairsPrefixShared over the md5-LSH staged (id, sh) " +
+      "frame == the standalone containmentPairsPrefix (round-12 " +
+      "ensemble stage sharing)") {
+    val single = rows(Dedup.containmentPairsPrefix(
+      docs, "doc_id", "text", k = 3, threshold = 0.5, maxShingleDf = 100))
+    single should not be empty
+    val (staged, _) = Dedup.md5StagedAndCandidates(
+      docs, "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
+    val shared = rows(Dedup.containmentPairsPrefixShared(
+      staged, threshold = 0.5, maxShingleDf = 100, broadcastArr = true))
+    shared shouldBe single
+  }
+
   test("derived pass count (passes = 0): B from the candidate mass and " +
       "scratch budget; derived-B results == hand-B == single-pass") {
     val (sh, _, prefix) = Dedup.containmentPrefixStaging(
