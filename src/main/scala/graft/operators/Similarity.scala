@@ -609,12 +609,34 @@ object Similarity {
     * hot-cell sub-split, candidate join and ranking, with the quantizer
     * supplied instead of trained. Batch ≡ incremental proofs run both
     * sides through here so only the data path differs. */
+  /** The corpus-assignment stage of [[knnJoinIvfWithCentroids]] —
+    * assignment cell + top-`nProbe` probe list in ONE codegen kernel
+    * pass, stage-checkpointed. Exposed so eval sweeps that build
+    * SEVERAL graphs over the same corpus and quantizer (the cap /
+    * nProbe axis rows) can assign the corpus ONCE and share the staged
+    * frame across variants: the top-n probe list is ordered
+    * (cos DESC, cell ASC), so any variant with a smaller nProbe reads
+    * its probes as a PREFIX slice of the shared list — bit-identical
+    * to re-running the kernel at the smaller n. */
+  def assignIvfCells(corpus: DataFrame, centMatrix: Array[Array[Float]],
+      nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val topCells = graft.functions.VectorExpressions
+      .topCellsByCos(col(vecCol), centMatrix, nProbe)
+    corpus
+      .select(col(idCol), col(vecCol), topCells.as("_tc"))
+      .select(col(idCol), col(vecCol), col("_tc").getItem(0).as("cell"),
+        col("_tc").as("probe_cells"))
+      .stageCheckpoint()
+  }
+
   def knnJoinIvfWithCentroids(
       corpus: DataFrame, centMatrix: Array[Array[Float]], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nProbe: Int = 4, seed: Long = 42L,
       roundTo: Int = 6, maxCellSize: Int = 4096,
-      probeIds: Option[DataFrame] = None): DataFrame = {
+      probeIds: Option[DataFrame] = None,
+      stagedCells: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && nProbe >= 1, "k, nProbe >= 1")
     require(maxCellSize >= 0, s"maxCellSize must be >= 0, got $maxCellSize")
     // corpus side: assignment cell + probe list in ONE codegen kernel
@@ -624,14 +646,13 @@ object Similarity {
     // row: the literal form built nCells separate cosine subtrees and
     // fell out of whole-stage codegen at the IVF scale sizing
     // nCells = ⌈√n⌉ (measured >150 s vs ~8 s per build at n=200k).
-    // Staged once — it feeds both the candidate table and the probe side.
-    val topCells = graft.functions.VectorExpressions
-      .topCellsByCos(col(vecCol), centMatrix, nProbe)
-    val cells0 = corpus
-      .select(col(idCol), col(vecCol), topCells.as("_tc"))
-      .select(col(idCol), col(vecCol), col("_tc").getItem(0).as("cell"),
-        col("_tc").as("probe_cells"))
-      .stageCheckpoint()
+    // Staged once — it feeds both the candidate table and the probe
+    // side. `stagedCells` (an [[assignIvfCells]] frame at nProbe' >=
+    // nProbe) substitutes the shared stage; the probe explode below
+    // slices the first nProbe entries, so a shared wider list is
+    // bit-identical to a fresh kernel pass at this nProbe.
+    val cells0 = stagedCells.getOrElse(
+      assignIvfCells(corpus, centMatrix, nProbe, idCol, vecCol))
     // hot-cell guard (the semanticDedup sub-split): per-cell counts are
     // quantizer-sized (≤ nCells rows) — broadcast them back, sub-split
     // oversized cells row-locally, and give every probe one hashed
@@ -669,7 +690,7 @@ object Similarity {
     }
     val probes0 = probeSrc
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-        explode(col("probe_cells")).as("cell"))
+        explode(slice(col("probe_cells"), 1, nProbe)).as("cell"))
     val probes =
       if (maxCellSize <= 0) probes0.withColumn("subcell", lit(0))
       else probes0.join(nsubs, Seq("cell"))

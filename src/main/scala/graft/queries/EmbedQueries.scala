@@ -1249,12 +1249,19 @@ object EmbedQueries {
     QueryDef("ann_knn_cap_eval",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val uncapped = Similarity.knnJoinIvf(emb, k = 3, maxCellSize = 0)
+        // ONE quantizer + ONE corpus assignment for the three cap
+        // variants (identical by construction: knnJoinIvf trains with
+        // the same corpus/seed on every call)
+        val cm = Similarity.sampleCentroids(
+          emb, "vec_id", "embedding", nCells = 16, seed = 42L, refineIters = 0)
+        val cellsStaged = Similarity.assignIvfCells(emb, cm, nProbe = 4)
+        def graph(cap: Int) = Similarity.knnJoinIvfWithCentroids(
+          emb, cm, k = 3, maxCellSize = cap, stagedCells = Some(cellsStaged))
+        val uncapped = graph(0)
           .select(col("qid"), col("neighbor_id")).stageShare()
         val nu = uncapped.agg(count(lit(1)).as("n_uncapped"))
         val perCap = Seq(8, 64).map { cap =>
-          val capped = Similarity
-            .knnJoinIvf(emb, k = 3, maxCellSize = cap)
+          val capped = graph(cap)
             .select(col("qid"), col("neighbor_id")).stageShare()
           val nc = capped.agg(count(lit(1)).as("n_capped"))
           val nh = capped.join(uncapped, Seq("qid", "neighbor_id"))
@@ -1310,8 +1317,12 @@ object EmbedQueries {
           .exactKSample(emb, col("vec_id"), 32, 93L).select(col("vec_id"))
         val cm = Similarity.sampleCentroids(
           emb, "vec_id", "embedding", nCells = 16, seed = 42L, refineIters = 0)
+        // ONE corpus assignment shared by the three cap variants (the
+        // caps differ only in their sub-split, derived downstream)
+        val cellsStaged = Similarity.assignIvfCells(emb, cm, nProbe = 4)
         def graph(cap: Int) = Similarity.knnJoinIvfWithCentroids(
-            emb, cm, k = 3, maxCellSize = cap, probeIds = Some(qids))
+            emb, cm, k = 3, maxCellSize = cap, probeIds = Some(qids),
+            stagedCells = Some(cellsStaged))
           .select(col("qid"), col("neighbor_id"))
         val uncapped = graph(0).stageShare()
         val nu = uncapped.agg(count(lit(1)).as("n_uncapped"))
@@ -1378,9 +1389,14 @@ object EmbedQueries {
           .exactKSample(emb, col("vec_id"), 32, 94L).select(col("vec_id"))
         val cm = Similarity.sampleCentroids(
           emb, "vec_id", "embedding", nCells = 16, seed = 42L, refineIters = 0)
+        // ONE corpus assignment at the WIDEST probe count (16 = every
+        // cell): each narrower variant reads its probes as a prefix
+        // slice of the shared top-16 list — bit-identical to a fresh
+        // kernel pass at its own nProbe (assignIvfCells doc)
+        val cellsStaged = Similarity.assignIvfCells(emb, cm, nProbe = 16)
         def graph(nProbe: Int) = Similarity.knnJoinIvfWithCentroids(
             emb, cm, k = 3, nProbe = nProbe, maxCellSize = 0,
-            probeIds = Some(qids))
+            probeIds = Some(qids), stagedCells = Some(cellsStaged))
           .select(col("qid"), col("neighbor_id"))
         val exact = graph(16).stageShare()
         val ne = exact.agg(count(lit(1)).as("n_exact"))
