@@ -113,13 +113,11 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val staged = stagedSignatures(docs, idCol, textCol, shingleK, numHashes)
     val pairs = candidatePairs(staged, numHashes, bands, maxBucketSize)
-    val sh = staged.select(col("id"), col("sh"))
-    pairs
-      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .withColumn("jaccard", TextAnalysis.jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    // hashed-key verify (round 12): same representation as the md5
+    // family — wordShingles is already distinct, so Jaccard over the
+    // xxhash64 key arrays equals the string-set Jaccard under the
+    // accepted collision odds
+    verifyNearDupCandidates(staged, pairs, threshold)
   }
 
   /** Write the per-document signature stage as a parquet table — the
