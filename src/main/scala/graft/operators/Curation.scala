@@ -296,10 +296,17 @@ object Curation {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val minsL = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // No mid-iteration distinct on ls (round 12): duplicates — node v
+      // reached through several edges of one min-cluster — leave minsS's
+      // min unchanged and collapse in ss's OWN distinct, so the early
+      // dedup bought nothing but an extra exchange + aggregate per
+      // iteration. Scale note: the ss distinct's map-side partial
+      // aggregate caps surviving duplicates at one per partition per
+      // (u, v), so a hot hub's degree never crosses the exchange.
       val ls = sym.join(minsL, Seq("u"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct()
+        .where(col("u") =!= col("v"))
       val minsS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val ss = ls.join(minsS, Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
