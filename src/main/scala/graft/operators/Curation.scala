@@ -281,15 +281,17 @@ object Curation {
     * Same (node, cluster_id) contract as [[connectedComponents]]. */
   def connectedComponentsStar(edges: DataFrame, nodes: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    var e = edges
+    // carried across rounds: |e| is last round's |ss|, so one count
+    // action per round suffices (the fixpoint check is count-equality
+    // with a short-circuited except, see below). checkpointCount fuses
+    // the lineage-truncating materialization and that count into ONE
+    // job per round (round 12 — was an eager checkpoint job + a count
+    // job over the same blocks).
+    var (e, eCount) = graft.util.Stage.checkpointCount(edges
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct().stageCheckpoint()
-    // carried across rounds: |e| is last round's |ss|, so one count
-    // action per round suffices (the fixpoint check is count-equality
-    // with a short-circuited except, see below)
-    var eCount = e.count()
+      .distinct())
     var stable = eCount == 0L
     var iter = 0
     while (!stable && iter < maxIter) {
@@ -308,14 +310,14 @@ object Curation {
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
       val minsS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val ss = ls.join(minsS, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(minsS.select(col("u"), col("m").as("v")))
-        .where(col("u") =!= col("v")).distinct().stageCheckpoint()
+      val (ss, ssCount) = graft.util.Stage.checkpointCount(
+        ls.join(minsS, Seq("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(minsS.select(col("u"), col("m").as("v")))
+          .where(col("u") =!= col("v")).distinct())
       // both sides are distinct sets: equal counts + empty one-sided
       // difference ⇔ fixpoint (&& short-circuits: the except job only
       // runs in the rare counts-equal rounds)
-      val ssCount = ss.count()
       stable = ssCount == eCount && ss.exceptAll(e).isEmpty
       e = ss
       eCount = ssCount

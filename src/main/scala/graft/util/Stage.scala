@@ -55,6 +55,32 @@ object Stage {
     }
   }
 
+  /** [[apply]] fused with the caller's count: a LAZY checkpoint whose
+    * materializing action IS the count, so an iterative loop that
+    * truncates lineage AND needs the iterate's cardinality (the CC
+    * fixpoint check) pays ONE job per iteration instead of two — the
+    * eager checkpoint's materializing job and the follow-up count read
+    * the same blocks anyway. Both modes truncate identically: local
+    * checkpoints persist partitions as the count job computes them;
+    * reliable checkpoints write after that job completes (Spark's
+    * standard lazy-checkpoint contract). Returns the truncated frame
+    * and its row count. */
+  def checkpointCount[T](ds: Dataset[T]): (Dataset[T], Long) = {
+    val spark = ds.sparkSession
+    spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        // cache across the (compute → checkpoint-write) pair, as in
+        // [[apply]]; the count is the computing job
+        ds.persist()
+        try { val c = ds.checkpoint(eager = false); (c, c.count()) }
+        finally ds.unpersist()
+      case None =>
+        val c = ds.localCheckpoint(eager = false); (c, c.count())
+    }
+  }
+
   /** Share a multi-consumer frame WITHIN one query's DAG: lazy
     * `persist()`, so the expensive derivation (a tokenize/shingle
     * explode, a corpus aggregation) is computed once by the first
