@@ -878,10 +878,18 @@ object Similarity {
     * bit-compatible with a fresh [[writeIvfIndex]] of the union at the
     * same centroids (spec-pinned: a second increment folded after an
     * append equals the batch build over all three parts). */
+  /** @param centroids pass the CURRENT generation's quantizer (a
+    *        [[readIvfCentroids]] result) to skip re-reading it — for
+    *        callers that fold right after another read of the same
+    *        generation (the streaming ingest loop does one centroid
+    *        read per micro-batch instead of two). The caller owns the
+    *        same-generation invariant; omit when a rebuild could have
+    *        swapped the pointer since the centroids were read. */
   def appendIvfDelta(delta: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      batchId: Option[Long] = None): Unit = {
-    val cm = readIvfCentroids(delta.sparkSession, dir)
+      batchId: Option[Long] = None,
+      centroids: Option[Array[Array[Float]]] = None): Unit = {
+    val cm = centroids.getOrElse(readIvfCentroids(delta.sparkSession, dir))
     // resolve the live generation ONCE — assignment and write must hit
     // the same generation the centroids came from
     val root = indexRoot(dir)
@@ -1011,12 +1019,16 @@ object Similarity {
       delta: DataFrame, indexDir: String, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nProbe: Int = 4, seed: Long = 42L,
-      roundTo: Int = 6, maxCellSize: Int = 4096): DataFrame = {
+      roundTo: Int = 6, maxCellSize: Int = 4096,
+      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
     require(k >= 1 && nProbe >= 1, "k, nProbe >= 1")
     require(maxCellSize >= 0, s"maxCellSize must be >= 0, got $maxCellSize")
     val spark = delta.sparkSession
     import graft.util.Stage.StageOps
-    val cm = readIvfCentroids(spark, indexDir)
+    // `centroids`: same caller-owned same-generation contract as
+    // [[appendIvfDelta]] — the ingest loop reads the quantizer once per
+    // micro-batch and shares it between the edge pass and the fold
+    val cm = centroids.getOrElse(readIvfCentroids(spark, indexDir))
     val topCells = graft.functions.VectorExpressions
       .topCellsByCos(col(vecCol), cm, nProbe)
     val deltaCells = delta

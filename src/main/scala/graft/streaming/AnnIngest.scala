@@ -83,9 +83,16 @@ object AnnIngest {
           seed = 42L, refineIters = rebuildRefineIters,
           idCol = idCol, vecCol = vecCol, extraTraining = Some(batch))
     }
+    // ONE quantizer read per micro-batch, shared by the edge pass and
+    // the fold (round 12): nothing swaps the generation between here
+    // and the fold — a rebuild only runs above, before the edges — so
+    // the same-generation contract of the `centroids` params holds on
+    // every path, including replays (which re-enter processBatch and
+    // re-read).
+    val cm = Similarity.readIvfCentroids(spark, indexDir)
     val edges = Similarity.incrementalKnnJoin(
       batch, indexDir, k = k, idCol = idCol, vecCol = vecCol,
-      nProbe = nProbe, maxCellSize = maxCellSize)
+      nProbe = nProbe, maxCellSize = maxCellSize, centroids = Some(cm))
     edges.withColumn("_batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -93,7 +100,7 @@ object AnnIngest {
     afterEdges()
     Similarity.appendIvfDelta(
       batch, indexDir, idCol = idCol, vecCol = vecCol,
-      batchId = Some(batchId))
+      batchId = Some(batchId), centroids = Some(cm))
   }
 
   /** The ingest pipeline as a stream writer: foreachBatch over a vector
