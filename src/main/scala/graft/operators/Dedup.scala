@@ -110,14 +110,19 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleK: Int = 3,
       numHashes: Int = 16, bands: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, broadcastArr: Boolean = false): DataFrame = {
+    // threshold > 0 is load-bearing for the verify contract: docs with
+    // EMPTY shingle sets produce no exploded rows, so their pairs drop
+    // out of the verify joins — correct for any positive threshold
+    // (their Jaccard is 0), wrong only at threshold <= 0
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
     val staged = stagedSignatures(docs, idCol, textCol, shingleK, numHashes)
     val pairs = candidatePairs(staged, numHashes, bands, maxBucketSize)
     // hashed-key verify (round 12): same representation as the md5
     // family — wordShingles is already distinct, so Jaccard over the
     // xxhash64 key arrays equals the string-set Jaccard under the
     // accepted collision odds
-    verifyNearDupCandidates(staged, pairs, threshold)
+    verifyNearDupCandidates(staged, pairs, threshold, broadcastArr)
   }
 
   /** Write the per-document signature stage as a parquet table — the
@@ -332,10 +337,12 @@ object Dedup {
   def nearDuplicatePairsMd5(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleK: Int = 3,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4,
+      broadcastArr: Boolean = false): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
     val (staged, cand) =
       md5StagedAndCandidates(docs, idCol, textCol, shingleK, numHashes, bands)
-    verifyNearDupCandidates(staged, cand, threshold)
+    verifyNearDupCandidates(staged, cand, threshold, broadcastArr)
   }
 
   /** Exact-Jaccard verification of LSH candidate pairs against a
@@ -347,10 +354,11 @@ object Dedup {
     * to the string-array intersect under the accepted 64-bit-collision
     * odds. */
   def verifyNearDupCandidates(staged: DataFrame, cand: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, broadcastArr: Boolean = false): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
     val ex = staged.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
-    verifyJaccardPairs(cand, ex, threshold)
+    verifyJaccardPairs(cand, ex, threshold, broadcastArr)
   }
 
   /** EXACT Jaccard near-dup pairs via inverted-index blocking: every
@@ -369,12 +377,12 @@ object Dedup {
   def exactJaccardPairsBlocked(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Int = 20): DataFrame = {
+      maxShingleDf: Int = 20, broadcastArr: Boolean = false): DataFrame = {
     val shingles =
       graft.functions.VectorExpressions.wordShingles(col(textCol), shingleK)
     exactJaccardPairsBlockedStaged(
       docs.select(col(idCol).as("id"), shingles.as("sh")).persist(),
-      threshold, maxShingleDf)
+      threshold, maxShingleDf, broadcastArr)
   }
 
   /** [[exactJaccardPairsBlocked]] over a PRE-STAGED `(id, sh)` frame —
@@ -385,7 +393,8 @@ object Dedup {
     * second tokenize pass is a full extra corpus scan. */
   def exactJaccardPairsBlockedStaged(
       staged: DataFrame, threshold: Double,
-      maxShingleDf: Int): DataFrame = {
+      maxShingleDf: Int, broadcastArr: Boolean = false): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
     // the exploded hashed-key table feeds THREE consumers (df count,
     // block self-join, per-doc verify arrays) — share its one explode
     val ex = staged
@@ -401,7 +410,7 @@ object Dedup {
       .join(blocked.select(col("h"), col("id").as("b")), Seq("h"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    verifyJaccardPairs(pairs, ex, threshold)
+    verifyJaccardPairs(pairs, ex, threshold, broadcastArr)
   }
 
   /** Exact-Jaccard verification of candidate (a, b) pairs from the
@@ -416,17 +425,24 @@ object Dedup {
     * (min/max ≥ t, with 1e-9 slack for the IEEE division) drops pairs
     * that cannot reach the threshold before any intersection runs —
     * J ≤ min(n_a,n_b)/max(n_a,n_b), so nothing qualifying is pruned.
-    * The doc-keyed array table is BROADCAST both sides (the
-    * containmentVerify rule: pair rows stream through map-side probes
-    * and never carry arrays across an exchange; beyond broadcastable
-    * corpora the same shape is a bucketed co-partitioned join). */
+    * `broadcastArr` mirrors [[containmentVerify]]'s strategy switch
+    * (round 13, ADVICE): true BROADCASTS the doc-keyed array table on
+    * both probe sides so pair rows stream through map-side probes and
+    * never carry arrays across an exchange — right while the doc→array
+    * table fits the 8 GB broadcast cap (the bench/eval call sites);
+    * false (the scale-safe default) leaves the strategy to the planner,
+    * whose shuffle join works at ANY corpus size — beyond broadcastable
+    * corpora the same shape is a bucketed co-partitioned join. */
   private def verifyJaccardPairs(pairs: DataFrame, ex: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, broadcastArr: Boolean): DataFrame = {
     val arr = ex.groupBy(col("id"))
       .agg(sort_array(collect_list(col("h"))).as("ska"),
         count(lit(1)).as("n"))
-    def side(nm: String) = broadcast(arr.select(col("id").as(nm),
-      col("ska").as(s"ska_$nm"), col("n").as(s"n_$nm")))
+    def side(nm: String) = {
+      val t = arr.select(col("id").as(nm),
+        col("ska").as(s"ska_$nm"), col("n").as(s"n_$nm"))
+      if (broadcastArr) broadcast(t) else t
+    }
     pairs
       .join(side("a"), Seq("a"))
       .join(side("b"), Seq("b"))
@@ -460,19 +476,21 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       sampledIds: DataFrame,
       shingleK: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Int = 20): DataFrame = {
+      maxShingleDf: Int = 20, broadcastArr: Boolean = false): DataFrame = {
     val shingles =
       graft.functions.VectorExpressions.wordShingles(col(textCol), shingleK)
     exactJaccardPairsBlockedSampledStaged(
       docs.select(col(idCol).as("id"), shingles.as("sh")).persist(),
-      sampledIds, threshold, maxShingleDf)
+      sampledIds, threshold, maxShingleDf, broadcastArr)
   }
 
   /** [[exactJaccardPairsBlockedSampled]] over a PRE-STAGED `(id, sh)`
     * frame — see [[exactJaccardPairsBlockedStaged]] for why. */
   def exactJaccardPairsBlockedSampledStaged(
       staged: DataFrame, sampledIds: DataFrame,
-      threshold: Double, maxShingleDf: Int): DataFrame = {
+      threshold: Double, maxShingleDf: Int,
+      broadcastArr: Boolean = false): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
     val ex = staged
       .select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
@@ -488,7 +506,7 @@ object Dedup {
       .join(blocked.select(col("h"), col("id").as("b")), Seq("h"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    verifyJaccardPairs(pairs, ex, threshold)
+    verifyJaccardPairs(pairs, ex, threshold, broadcastArr)
   }
 
   /** Asymmetric shingle CONTAINMENT pairs: C(A→B) = |sh(A)∩sh(B)| /

@@ -50,23 +50,30 @@ object Graph {
     */
   /** @param broadcastNodesMax broadcast the per-iteration rank table
     *        into the edge join when the graph has at most this many
-    *        nodes (the deliberate join-strategy pick of guide §3.1: a
-    *        rank row is 16 bytes, so the default caps the broadcast at
-    *        ~64 MB payload). Under the cap each iteration's edges⋈ranks
-    *        is a map-side probe of the staged edge table — no shuffle
-    *        or sort of either side — leaving the dst aggregation as the
-    *        iteration's one exchange. Past the cap the join falls back
-    *        to the shuffle path unchanged (ranks — the small side —
-    *        moves; the staged edge partitioning reuses). Ranks are
-    *        integerized before the exact BIGINT sum, so the result is
-    *        bit-identical under either strategy. */
+    *        nodes (the deliberate join-strategy pick of guide §3.1).
+    *        Sizing (round 13, ADVICE): a rank row is 16 bytes raw, but
+    *        a BroadcastHashJoin build is a HashedRelation at roughly
+    *        3–6× raw size, and each iteration produces a NEW broadcast
+    *        whose predecessors are released only by the ContextCleaner —
+    *        so the cap must bound (HashedRelation factor) × (iters in
+    *        flight), not just one raw payload. The 1M default keeps one
+    *        build ≲ 100 MB and a 10-iteration accumulation ≲ 1 GB of
+    *        driver/executor broadcast blocks. Under the cap each
+    *        iteration's edges⋈ranks is a map-side probe of the staged
+    *        edge table — no shuffle or sort of either side — leaving
+    *        the dst aggregation as the iteration's one exchange. Past
+    *        the cap the join falls back to the shuffle path unchanged
+    *        (ranks — the small side — moves; the staged edge
+    *        partitioning reuses). Ranks are integerized before the
+    *        exact BIGINT sum, so the result is bit-identical under
+    *        either strategy. */
   def pageRank(
       edges: DataFrame,
       iters: Int,
       damping: Double = 0.85,
       jump: Double = 0.15,
       contribScale: Int = 12,
-      broadcastNodesMax: Long = 4000000L): DataFrame = {
+      broadcastNodesMax: Long = 1000000L): DataFrame = {
     val unit = math.pow(10.0, contribScale.toDouble) // exactly 10^k for k<=15
     // Stage the INPUT edge derivation once: deg, outE and nodes all read
     // the staged frame, so an upstream scan+distinct pipeline (e.g. the

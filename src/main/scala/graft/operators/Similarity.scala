@@ -786,6 +786,37 @@ object Similarity {
     spark.read.parquet(s"${indexRoot(dir)}/centroids").orderBy(col("cell"))
       .collect().map(_.getSeq[Float](1).toArray)
 
+  /** [[readIvfCentroids]] plus the generation it was read from — the
+    * form a caller that intends to PASS the centroids back into
+    * [[appendIvfDelta]]/[[incrementalKnnJoin]] should use (round 13,
+    * ADVICE): carrying the generation id alongside the centroids turns
+    * the caller-owned same-generation contract into an ENFORCED one —
+    * the consumer asserts the id still matches the live pointer before
+    * assigning or writing, so centroids read before a concurrent
+    * rebuild can never write stale-quantizer cells into the new
+    * generation. The pair is read from ONE resolved root, so gen and
+    * centroids are mutually consistent by construction. */
+  def readIvfCentroidsWithGen(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Array[Array[Float]]) = {
+    val g = currentGen(dir)
+    val root = if (g < 0) dir else s"$dir/gen_$g"
+    (g, spark.read.parquet(s"$root/centroids").orderBy(col("cell"))
+      .collect().map(_.getSeq[Float](1).toArray))
+  }
+
+  /** Enforce the shared-centroids same-generation contract: when a
+    * caller passes pre-read `centroids` WITH the generation they were
+    * read from, assert that generation is still live. */
+  private def requireSameGen(dir: String, centroidsGen: Option[Long],
+      centroids: Option[Array[Array[Float]]]): Unit =
+    for (g <- centroidsGen if centroids.isDefined) {
+      val live = currentGen(dir)
+      require(g == live,
+        s"stale quantizer: centroids were read at generation $g but the " +
+          s"live generation of $dir is now $live — re-read via " +
+          "readIvfCentroidsWithGen (a rebuild swapped _CURRENT since)")
+    }
+
   /** ACT on the [[ivfIndexHealth]] rebuild verdict (VERDICT r11 #1):
     * re-train the coarse quantizer over everything the index currently
     * holds (base build ∪ every folded delta — the grown corpus),
@@ -884,11 +915,16 @@ object Similarity {
     *        generation (the streaming ingest loop does one centroid
     *        read per micro-batch instead of two). The caller owns the
     *        same-generation invariant; omit when a rebuild could have
-    *        swapped the pointer since the centroids were read. */
+    *        swapped the pointer since the centroids were read.
+    * @param centroidsGen the generation `centroids` was read from
+    *        ([[readIvfCentroidsWithGen]]) — when given, the invariant is
+    *        ASSERTED against the live pointer instead of trusted. */
   def appendIvfDelta(delta: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       batchId: Option[Long] = None,
-      centroids: Option[Array[Array[Float]]] = None): Unit = {
+      centroids: Option[Array[Array[Float]]] = None,
+      centroidsGen: Option[Long] = None): Unit = {
+    requireSameGen(dir, centroidsGen, centroids)
     val cm = centroids.getOrElse(readIvfCentroids(delta.sparkSession, dir))
     // resolve the live generation ONCE — assignment and write must hit
     // the same generation the centroids came from
@@ -1020,14 +1056,17 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       nProbe: Int = 4, seed: Long = 42L,
       roundTo: Int = 6, maxCellSize: Int = 4096,
-      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+      centroids: Option[Array[Array[Float]]] = None,
+      centroidsGen: Option[Long] = None): DataFrame = {
     require(k >= 1 && nProbe >= 1, "k, nProbe >= 1")
     require(maxCellSize >= 0, s"maxCellSize must be >= 0, got $maxCellSize")
     val spark = delta.sparkSession
     import graft.util.Stage.StageOps
-    // `centroids`: same caller-owned same-generation contract as
-    // [[appendIvfDelta]] — the ingest loop reads the quantizer once per
-    // micro-batch and shares it between the edge pass and the fold
+    // `centroids`: same-generation contract as [[appendIvfDelta]] — the
+    // ingest loop reads the quantizer once per micro-batch and shares it
+    // between the edge pass and the fold; `centroidsGen` (when given)
+    // asserts the generation is still live instead of trusting the caller
+    requireSameGen(indexDir, centroidsGen, centroids)
     val cm = centroids.getOrElse(readIvfCentroids(spark, indexDir))
     val topCells = graft.functions.VectorExpressions
       .topCellsByCos(col(vecCol), cm, nProbe)

@@ -392,7 +392,8 @@ object DocQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
-          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4,
+          broadcastArr = true)
         // symmetrize and keep each doc's best match
         val sym = pairs.select(col("a").as("doc_id"), col("b").as("other"), col("jaccard"))
           .union(pairs.select(col("b").as("doc_id"), col("a").as("other"), col("jaccard")))
@@ -431,7 +432,8 @@ object DocQueries {
       (s, d) => {
         val ver = Dedup.nearDuplicatePairsMd5(
           Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4,
+          broadcastArr = true)
         val sym = ver.select(col("a").as("doc_id"), col("b").as("other"), col("jaccard"))
           .union(ver.select(col("b").as("doc_id"), col("a").as("other"), col("jaccard")))
         // best_jaccard is a ratio of two exact ints — pure IEEE division,
@@ -616,7 +618,7 @@ object DocQueries {
         // standalone form's second tokenize pass is a full extra corpus
         // scan, and the oracle shares its sh CTE the same way
         val truth = Dedup.exactJaccardPairsBlockedStaged(
-          staged, threshold = 0.5, maxShingleDf = 20)
+          staged, threshold = 0.5, maxShingleDf = 20, broadcastArr = true)
           .select(col("a"), col("b")).stageShare()
         val nc = cand.agg(count(lit(1)).as("n_cand"))
         val nt = truth.agg(count(lit(1)).as("n_true"))
@@ -761,7 +763,8 @@ object DocQueries {
         // (id, sh) stage shared with the candidate side — the oracle's
         // sh CTE is shared the same way
         val truth = Dedup.exactJaccardPairsBlockedSampledStaged(
-          staged, sampleIds, threshold = 0.5, maxShingleDf = 20)
+          staged, sampleIds, threshold = 0.5, maxShingleDf = 20,
+          broadcastArr = true)
           .select(col("a"), col("b")).stageShare()
         val hits = truth.join(cand, Seq("a", "b"))
         val candS = cand.join(sampleIds.select(col("id").as("a")), Seq("a"))
@@ -940,7 +943,8 @@ object DocQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val edges = Dedup.nearDuplicatePairsMd5(docs, "doc_id", "text",
-          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4,
+          broadcastArr = true)
           .select(col("a"), col("b"))
         val nodes = docs.select(col("doc_id").as("node"))
         val cc = graft.operators.Curation.connectedComponentsStar(edges, nodes)
@@ -1036,7 +1040,8 @@ object DocQueries {
         // shared instead of re-tokenizing the corpus per signal
         val (staged, cand) = Dedup.md5StagedAndCandidates(
           docs, "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
-        val jac = Dedup.verifyNearDupCandidates(staged, cand, threshold = 0.5)
+        val jac = Dedup.verifyNearDupCandidates(staged, cand, threshold = 0.5,
+          broadcastArr = true)
           .select(col("a"), col("b"))
         // prefix-filtered containment: EXACTLY containmentPairs ≥ 0.9
         // (spec-proven equal) at a fraction of the pair-join work — the

@@ -363,7 +363,8 @@ object MultimodalQueries {
         import graft.operators.{Curation, Dedup}
         val docs = Tables.documents(s, d)
         val jac = Dedup.nearDuplicatePairsMd5(docs, "doc_id", "text",
-          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4)
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 4,
+          broadcastArr = true)
           .select(col("a"), col("b"))
         val img = Multimodal.phashPairs(
             Multimodal.perceptualHashBands(

@@ -88,11 +88,14 @@ object AnnIngest {
     // and the fold — a rebuild only runs above, before the edges — so
     // the same-generation contract of the `centroids` params holds on
     // every path, including replays (which re-enter processBatch and
-    // re-read).
-    val cm = Similarity.readIvfCentroids(spark, indexDir)
+    // re-read). Round 13 (ADVICE): the generation id rides along and is
+    // ASSERTED by both consumers, so the invariant is enforced, not
+    // merely owned.
+    val (gen, cm) = Similarity.readIvfCentroidsWithGen(spark, indexDir)
     val edges = Similarity.incrementalKnnJoin(
       batch, indexDir, k = k, idCol = idCol, vecCol = vecCol,
-      nProbe = nProbe, maxCellSize = maxCellSize, centroids = Some(cm))
+      nProbe = nProbe, maxCellSize = maxCellSize, centroids = Some(cm),
+      centroidsGen = Some(gen))
     edges.withColumn("_batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -100,7 +103,8 @@ object AnnIngest {
     afterEdges()
     Similarity.appendIvfDelta(
       batch, indexDir, idCol = idCol, vecCol = vecCol,
-      batchId = Some(batchId), centroids = Some(cm))
+      batchId = Some(batchId), centroids = Some(cm),
+      centroidsGen = Some(gen))
   }
 
   /** The ingest pipeline as a stream writer: foreachBatch over a vector
