@@ -751,8 +751,16 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     val cellOf = graft.functions.VectorExpressions
       .topCellsByCos(col(vecCol), cm, 1).getItem(0)
+    // CLUSTER the partitioned write by its partition key (guide §6):
+    // a partitionBy write emits one file per key per input task, so an
+    // unclustered corpus write produces nTasks × cellsPerTask tiny
+    // files — quadratic-ish file growth that every later pruned read,
+    // health scan and rebuild pays to open. The repartition costs one
+    // exchange of the rows being written and lands each cell in exactly
+    // one task → one file per (cell, _batch_id).
     corpus.select(col(idCol), col(vecCol), cellOf.as("cell"),
         lit(-1L).as("_batch_id"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell", "_batch_id")
       .parquet(s"$dir/cells")
   }
@@ -878,7 +886,13 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$next/centroids")
     val cellOf = graft.functions.VectorExpressions
       .topCellsByCos(col(vecCol), cm, 1).getItem(0)
+    // clustered write: the rebuild re-assigns the WHOLE grown corpus, so
+    // an unclustered write multiplies files by the read parallelism
+    // (measured 40 → 159 files at sf0.1) and every post-rebuild pruned
+    // read re-opens them — repartition lands one file per live
+    // (cell, _batch_id) pair (see writeIvfIndex)
     corpus.select(col(idCol), col(vecCol), cellOf.as("cell"), col("_batch_id"))
+      .repartition(col("cell"), col("_batch_id"))
       .write.mode("overwrite").partitionBy("cell", "_batch_id")
       .parquet(s"$next/cells")
     beforeSwap()
@@ -931,8 +945,10 @@ object Similarity {
     val root = indexRoot(dir)
     val cellOf = graft.functions.VectorExpressions
       .topCellsByCos(col(vecCol), cm, 1).getItem(0)
+    // clustered write: one file per (cell, _batch_id) — see writeIvfIndex
     val assigned = delta.select(col(idCol), col(vecCol), cellOf.as("cell"),
-      lit(batchId.getOrElse(-1L)).as("_batch_id"))
+        lit(batchId.getOrElse(-1L)).as("_batch_id"))
+      .repartition(col("cell"))
     batchId match {
       // streaming ingest: EXACTLY-ONCE per micro-batch — a dynamic
       // overwrite keyed by the batch's own partitions, so replaying a
@@ -1070,17 +1086,19 @@ object Similarity {
     val cm = centroids.getOrElse(readIvfCentroids(spark, indexDir))
     val topCells = graft.functions.VectorExpressions
       .topCellsByCos(col(vecCol), cm, nProbe)
-    val deltaCells = delta
-      .select(col(idCol), col(vecCol), topCells.as("_tc"))
-      .select(col(idCol), col(vecCol), col("_tc").getItem(0).as("cell"),
-        col("_tc").as("probe_cells"))
-      .stageCheckpoint()
+    // lineage cut + the probed-cell collect in ONE job (round 13,
+    // Stage.checkpointWith): the distinct/collect computes every delta
+    // partition anyway, so it doubles as the checkpoint's materializing
+    // action — the eager checkpoint's own job is saved. The collect is
     // ≤ nCells distinct ints (quantizer-sized model state): the literal
     // IN-list is what lets the parquet source prune to the probed
-    // partitions — a join-based filter would scan every cell file
-    val probed: Array[Int] = deltaCells
-      .select(explode(col("probe_cells")).as("cell")).distinct()
-      .collect().map(_.getInt(0))
+    // partitions — a join-based filter would scan every cell file.
+    val (deltaCells, probed) = graft.util.Stage.checkpointWith(delta
+      .select(col(idCol), col(vecCol), topCells.as("_tc"))
+      .select(col(idCol), col(vecCol), col("_tc").getItem(0).as("cell"),
+        col("_tc").as("probe_cells")))(
+      _.select(explode(col("probe_cells")).as("cell")).distinct()
+        .collect().map(_.getInt(0)))
     // anti-join the pruned read against the delta's OWN ids: a no-op
     // under the disjoint-delta contract, but it makes re-folding
     // idempotent — a streaming replay whose crashed attempt already

@@ -81,6 +81,32 @@ object Stage {
     }
   }
 
+  /** [[checkpointCount]] generalized to an arbitrary materializing
+    * action (round 13): a LAZY checkpoint whose first — and so
+    * checkpoint-persisting — job is `action`'s own, for callers that
+    * need something richer than a count off the truncated frame (the
+    * IVF delta path needs the DISTINCT PROBED-CELL list: the explode/
+    * distinct/collect computes every partition of `ds`, so the same
+    * job that answers the question persists the frame — one scheduler
+    * round-trip instead of an eager-checkpoint job plus the collect
+    * job over the same blocks). The action MUST compute every
+    * partition of `ds` (aggregations/collects over it do; a LIMIT
+    * would not) — same contract as [[checkpointCount]]'s count. */
+  def checkpointWith[T, A](ds: Dataset[T])(
+      action: Dataset[T] => A): (Dataset[T], A) = {
+    val spark = ds.sparkSession
+    spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        ds.persist()
+        try { val c = ds.checkpoint(eager = false); (c, action(c)) }
+        finally ds.unpersist()
+      case None =>
+        val c = ds.localCheckpoint(eager = false); (c, action(c))
+    }
+  }
+
   /** Share a multi-consumer frame WITHIN one query's DAG: lazy
     * `persist()`, so the expensive derivation (a tokenize/shingle
     * explode, a corpus aggregation) is computed once by the first
