@@ -354,10 +354,22 @@ object Dedup {
     * to the string-array intersect under the accepted 64-bit-collision
     * odds. */
   def verifyNearDupCandidates(staged: DataFrame, cand: DataFrame,
+      threshold: Double, broadcastArr: Boolean = false): DataFrame =
+    verifyNearDupCandidatesKeys(
+      staged.select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id"), xxhash64(col("s")).as("h")),
+      cand, threshold, broadcastArr)
+
+  /** [[verifyNearDupCandidates]] over a PRE-EXPLODED hashed-key table
+    * `ex` (id, h = xxhash64(shingle)) — the ensemble form (round 13):
+    * multi-signal dedup derives its Jaccard verify AND its containment
+    * staging from the same word shingles, so the corpus explode+hash
+    * pass is built once and shared between the signals instead of run
+    * per signal (at 100 TB each re-explode is a full corpus pass —
+    * the dedup_lsh_eval staging rule applied one level lower). */
+  def verifyNearDupCandidatesKeys(ex: DataFrame, cand: DataFrame,
       threshold: Double, broadcastArr: Boolean = false): DataFrame = {
     require(threshold > 0.0, s"threshold must be > 0, got $threshold")
-    val ex = staged.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
     verifyJaccardPairs(cand, ex, threshold, broadcastArr)
   }
 
@@ -579,13 +591,26 @@ object Dedup {
     * corpus scan — the dedup_lsh_eval rule applied to the ensemble). */
   def containmentPairsPrefixShared(staged: DataFrame,
       threshold: Double, maxShingleDf: Long,
+      broadcastArr: Boolean = false): DataFrame =
+    containmentPairsPrefixFromKeys(
+      staged.select(col("id").as("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("sk")),
+      threshold, maxShingleDf, broadcastArr)
+
+  /** [[containmentPairsPrefixShared]] over a PRE-EXPLODED hashed-key
+    * table `shk` (doc_id, sk = xxhash64(shingle)) — one level lower
+    * than the staged `(id, sh)` form, for ensembles that already built
+    * the exploded table for another signal's verify (round 13:
+    * dedup_multi_signal shares ONE corpus explode between its Jaccard
+    * verify and this containment staging — see
+    * [[verifyNearDupCandidatesKeys]]). */
+  def containmentPairsPrefixFromKeys(shk: DataFrame,
+      threshold: Double, maxShingleDf: Long,
       broadcastArr: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val (sh, arr, prefix) = containmentPrefixStagingFromKeys(
-      staged.select(col("id").as("doc_id"), explode(col("sh")).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("sk")),
-      threshold, maxShingleDf)
+    val (sh, arr, prefix) =
+      containmentPrefixStagingFromKeys(shk, threshold, maxShingleDf)
     val cand = containmentCandidatesBand(prefix, sh, band = 0, passes = 1)
     containmentVerify(cand, arr, threshold, broadcastArr = broadcastArr)
   }

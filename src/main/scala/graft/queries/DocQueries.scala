@@ -1040,14 +1040,23 @@ object DocQueries {
         // shared instead of re-tokenizing the corpus per signal
         val (staged, cand) = Dedup.md5StagedAndCandidates(
           docs, "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
-        val jac = Dedup.verifyNearDupCandidates(staged, cand, threshold = 0.5,
-          broadcastArr = true)
+        // ONE corpus explode+hash feeds BOTH signals' verify/staging
+        // (round 13, one level below the round-12 (id, sh) share): the
+        // Jaccard verify arrays and the containment prefix staging both
+        // derive from the same exploded hashed-key table — a second
+        // explode is a full corpus pass at 100 TB
+        val exk = staged.select(col("id"), explode(col("sh")).as("s"))
+          .select(col("id"), xxhash64(col("s")).as("h"))
+          .stageShare()
+        val jac = Dedup.verifyNearDupCandidatesKeys(exk, cand,
+          threshold = 0.5, broadcastArr = true)
           .select(col("a"), col("b"))
         // prefix-filtered containment: EXACTLY containmentPairs ≥ 0.9
         // (spec-proven equal) at a fraction of the pair-join work — the
         // Σdf² term was the whole super-linear cost of the ensemble at
         // the 10× slice (103 s → see NOTES)
-        val cont = Dedup.containmentPairsPrefixShared(staged,
+        val cont = Dedup.containmentPairsPrefixFromKeys(
+            exk.select(col("id").as("doc_id"), col("h").as("sk")),
             threshold = 0.9, maxShingleDf = 100, broadcastArr = true)
           .select(least(col("a"), col("b")).as("a"),
             greatest(col("a"), col("b")).as("b"))

@@ -45,6 +45,33 @@ class StagedContainmentSpec extends SparkSpec {
     shared shouldBe single
   }
 
+  test("round-13 ensemble explode sharing: verifyNearDupCandidatesKeys + " +
+      "containmentPairsPrefixFromKeys over ONE shared exploded hashed-key " +
+      "table == the per-signal forms") {
+    import graft.util.Stage.StageOps
+    val (staged, cand) = Dedup.md5StagedAndCandidates(
+      docs, "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
+    val exk = staged.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .stageShare()
+    val jacPairs = (df: DataFrame) => df.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val jacShared = jacPairs(Dedup.verifyNearDupCandidatesKeys(
+      exk, cand, threshold = 0.5, broadcastArr = true))
+    val jacOwn = jacPairs(Dedup.verifyNearDupCandidates(
+      staged, cand, threshold = 0.5))
+    jacShared should not be empty
+    jacShared shouldBe jacOwn
+    val contShared = rows(Dedup.containmentPairsPrefixFromKeys(
+      exk.select(col("id").as("doc_id"), col("h").as("sk")),
+      threshold = 0.5, maxShingleDf = 100, broadcastArr = true))
+    val contOwn = rows(Dedup.containmentPairsPrefix(
+      docs, "doc_id", "text", k = 3, threshold = 0.5, maxShingleDf = 100))
+    contShared should not be empty
+    contShared shouldBe contOwn
+  }
+
   test("derived pass count (passes = 0): B from the candidate mass and " +
       "scratch budget; derived-B results == hand-B == single-pass") {
     val (sh, _, prefix) = Dedup.containmentPrefixStaging(
